@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship flow-log enrichment pipeline (the
+reference decorator's end-to-end query, SURVEY §3.2) over flow-log lines
+deterministically derived from the sf0.001 events table.
+
+``queries()`` / ``oracle_sql()`` expose the operator inventory registered in
+``aws_vpc_flow_log_appender_spark.operators`` and ``.ext``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry():
+    from aws_vpc_flow_log_appender_spark import ext  # noqa: F401  (registers)
+    from aws_vpc_flow_log_appender_spark import flagship  # noqa: F401
+    from aws_vpc_flow_log_appender_spark import operators  # noqa: F401
+    from aws_vpc_flow_log_appender_spark.operators.registry import QUERY_REGISTRY
+
+    return QUERY_REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse -> ENI broadcast join -> geo range join -> package,
+    over flow-log lines synthesized from /root/testdata/sf0.001/events.parquet."""
+    from aws_vpc_flow_log_appender_spark.flagship import flagship_flowlog_pipeline
+
+    return flagship_flowlog_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in _registry().items()
+        if spec.oracle is not None
+    }

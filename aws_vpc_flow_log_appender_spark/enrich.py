@@ -1,0 +1,180 @@
+"""Enrich stage: ENI security-group join, direction, geolocation range join.
+
+Reference behavior (decorator/index.js:163-197):
+ - per-row nested-loop lookup of interface-id in the ENI mapping (J1, :167-173)
+ - direction = destaddr == eni.ipAddress ? inbound : outbound (:170); rows with
+   no ENI match get NO direction (stays NULL here)
+ - geocode(srcaddr) skipped for RFC1918 sources or when disabled (:175-177)
+ - geo fields appended with ''/0 defaults when no geo data (:182-190)
+
+Spark-first design:
+ - J1 -> broadcast LEFT OUTER equi join; first-match semantics via
+   dropDuplicates on the build side (lodash.find returns the first match).
+ - J2 (per-row HTTP geo lookup) -> a *data* join against a CIDR-range geo
+   dimension: prefix-bucketed equi join + range filter, broadcast. At 100 TB
+   the naive (ip BETWEEN start AND end) range join is O(n*m); bucketing by /16
+   prefix makes it an equi join with a tiny residual filter and keeps the dim
+   broadcastable (a real GeoIP table explodes to ~a few million bucket rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC1918 predicate — replicates decorator/index.js:149-153 EXACTLY, including
+# its quirk of classifying loopback 127/8 as "private" (SURVEY §2.2 P8).
+RFC1918_PATTERN = (
+    r"(^127\.)|(^10\.)|(^172\.1[6-9]\.)|(^172\.2[0-9]\.)|(^172\.3[0-1]\.)|(^192\.168\.)"
+)
+
+
+def is_rfc1918(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(RFC1918_PATTERN)
+
+
+def ip_to_int(col: Column | str) -> Column:
+    """Dotted-quad IPv4 -> uint32 as long, pure Column arithmetic (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    o = F.split(c, r"\.")
+    return (
+        o.getItem(0).cast("long") * F.lit(16777216)
+        + o.getItem(1).cast("long") * F.lit(65536)
+        + o.getItem(2).cast("long") * F.lit(256)
+        + o.getItem(3).cast("long")
+    )
+
+
+def first_match_dim(eni_dim: DataFrame, key: str = "interfaceId") -> DataFrame:
+    """lodash.find takes the FIRST match (decorator/index.js:167); enforce the
+    same semantics by deduplicating the build side on the join key."""
+    return eni_dim.dropDuplicates([key])
+
+
+def join_eni(parsed: DataFrame, eni_dim: DataFrame) -> DataFrame:
+    """J1: broadcast left-outer equi join replacing the O(rows*enis)
+    nested-loop lookup (decorator/index.js:167-173).
+
+    Adds `security-group-ids` (NULL on miss) and `direction`
+    (inbound/outbound; NULL on miss — the reference only sets direction
+    inside the match branch, :169-173).
+    """
+    dim = first_match_dim(eni_dim)
+    joined = parsed.join(
+        F.broadcast(dim),
+        parsed["interface-id"] == dim["interfaceId"],
+        "left",
+    )
+    matched = dim["interfaceId"].isNotNull()
+    # ipAddress is an array (the jmespath [?Primary] filter yields a singleton
+    # list, decorator/index.js:89); JS `==` coerces ['x'] == 'x' true, so the
+    # comparison is against the first element (SURVEY §7.4.2).
+    direction = F.when(
+        matched,
+        F.when(
+            F.col("destaddr") == F.element_at(dim["ipAddress"], 1), F.lit("inbound")
+        ).otherwise(F.lit("outbound")),
+    )
+    return (
+        joined
+        .withColumn("security-group-ids", dim["securityGroupIds"])
+        .withColumn("direction", direction)
+        .drop("interfaceId", "securityGroupIds", "ipAddress")
+    )
+
+
+def bucket_geo_dim(geo_dim: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """Explode each CIDR range into the /prefix_bits buckets it spans so the
+    range join becomes an equi join on bucket + residual BETWEEN filter."""
+    shift = F.lit(2 ** (32 - prefix_bits))
+    return geo_dim.withColumn(
+        "ip_bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_ip_int") / shift).cast("long"),
+                (F.col("end_ip_int") / shift).cast("long"),
+            )
+        ),
+    )
+
+
+def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
+             geolocation_enabled: bool = True, prefix_bits: int = 16) -> DataFrame:
+    """J2: geolocation as a broadcast prefix-bucketed range join.
+
+    Replaces the serial per-row HTTP lookup (decorator/index.js:175-177,
+    geocode.js:56-68). The enrichment gate (env flag + RFC1918 source,
+    decorator/index.js:175-177) is applied as join-input pruning: gated rows
+    never enter the join. Geo columns default to ''/0 — never NULL
+    (decorator/index.js:182-190), including for gated and unmatched rows.
+
+    ``geolocation_enabled`` is resolved at plan-build time (SURVEY §4.3) —
+    when False the join is statically pruned from the plan entirely.
+    """
+    geo_defaults = {
+        "source-country-code": F.lit(""),
+        "source-country-name": F.lit(""),
+        "source-region-code": F.lit(""),
+        "source-region-name": F.lit(""),
+        "source-city": F.lit(""),
+        "source-location": F.struct(
+            F.lit(0.0).alias("lat"), F.lit(0.0).alias("lon")
+        ),
+    }
+    if not geolocation_enabled:
+        for name, default in geo_defaults.items():
+            df = df.withColumn(name, default)
+        return df
+
+    gate = (~is_rfc1918(src_col)) & F.col(src_col).isNotNull()
+    shift = F.lit(2 ** (32 - prefix_bits))
+    bucketed = bucket_geo_dim(geo_dim, prefix_bits)
+    ip_int = F.when(gate, ip_to_int(src_col))
+    df = df.withColumn("__ip_int", ip_int).withColumn(
+        "__ip_bucket", (F.col("__ip_int") / shift).cast("long")
+    )
+    cond = (
+        (df["__ip_bucket"] == bucketed["ip_bucket"])
+        & (df["__ip_int"] >= bucketed["start_ip_int"])
+        & (df["__ip_int"] <= bucketed["end_ip_int"])
+    )
+    joined = df.join(F.broadcast(bucketed), cond, "left")
+    out = (
+        joined
+        .withColumn("source-country-code", F.coalesce(bucketed["country_code"], F.lit("")))
+        .withColumn("source-country-name", F.coalesce(bucketed["country_name"], F.lit("")))
+        .withColumn("source-region-code", F.coalesce(bucketed["region_code"], F.lit("")))
+        .withColumn("source-region-name", F.coalesce(bucketed["region_name"], F.lit("")))
+        .withColumn("source-city", F.coalesce(bucketed["city"], F.lit("")))
+        .withColumn(
+            "source-location",
+            F.struct(
+                F.coalesce(bucketed["latitude"], F.lit(0.0)).alias("lat"),
+                F.coalesce(bucketed["longitude"], F.lit(0.0)).alias("lon"),
+            ),
+        )
+        .drop(
+            "ip_bucket", "start_ip_int", "end_ip_int", "country_code",
+            "country_name", "region_code", "region_name", "city",
+            "latitude", "longitude", "__ip_int", "__ip_bucket",
+        )
+    )
+    return out
+
+
+def project_eni_dim(ec2_raw: DataFrame) -> DataFrame:
+    """The jmespath projection (decorator/index.js:85-90) as array functions:
+
+    ``NetworkInterfaces[].{interfaceId: NetworkInterfaceId,
+    securityGroupIds: Groups[].GroupId,
+    ipAddress: PrivateIpAddresses[?Primary].PrivateIpAddress}``
+    """
+    return ec2_raw.select(
+        F.col("NetworkInterfaceId").alias("interfaceId"),
+        F.transform("Groups", lambda g: g["GroupId"]).alias("securityGroupIds"),
+        F.transform(
+            F.filter("PrivateIpAddresses", lambda p: p["Primary"]),
+            lambda p: p["PrivateIpAddress"],
+        ).alias("ipAddress"),
+    )

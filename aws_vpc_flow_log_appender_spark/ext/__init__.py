@@ -1,0 +1,2 @@
+"""Scale extensions (north star, BASELINE.json): dedup, similarity search,
+text analysis, multimodal column plumbing. Importing registers their queries."""

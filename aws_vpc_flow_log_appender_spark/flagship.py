@@ -1,0 +1,228 @@
+"""Flagship query: the reference decorator's end-to-end pipeline
+(parse -> ENI join -> direction -> geo range join -> package, SURVEY §3.2)
+run over flow-log lines deterministically synthesized from the driver's
+events table — so the whole pipeline is verifiable against a DuckDB oracle
+on shared inputs.
+
+Line synthesis is pure Column arithmetic (no randomness, no UDFs): every
+field derives from event_id/user_id/event_type/ts. 'error' events become
+malformed lines to exercise the dead-letter branch (decorator/index.js:133-139).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures
+from .operators.registry import load, query
+from .pipeline import decorate_lines, enrich_flow_logs
+from .parse import parse_lines
+
+# Fixture constants shared by the Spark expressions and the DuckDB oracle SQL.
+_ENI_IDS = [e[0] for e in fixtures.ENIS] + ["eni-miss0001", "eni-miss0002"]
+_ENI_PRIMARY = [e[2][0] for e in fixtures.ENIS] + ["172.31.16.99", "172.31.16.99"]
+_ENI_SGS = [",".join(e[1]) for e in fixtures.ENIS]
+_PUBLIC = fixtures.PUBLIC_IPS          # 5 entries, indexed by event_id % 5
+_PRIVATE = fixtures.PRIVATE_IPS        # 4 entries, indexed by event_id % 4
+_DSTPORTS = [22, 80, 443, 6379]
+
+
+def synth_flow_lines(events: DataFrame) -> DataFrame:
+    """events rows -> one deterministic flow-log v2 line per event (column
+    ``value``), mixing public/private sources, ENI hits/misses, inbound/
+    outbound destinations, and malformed lines."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    eni = F.element_at(F.array(*[F.lit(x) for x in _ENI_IDS]), (uid % 6 + 1).cast("int"))
+    pub = F.element_at(F.array(*[F.lit(x) for x in _PUBLIC]), (eid % 5 + 1).cast("int"))
+    priv = F.element_at(F.array(*[F.lit(x) for x in _PRIVATE]), (eid % 4 + 1).cast("int"))
+    src = F.when(F.col("event_type").isin("click", "view"), pub).otherwise(priv)
+    dst = F.when(
+        uid % 3 == 0,
+        F.element_at(F.array(*[F.lit(x) for x in _ENI_PRIMARY]), (uid % 6 + 1).cast("int")),
+    ).otherwise(F.lit("172.31.16.99"))
+    start = F.unix_timestamp("ts")
+    line = F.concat_ws(
+        " ",
+        F.lit("2"),
+        F.lit("123456789010"),
+        eni,
+        src,
+        dst,
+        (1024 + eid % 60000).cast("string"),
+        F.element_at(F.array(*[F.lit(p) for p in _DSTPORTS]), (uid % 4 + 1).cast("int")).cast("string"),
+        F.when(eid % 2 == 0, 6).otherwise(17).cast("string"),
+        (1 + eid % 500).cast("string"),
+        (40 + (eid * 97) % 100000).cast("string"),
+        start.cast("string"),
+        (start + 60).cast("string"),
+        F.when(eid % 4 == 0, "REJECT").otherwise("ACCEPT"),
+        F.when(eid % 10 == 0, "NODATA").when(eid % 10 == 1, "SKIPDATA").otherwise("OK"),
+    )
+    malformed = F.concat(F.lit("MALFORMED "), eid.cast("string"))
+    return events.select(
+        F.when(F.col("event_type") == "error", malformed).otherwise(line).alias("value")
+    )
+
+
+def flagship_flowlog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() body: full decorator parity -> (recordId, result, data)."""
+    lines = synth_flow_lines(load(spark, sf_dir, "events"))
+    return decorate_lines(
+        lines, fixtures.eni_dim_df(spark), fixtures.geo_dim_df(spark)
+    )
+
+
+def _sql_list(values, quote=True):
+    if quote:
+        return ", ".join(f"'{v}'" for v in values)
+    return ", ".join(str(v) for v in values)
+
+
+def _geo_values_sql() -> str:
+    rows = []
+    for s, e, cc, cn, rc, rn, city, lat, lon in fixtures.GEO_ROWS:
+        rows.append(
+            f"({fixtures._ip_to_int(s)}, {fixtures._ip_to_int(e)}, '{cc}', '{cn}', "
+            f"'{rc}', '{rn}', '{city}', {lat}, {lon})"
+        )
+    return ",\n           ".join(rows)
+
+
+def _eni_values_sql() -> str:
+    rows = [
+        f"('{eid}', '{sg}', '{ip[0]}')"
+        for (eid, sgl, ip), sg in zip(fixtures.ENIS, _ENI_SGS)
+    ]
+    return ", ".join(rows)
+
+
+FLAGSHIP_ORACLE = f"""
+WITH lines AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'MALFORMED ' || CAST(event_id AS VARCHAR)
+         ELSE
+           '2 123456789010 '
+           || (['{_ENI_IDS[0]}','{_ENI_IDS[1]}','{_ENI_IDS[2]}','{_ENI_IDS[3]}','{_ENI_IDS[4]}','{_ENI_IDS[5]}'])[CAST(user_id % 6 + 1 AS INTEGER)]
+           || ' '
+           || (CASE WHEN event_type IN ('click', 'view')
+                THEN ([{_sql_list(_PUBLIC)}])[CAST(event_id % 5 + 1 AS INTEGER)]
+                ELSE ([{_sql_list(_PRIVATE)}])[CAST(event_id % 4 + 1 AS INTEGER)] END)
+           || ' '
+           || (CASE WHEN user_id % 3 = 0
+                THEN ([{_sql_list(_ENI_PRIMARY)}])[CAST(user_id % 6 + 1 AS INTEGER)]
+                ELSE '172.31.16.99' END)
+           || ' ' || CAST(1024 + event_id % 60000 AS VARCHAR)
+           || ' ' || CAST(([{_sql_list(_DSTPORTS, quote=False)}])[CAST(user_id % 4 + 1 AS INTEGER)] AS VARCHAR)
+           || ' ' || CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS VARCHAR)
+           || ' ' || CAST(1 + event_id % 500 AS VARCHAR)
+           || ' ' || CAST(40 + (event_id * 97) % 100000 AS VARCHAR)
+           || ' ' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+           || ' ' || CAST(CAST(floor(epoch(ts)) AS BIGINT) + 60 AS VARCHAR)
+           || ' ' || (CASE WHEN event_id % 4 = 0 THEN 'REJECT' ELSE 'ACCEPT' END)
+           || ' ' || (CASE WHEN event_id % 10 = 0 THEN 'NODATA'
+                           WHEN event_id % 10 = 1 THEN 'SKIPDATA' ELSE 'OK' END)
+         END AS value
+  FROM events
+), parsed AS (
+  SELECT sha256(value) AS record_id,
+         regexp_matches(value,
+           '^(\\d) (\\d+) (eni-\\w+) (\\d+\\.\\d+\\.\\d+\\.\\d+) (\\d+\\.\\d+\\.\\d+\\.\\d+) (\\d+) (\\d+) (\\d+) (\\d+) (\\d+) (\\d+) (\\d+) (ACCEPT|REJECT) (OK|NODATA|SKIPDATA)$'
+         ) AS valid,
+         string_split(value, ' ') AS t
+  FROM lines
+), typed AS (
+  SELECT record_id,
+         CASE WHEN valid THEN 0 ELSE 1 END AS error_flag,
+         CASE WHEN valid THEN CAST(t[1] AS BIGINT) END AS version,
+         CASE WHEN valid THEN CAST(t[2] AS BIGINT) END AS account_id,
+         CASE WHEN valid THEN t[3] END AS interface_id,
+         CASE WHEN valid THEN t[4] END AS srcaddr,
+         CASE WHEN valid THEN t[5] END AS destaddr,
+         CASE WHEN valid THEN CAST(t[6] AS BIGINT) END AS srcport,
+         CASE WHEN valid THEN CAST(t[7] AS BIGINT) END AS dstport,
+         CASE WHEN valid THEN CAST(t[8] AS BIGINT) END AS protocol,
+         CASE WHEN valid THEN CAST(t[9] AS BIGINT) END AS packets,
+         CASE WHEN valid THEN CAST(t[10] AS BIGINT) END AS bytes,
+         CASE WHEN valid THEN CAST(t[11] AS BIGINT) END AS start_s,
+         CASE WHEN valid THEN CAST(t[12] AS BIGINT) END AS end_s,
+         CASE WHEN valid THEN t[13] END AS action,
+         CASE WHEN valid THEN t[14] END AS log_status
+  FROM parsed
+), enriched AS (
+  SELECT p.*,
+         e.sg AS sg_ids,
+         CASE WHEN e.interfaceId IS NOT NULL
+              THEN CASE WHEN p.destaddr = e.primary_ip THEN 'inbound' ELSE 'outbound' END
+         END AS direction,
+         CASE WHEN p.srcaddr IS NOT NULL
+               AND NOT regexp_matches(p.srcaddr,
+                 '(^127\\.)|(^10\\.)|(^172\\.1[6-9]\\.)|(^172\\.2[0-9]\\.)|(^172\\.3[0-1]\\.)|(^192\\.168\\.)')
+              THEN CAST(string_split(p.srcaddr, '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(p.srcaddr, '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(p.srcaddr, '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(p.srcaddr, '.')[4] AS BIGINT)
+         END AS ip_int
+  FROM typed p
+  LEFT JOIN (VALUES {_eni_values_sql()})
+       AS e(interfaceId, sg, primary_ip)
+    ON p.interface_id = e.interfaceId
+)
+SELECT en.record_id, en.error_flag, en.version, en.account_id, en.interface_id,
+       en.srcaddr, en.destaddr, en.srcport, en.dstport, en.protocol, en.packets,
+       en.bytes, en.start_s, en.end_s, en.action, en.log_status, en.sg_ids,
+       en.direction,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.country_code, '') END AS source_country_code,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.country_name, '') END AS source_country_name,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.region_code, '') END AS source_region_code,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.region_name, '') END AS source_region_name,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.city, '') END AS source_city,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.latitude, 0.0) END AS source_lat,
+       CASE WHEN en.error_flag = 0 THEN coalesce(g.longitude, 0.0) END AS source_lon
+FROM enriched en
+LEFT JOIN (VALUES {_geo_values_sql()})
+     AS g(start_ip_int, end_ip_int, country_code, country_name, region_code,
+          region_name, city, latitude, longitude)
+  ON en.ip_int >= g.start_ip_int AND en.ip_int <= g.end_ip_int
+"""
+
+
+@query("flowlog_enrich", oracle=FLAGSHIP_ORACLE, tags=("flagship", "pipeline"))
+def flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's enriched output (pre-packaging, minus the
+    processing-time @timestamp) flattened to oracle-safe columns."""
+    lines = synth_flow_lines(load(spark, sf_dir, "events"))
+    parsed = parse_lines(lines)
+    enriched = enrich_flow_logs(
+        parsed, fixtures.eni_dim_df(spark), fixtures.geo_dim_df(spark)
+    )
+    err = F.col("error")
+    return enriched.select(
+        F.sha2(F.col("raw"), 256).alias("record_id"),
+        err.cast("int").alias("error_flag"),
+        F.col("version"),
+        F.col("`account-id`").alias("account_id"),
+        F.col("`interface-id`").alias("interface_id"),
+        "srcaddr",
+        "destaddr",
+        "srcport",
+        "dstport",
+        "protocol",
+        "packets",
+        "bytes",
+        F.col("start").alias("start_s"),
+        F.col("end").alias("end_s"),
+        "action",
+        F.col("`log-status`").alias("log_status"),
+        F.when(
+            F.col("`security-group-ids`").isNotNull(),
+            F.concat_ws(",", F.col("`security-group-ids`")),
+        ).alias("sg_ids"),
+        "direction",
+        F.when(~err, F.col("`source-country-code`")).alias("source_country_code"),
+        F.when(~err, F.col("`source-country-name`")).alias("source_country_name"),
+        F.when(~err, F.col("`source-region-code`")).alias("source_region_code"),
+        F.when(~err, F.col("`source-region-name`")).alias("source_region_name"),
+        F.when(~err, F.col("`source-city`")).alias("source_city"),
+        F.when(~err, F.col("`source-location`.lat")).alias("source_lat"),
+        F.when(~err, F.col("`source-location`.lon")).alias("source_lon"),
+    )

@@ -1,0 +1,11 @@
+"""Operator surface: importing this package registers every query."""
+
+from . import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    setops,
+    timeseries,
+    windows,
+)
+from .registry import QUERY_REGISTRY, QuerySpec, load, query, register_views  # noqa: F401

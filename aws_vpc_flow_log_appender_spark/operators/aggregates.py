@@ -1,0 +1,252 @@
+"""Aggregation operators (SURVEY §2.4).
+
+The reference only counts successes/failures (A1/A2, decorator/index.js:
+208-232); the flow-log domain implies the full agg surface (SUM bytes/packets
+by key over windows). All partial-aggregate (map-side combine) by construction
+— Spark plans HashAggregate(partial) -> shuffle -> HashAggregate(final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from .registry import load, query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+           floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+           floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "groupby"),
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the canonical wide-agg scan. 2 group keys, 8 aggregates, one
+    shuffle of (few groups x partials) — the 100 TB shape this must keep."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 6).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor((sum(DISTINCT round(c_acctbal, 0))) * 100.0 + 0.5) / 100.0 AS sum_distinct_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregation — planned as a two-stage expand + agg (no
+    driver-side dedup)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        round_half_up(F.sum_distinct(F.round("c_acctbal", 0)), 2).alias("sum_distinct_bal"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           floor((stddev_samp(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS price_stddev,
+           floor((var_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS qty_var,
+           floor((min(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+           floor((max(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS max_price,
+           floor((corr(l_extendedprice, l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS price_qty_corr,
+           floor((covar_samp(l_extendedprice, l_quantity)) * 10000.0 + 0.5) / 10000.0 AS price_qty_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (single-pass distributed moments)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        round_half_up(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        round_half_up(F.min("l_extendedprice"), 2).alias("min_price"),
+        round_half_up(F.max("l_extendedprice"), 2).alias("max_price"),
+        round_half_up(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        round_half_up(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           floor((sum(c.c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_balance,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical rollup (region -> nation -> grand total). Safe for the
+    coalesce-as-ALL trick because the grouping keys are non-null."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            round_half_up(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_balance",
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           floor((coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0)) * 100.0 + 0.5) / 100.0 AS status_O,
+           floor((coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0)) * 100.0 + 0.5) / 100.0 AS status_F,
+           floor((coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0.0)) * 100.0 + 0.5) / 100.0 AS status_P
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (no discovery pass — at 100 TB the
+    implicit distinct-values scan is a hidden extra job)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "c_mktsegment",
+        round_half_up(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("status_O"),
+        round_half_up(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("status_F"),
+        round_half_up(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("status_P"),
+    )
+
+
+@query(
+    "agg_flowlog_domain",
+    oracle="""
+    SELECT event_type AS action,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sources,
+           CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS max_bytes
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "flowlog"),
+)
+def agg_flowlog_domain(spark, sf_dir):
+    """The flow-log domain's natural aggregate (SURVEY §2.4): SUM(bytes) /
+    counts by action — modeled on the events table (event_type~action,
+    user_id~srcaddr, value*1000~bytes)."""
+    e = load(spark, sf_dir, "events")
+    # explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+    bytes_col = F.floor(F.col("value") * 1000)
+    return e.groupBy(F.col("event_type").alias("action")).agg(
+        F.sum(bytes_col).alias("total_bytes"),
+        F.count("*").alias("n_flows"),
+        F.countDistinct("user_id").alias("n_sources"),
+        F.max(bytes_col).alias("max_bytes"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): sketch-based, constant memory at
+    any scale. No oracle — HLL estimates are engine-specific (driver records
+    the rows-only check); the exact twin is `agg_distinct`."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query("agg_approx_quantiles", oracle=None, tags=("agg", "approx"))
+def agg_approx_quantiles(spark, sf_dir):
+    """percentile_approx (t-digest-style sketch) — mergeable, single pass.
+    No oracle: approximation differs per engine."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+    )

@@ -1,0 +1,272 @@
+"""Join operators (SURVEY §2.3).
+
+The reference has exactly two joins — a per-row nested-loop ENI lookup (J1,
+decorator/index.js:167-173) and a per-row HTTP geo lookup (J2, :175-177).
+Here the full join surface Spark provides: broadcast/shuffle equi joins of
+every type, multi-way star joins, cross joins, range joins (J2's
+generalization), and an as-of join built from union+window (Spark has no
+native as-of; this is the scalable composition, not a per-row loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from .registry import load, query
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("join", "broadcast"),
+)
+def join_inner_broadcast(spark, sf_dir):
+    """J1 generalized: broadcast hash join — the dimension side ships to every
+    executor; no shuffle of the 100 TB fact side."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           floor((coalesce(sum(o.o_totalprice), 0.0)) * 100.0 + 0.5) / 100.0 AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "outer", "agg"),
+)
+def join_left_outer(spark, sf_dir):
+    """Left-outer with miss-preserving semantics (reference J1's unmatched-ENI
+    pass-through, decorator/index.js:171-173) + null-safe defaults (P11)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            round_half_up(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): no fanout, probe side only — the right way to
+    express 'has at least one match' at scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — the miss branch of J1 as a first-class
+    op (customers with no large order; threshold keeps the result non-empty)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(cn.n_customers, 0) AS n_customers,
+           coalesce(sn.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+          FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey) sn
+    ON cn.nk = sn.nk
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nk")
+    ).agg(F.count("*").alias("n_customers"))
+    s = load(spark, sf_dir, "supplier").groupBy(
+        F.col("s_nationkey").alias("nk")
+    ).agg(F.count("*").alias("n_suppliers"))
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce(c.n_customers, F.lit(0)).alias("n_customers"),
+            F.coalesce(s.n_suppliers, F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+    tags=("join", "multiway", "agg"),
+)
+def join_multiway_star(spark, sf_dir):
+    """TPC-H Q5-style star join: fact table joins dimension chain; small dims
+    broadcast (region/nation/customer), the lineitem<->orders join shuffles on
+    the shared key once. Catalyst + AQE pick the physical order."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("ka") != F.col("kb")).select("region_a", "region_b")
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_items,
+           floor((sum(l.l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM lineitem l
+    JOIN (VALUES ('low', 0.0, 17.0), ('mid', 17.0, 34.0), ('high', 34.0, 1e9))
+         AS b(band, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+    tags=("join", "range"),
+)
+def join_range_bands(spark, sf_dir):
+    """Range (theta) join — the J2 geo CIDR lookup generalized: fact value
+    joined into [lo, hi) bands. Small band table broadcast -> a broadcast
+    nested-loop join with a cheap residual predicate, which is exactly the
+    physical plan a CIDR geo join wants (see enrich.join_geo for the
+    prefix-bucketed variant when the band table is large)."""
+    l = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 17.0), ("mid", 17.0, 34.0), ("high", 34.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        l.join(
+            F.broadcast(bands),
+            (l.l_quantity >= bands.lo) & (l.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_asof_event_order",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, NULL::BIGINT AS p_us, 0 AS is_probe
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, epoch_us(ts) AS p_us, 1 AS is_probe
+      FROM events WHERE event_type = 'click'
+    ), filled AS (
+      SELECT user_id, event_id, is_probe, t_us,
+             max(CASE WHEN is_probe = 0 THEN t_us END)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_probe, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+      FROM tagged
+    )
+    SELECT event_id AS click_id, user_id, last_purchase_us
+    FROM filled WHERE is_probe = 1
+    """,
+    tags=("join", "asof", "window"),
+)
+def join_asof_event_order(spark, sf_dir):
+    """As-of join (Spark has no native one): for each click, the most recent
+    purchase time of the same user at or before it. Composed as union + a
+    running max window — one shuffle on user_id, no per-row loops, scales
+    linearly (the pd.merge_asof alternative needs applyInPandas; this stays
+    JVM-side)."""
+    e = load(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", t_us.alias("t_us"), "event_id",
+        F.lit(0).alias("is_probe"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", t_us.alias("t_us"), "event_id",
+        F.lit(1).alias("is_probe"),
+    )
+    tagged = purchases.unionByName(clicks)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "is_probe", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = tagged.withColumn(
+        "last_purchase_us",
+        F.max(F.when(F.col("is_probe") == 0, F.col("t_us"))).over(w),
+    )
+    return filled.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("click_id"), "user_id", "last_purchase_us"
+    )

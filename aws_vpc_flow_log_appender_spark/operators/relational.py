@@ -1,0 +1,244 @@
+"""Scans, filters, projections, and scalar transforms (SURVEY §2.2, §2.7).
+
+The reference's projection/filter surface (P1-P15) generalized to the full
+scalar-function families Spark groups them into: string, encoding, JSON,
+date/time, math/conversion, conditional. Each query is declarative so Catalyst
+pushes filters and prunes columns down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from .registry import load, query
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.02
+    """,
+    tags=("scan", "filter", "project"),
+)
+def scan_filter_project(spark, sf_dir):
+    """Predicate + projection pushed to the parquet scan (reference P1/P2:
+    the CONTROL_MESSAGE filter + message projection, ingestor/index.js:73-81,
+    generalized). `.explain` shows PushedFilters + a 5-column ReadSchema."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_discount") > 0.02))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            round_half_up(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           c_name || '#' || c_mktsegment AS name_tagged,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           trim('  ' || c_name || ' ') AS name_trim,
+           CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark, sf_dir):
+    """String family (reference P2/P4: concat/regex/substr surface)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.instr(F.col("c_name"), "0").alias("zero_pos"),
+    )
+
+
+@query(
+    "scalar_regex_encoding",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '(\\d+)', 1) AS digits,
+           CASE WHEN regexp_matches(c_name, '^Customer') THEN 1 ELSE 0 END AS is_customer,
+           regexp_replace(c_name, '\\d', 'x', 'g') AS masked,
+           to_base64(encode(c_mktsegment)) AS seg_b64,
+           md5(c_name) AS name_md5
+    FROM customer
+    """,
+    tags=("scalar", "regex", "encoding"),
+)
+def scalar_regex_encoding(spark, sf_dir):
+    """Regex + encoding family (reference P3/P4/P13: the regex parse and
+    base64 round-trips, decorator/index.js:43,106,222)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.when(F.col("c_name").rlike("^Customer"), 1).otherwise(0).alias("is_customer"),
+        F.regexp_replace("c_name", r"\d", "x").alias("masked"),
+        F.base64(F.encode("c_mktsegment", "utf-8")).alias("seg_b64"),
+        F.md5(F.encode("c_name", "utf-8")).alias("name_md5"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           floor((sqrt(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS price_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           floor((ln(l_extendedprice + 1)) * 1000000.0 + 0.5) / 1000000.0 AS price_ln,
+           floor((power(l_discount, 2)) * 100000000.0 + 0.5) / 100000000.0 AS disc_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark, sf_dir):
+    """Math/conversion family (reference P5: Number() casts generalized)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        round_half_up(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        round_half_up(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        round_half_up(F.pow("l_discount", F.lit(2)), 8).alias("disc_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+           CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS o_epoch_day,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date_str
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_date_funcs(spark, sf_dir):
+    """Date/time family (reference P6: @timestamp + epoch seconds,
+    decorator/index.js:111,122-123). Outputs are ints/strings/epochs so the
+    DuckDB comparison is timezone-proof (session TZ pinned to UTC)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("o_epoch_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_priority,
+           greatest(o_totalprice, 150000.0) AS floor_price,
+           least(CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT)) AS min_key
+    FROM orders
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark, sf_dir):
+    """Conditional family (reference P9-P11,P14: gates, ternaries, defaults)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_decoded"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("is_priority"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    tags=("scalar", "json"),
+)
+def json_extract(spark, sf_dir):
+    """JSON family (reference S4/P13: envelope parse + stringify,
+    ingestor/index.js:128, decorator/index.js:222)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_val"),
+        F.when(k.cast("long") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_topk(spark, sf_dir):
+    """Global top-k: Spark plans this as TakeOrderedAndProject (per-partition
+    partial top-k + driver merge — no full sort shuffle at 100 TB). Total
+    order made deterministic by the key tiebreakers."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )

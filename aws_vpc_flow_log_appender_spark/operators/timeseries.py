@@ -1,0 +1,167 @@
+"""Event-time operators (SURVEY §2.8): tumbling/sliding windows and
+sessionization as *batch* queries over the events table.
+
+The streaming twins (readStream + watermark over the same semantics) live in
+``streaming/``; these batch forms are what the DuckDB oracle can verify.
+Window starts are emitted as epoch seconds (BIGINT) — timezone/typing-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from .registry import load, query
+
+
+@query(
+    "ts_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window (the flow-log capture-window rollup
+    the reference never does, SURVEY §2.8)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ts_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT e.*,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k.k * 1800 AS window_start
+      FROM events e, (VALUES (0), (1)) AS k(k)
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+    FROM slid
+    WHERE epoch(ts) >= window_start AND epoch(ts) < window_start + 3600
+    GROUP BY window_start
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_sliding_window(spark, sf_dir):
+    """Sliding window: 1 hour long, 30-minute slide — each event lands in 2
+    overlapping windows. Spark's window() generates the assignment natively;
+    the oracle reproduces it by crossing with the 2 window offsets."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 OR
+                  lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, t_us,
+             CAST(sum(is_new_session) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (max(t_us) - min(t_us)) / 1000000 AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    tags=("timeseries", "session"),
+)
+def ts_sessionize(spark, sf_dir):
+    """Batch sessionization: 30-minute inactivity gap -> new session, via
+    lag + cumulative-sum (one shuffle on user_id; the streaming twin uses
+    session_window in streaming/). duration_s uses integer microsecond math
+    (1800000000 us = 30 min) so both engines agree exactly."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        t_us.alias("t_us"),
+        F.when(
+            (t_us - F.lag(t_us).over(w) > 1_800_000_000)
+            | F.lag(t_us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = gaps.withColumn(
+        "session_seq", F.sum("is_new_session").over(w2).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("t_us") - F.min("t_us")) / 1_000_000).alias("duration_s"),
+    )
+
+
+@query(
+    "ts_daily_activity",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "agg"),
+)
+def ts_daily_activity(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        round_half_up(F.max("value"), 4).alias("max_value"),
+    )

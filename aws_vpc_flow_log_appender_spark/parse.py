@@ -1,0 +1,86 @@
+"""Parse stage: decode -> tokenize -> cast -> validity split.
+
+Reference behavior (decorator/index.js:100-139): each Firehose record's base64
+payload is decoded, matched against the flow-log v2 regex, and either turned
+into a typed record with a processing-time ``@timestamp`` or wrapped as an
+error record (record-level dead-lettering — a non-matching line is *kept*, not
+dropped, and later emitted with result ProcessingFailed).
+
+Spark-first design: one ``rlike`` validity predicate + one ``split`` +
+positional ``getItem``/``cast`` — all built-in Column expressions, fully inside
+whole-stage codegen; no UDFs, no per-row regex exec loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schema import FLOW_FIELDS, FLOW_LINE_PATTERN
+
+
+def decode_base64_utf8(col: Column | str) -> Column:
+    """base64 payload -> utf8 string (decorator/index.js:106)."""
+    return F.unbase64(col).cast("string")
+
+
+def is_valid_flow_line(col: Column | str) -> Column:
+    """Validity predicate equivalent to the regex match at decorator/index.js:107."""
+    return F.col(col).rlike(FLOW_LINE_PATTERN) if isinstance(col, str) else col.rlike(FLOW_LINE_PATTERN)
+
+
+def parse_flow_fields(line: Column) -> list[Column]:
+    """Tokenize one raw line into the 14 typed columns.
+
+    Single ``split`` on space + positional casts (decorator/index.js:107-126
+    does one regex exec + 14 Number()/string captures). On invalid lines the
+    casts may produce NULLs — callers gate on :func:`is_valid_flow_line`.
+    """
+    toks = F.split(line, " ")
+    cols = []
+    for i, (name, dtype) in enumerate(FLOW_FIELDS):
+        c = toks.getItem(i)
+        if dtype.typeName() == "long":
+            c = c.cast("long")
+        cols.append(c.alias(name))
+    return cols
+
+
+def parse_records(records: DataFrame, data_col: str = "data",
+                  base64_encoded: bool = True) -> DataFrame:
+    """Firehose records -> parsed rows with error routing.
+
+    Input: any DataFrame with a ``recordId`` column and a payload column.
+    Output columns: ``recordId``, ``raw`` (decoded line), ``error`` (bool),
+    ``@timestamp`` and the 14 typed flow fields (NULL when error).
+
+    Mirrors extractRecords (decorator/index.js:100-139): valid rows become
+    typed records, invalid rows carry the raw payload with ``error=true``.
+    Implemented as one projection (no per-branch scans): the validity predicate
+    is computed once and the typed columns are NULL-masked by it.
+    """
+    raw = decode_base64_utf8(data_col) if base64_encoded else F.col(data_col)
+    df = records.withColumn("raw", raw)
+    valid = is_valid_flow_line(F.col("raw"))
+    parsed = parse_flow_fields(F.col("raw"))
+    out = df.select(
+        "recordId",
+        "raw",
+        (~valid).alias("error"),
+        F.when(valid, F.current_timestamp()).alias("@timestamp"),
+        *[F.when(valid, c).alias(name) for c, (name, _) in zip(parsed, FLOW_FIELDS)],
+    )
+    return out
+
+
+def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse bare flow-log lines (no Firehose framing) — batch/file-source path.
+
+    Adds a synthetic recordId from the line content so downstream packaging
+    stays keyed (the reference's recordId comes from Firehose).
+    """
+    df = lines.select(
+        F.sha2(F.col(line_col), 256).alias("recordId"),
+        F.col(line_col).alias("data"),
+    )
+    return parse_records(df, data_col="data", base64_encoded=False)

@@ -1,0 +1,79 @@
+"""Ingest-side operators: the ingestor Lambda's dataflow re-expressed in Spark.
+
+Reference (ingestor/index.js:124-141): CloudWatch Logs pushes
+``{awslogs: {data: base64(gzip(JSON))}}``; the ingestor base64-decodes,
+gunzips, JSON-parses, drops CONTROL_MESSAGE envelopes, projects
+``message + '\\n'``, and re-batches 500 records per Firehose put.
+
+Spark-first: file/Kinesis sources decompress ``.gz`` natively; for in-stream
+gzip bytes we use an Arrow-batched pandas UDF (zlib), then built-in
+``from_json`` -> ``explode`` -> ``filter`` -> ``concat`` — everything after the
+gunzip stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..schema import CLOUDWATCH_ENVELOPE_SCHEMA
+
+
+# returnType as a DataType object (not a DDL string) so the UDF can be defined
+# at import time without an active SparkSession.
+@pandas_udf(T.BinaryType())
+def _gunzip(data: pd.Series) -> pd.Series:
+    """Vectorized gunzip (ingestor/index.js:100-110's gunzipPromise)."""
+    return data.map(lambda b: gzip.decompress(b) if b is not None else None)
+
+
+def decode_cloudwatch_events(events: DataFrame, data_col: str = "data") -> DataFrame:
+    """base64 -> gunzip -> JSON envelope (ingestor/index.js:125-129).
+
+    Input: DataFrame with one column of base64(gzip(json)) strings.
+    Output: the typed CloudWatch envelope struct exploded to one row per
+    envelope, with messageType + logEvents columns.
+    """
+    return events.select(
+        F.from_json(
+            _gunzip(F.unbase64(F.col(data_col))).cast("string"),
+            CLOUDWATCH_ENVELOPE_SCHEMA,
+        ).alias("envelope")
+    ).select("envelope.*")
+
+
+def extract_log_lines(envelopes: DataFrame) -> DataFrame:
+    """CONTROL_MESSAGE filter + message projection with newline framing
+    (createRecordsFromEvents, ingestor/index.js:68-92).
+
+    Output column ``Data`` matches the Firehose record shape ``{Data: line\\n}``.
+    """
+    return (
+        envelopes
+        .filter(
+            F.col("messageType").isNull()
+            | (F.col("messageType") != "CONTROL_MESSAGE")
+        )
+        .select(F.explode("logEvents").alias("ev"))
+        .select(F.concat(F.col("ev.message"), F.lit("\n")).alias("Data"))
+    )
+
+
+def frame_firehose_batches(records: DataFrame, batch_size: int = 500) -> DataFrame:
+    """Group records into Firehose-sized batches (ingestor/index.js:84-87's
+    500-record flush, the putRecordBatch API max).
+
+    In Spark the sink owns batching; this helper exists for sink adapters that
+    need explicit batch framing (e.g. a foreachBatch boto3 writer). Batch ids
+    are assigned per partition — no global ordering is implied, matching the
+    reference (records are independent, SURVEY §2.8).
+    """
+    return records.withColumn(
+        "batch_id",
+        (F.monotonically_increasing_id() / F.lit(batch_size)).cast("long"),
+    )

@@ -1,0 +1,131 @@
+"""Local differential harness mirroring the driver's correctness gate:
+run each queries() entry on Spark and its oracle_sql() twin on DuckDB over the
+same parquet tables, compare row count + schema + order-insensitive values.
+
+Usage:  python tools/verify_local.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(ddf):
+        problems.append(f"rowcount spark={len(sdf)} duckdb={len(ddf)}")
+    scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duckdb={dcols}")
+        return problems
+    s, d = normalize(sdf), normalize(ddf)
+    if len(s) != len(d):
+        return problems
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sv = pd.to_numeric(sv, errors="coerce")
+            dv = pd.to_numeric(dv, errors="coerce")
+            both = sv.notna() & dv.notna()
+            if (sv.isna() != dv.isna()).any():
+                problems.append(f"col {c}: null mismatch")
+            diff = (sv[both] - dv[both]).abs()
+            if len(diff) and diff.max() > 0:
+                problems.append(f"col {c}: max abs diff {diff.max():.3g} "
+                                f"({(diff > 0).sum()} rows differ)")
+        else:
+            neq = ~(sv.eq(dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(
+                    f"col {c}: {int(neq.sum())} rows differ, e.g. row {i}: "
+                    f"spark={sv[i]!r} duckdb={dv[i]!r}"
+                )
+    # dtype report (informational — driver may compare schema strictly)
+    for c in sdf.columns:
+        st, dt = str(sdf[c].dtype), str(ddf[c].dtype)
+        if st != dt:
+            problems.append(f"DTYPE col {c}: spark={st} duckdb={dt}")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from aws_vpc_flow_log_appender_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_connect(args.sf)
+    names = args.names or list(qs)
+
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"----  {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_noracle += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        hard = [p for p in problems if not p.startswith("DTYPE")]
+        if hard:
+            print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            soft = "; ".join(problems)
+            print(f"PASS  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)"
+                  + (f"  [{soft}]" if soft else ""))
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
