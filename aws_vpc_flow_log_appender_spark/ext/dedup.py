@@ -1,0 +1,318 @@
+"""Deduplication operators over the documents table (north-star extension):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is explode -> hash -> groupBy/self-join on a
+*bucket* key — never all-pairs. At 100 TB the candidate-pair join is the only
+quadratic-risk step and it is keyed by LSH band / bucket signature, so the
+shuffle is proportional to true-duplicate density, not n^2.
+
+Hashing is md5-hex (identical in Spark and DuckDB); min over hex strings is
+lexicographic in both, which makes MinHash signatures engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from ..operators.registry import load, query
+
+N_MINHASH = 8
+N_BANDS = 4  # bands of 2 minhashes each
+
+# 3-word shingles; documents under 3 words fall back to the whole text.
+_SPARK_SHINGLES = """
+    CASE WHEN size(words) >= 3
+         THEN transform(sequence(0, size(words) - 3),
+                        i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+         ELSE array(text) END
+"""
+
+_SQL_SHINGLES = """
+    CASE WHEN len(w) >= 3
+         THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         ELSE [text] END
+"""
+
+
+def _shingled(spark, sf_dir):
+    """(doc_id, sh) — distinct 3-word shingles per document."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("words", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("sh"))
+    )
+
+
+_SQL_SHINGLED = f"""
+    SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS sh
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_hash,
+           CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INTEGER) AS dup_rank,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+    FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy: dup_rank 1 = the kept
+    representative, >1 = drops. One shuffle on the hash."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "utf-8"))
+    return d.select(
+        "doc_id",
+        h.alias("text_hash"),
+        F.row_number().over(W.partitionBy(h).orderBy("doc_id")).alias("dup_rank"),
+        F.count("*").over(W.partitionBy(h)).alias("group_size"),
+    )
+
+
+def _minhash_sig(spark, sf_dir):
+    sh = _shingled(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("sh")), "utf-8"))).alias(f"m{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+
+
+_SQL_MINHASH_SIG = f"""
+    SELECT doc_id,
+           {", ".join(f"min(md5('{j}:' || sh)) AS m{j}" for j in range(N_MINHASH))}
+    FROM shingled GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sig AS ({_SQL_MINHASH_SIG}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(m{2*b} || m{2*b+1}) AS band_sig FROM sig" for b in range(N_BANDS))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidates: shingle -> 8 minhashes ->
+    4 bands of 2 -> pairs sharing >= 1 band. The pair join is keyed on
+    (band_id, band_sig) so only same-bucket docs ever meet."""
+    sig = _minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.encode(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")), "utf-8")
+                        ).alias("band_sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY doc_id),
+    bucket AS (SELECT doc_id, min(md5('0:' || sh)) AS b0 FROM shingled GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bucket a JOIN bucket b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           za.n_sh AS n_a, zb.n_sh AS n_b,
+           floor((i.n_common / (za.n_sh + zb.n_sh - i.n_common + 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard on LSH-bucketed candidates (shared min-shingle
+    hash). Intersections computed by a shingle equi-join restricted to
+    candidate pairs — never materializes all-pairs."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bucket = sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))).alias("b0")
+    )
+    a = bucket.alias("a")
+    b = bucket.alias("b")
+    cand = a.join(
+        b, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("za.n_sh").alias("n_a"),
+            F.col("zb.n_sh").alias("n_b"),
+            round_half_up(
+                F.col("n_common")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 17))}
+      FROM wh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (16 - j)} ELSE 0 END)" for j in range(1, 17))} AS BIGINT) AS simhash
+    FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash: each word votes ±1 per bit position (derived from the
+    parity of its md5 hex digits); the sign vector is the fingerprint.
+    Near-dups differ in few bits — Hamming-ball lookups go via band indexes."""
+    d = load(spark, sf_dir, "documents")
+    wh = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).select(
+        "doc_id", F.md5(F.encode("w", "utf-8")).alias("h")
+    )
+    bits = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2 * ((F.instr(F.lit(_HEX), F.substring("h", j, 1)) - 1) % 2) - 1
+            ).alias(f"s{j}")
+            for j in range(1, 17)
+        ]
+    )
+    simhash = sum(
+        (F.when(F.col(f"s{j}") > 0, 2 ** (16 - j)).otherwise(0) for j in range(1, 17)),
+        F.lit(0),
+    )
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@query(
+    "dedup_embedding_nn",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nn_id, cos_sim FROM (
+      SELECT vec_id, nn_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_nn(spark, sf_dir):
+    """Embedding near-dup scan: nearest cosine neighbor within the same label
+    (IVF-style cluster pruning — the label is the coarse quantizer cell, so
+    candidate pairs are per-cell, never global all-pairs)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding").cast("array<double>"),
+            F.col("b.embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col(f"{side}.embedding").cast("array<double>"),
+                F.col(f"{side}.embedding").cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nn_id"),
+            round_half_up(dot / (norm("a") * norm("b")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )

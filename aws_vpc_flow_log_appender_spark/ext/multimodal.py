@@ -1,0 +1,171 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed metadata
+structs; decode/feature-extract/resize/frame-sample run as Arrow-batched
+``mapInPandas`` operators. The media libraries are not in this container, so
+the decode kernels are STUBS (deterministic fakes / NotImplementedError) —
+the Spark-side plumbing (schemas, batch iteration, partitioning) is real and
+tested in tests/test_ext.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.registry import load, query
+
+# payload + typed metadata — the schema a 100 TB media lakehouse table needs.
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, mime string, n_bytes long, feature array<float>, status string"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
+
+
+def documents_as_media(spark, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: the utf-8 text bytes stand in
+    for an opaque payload; metadata is derived deterministically. This is the
+    plumbing fixture — a real deployment maps parquet/lance binary columns."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    n_bytes = F.octet_length(payload).cast("long")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("mime"),
+            n_bytes.alias("n_bytes"),
+            (n_bytes % 640).cast("int").alias("width"),
+            (n_bytes % 480).cast("int").alias("height"),
+            (n_bytes * 10).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """mapInPandas decode + feature-extract.
+
+    STUB kernel: a real implementation calls PIL/libav here; this one emits a
+    deterministic per-payload pseudo-feature (byte-histogram moments) so the
+    batch shape, Arrow round-trip, and output schema are exercised for real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                # deterministic fake "embedding": moments of the byte stream
+                chunks = np.array_split(arr.astype(np.float32), feature_dim)
+                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["meta"].map(lambda m: m["mime"]),
+                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                "feature": feats,
+                "status": ["stub-decoded"] * len(pdf),
+            })
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling stub: slices the payload every N bytes (a real kernel
+    seeks keyframes). Demonstrates the 1-to-many mapInPandas shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(payload[off:off + every_n_bytes])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Unstubbed decode path: raises until an image library is provisioned."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not available in this container"
+        )
+        yield  # pragma: no cover
+
+    return media.mapInPandas(kernel, schema=media.schema)
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Binary-column metadata scan: byte length, content hash, typed
+    dimensions — all JVM-side (no decode needed for inventory queries)."""
+    m = documents_as_media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        # md5 straight over the payload bytes; the oracle md5's the utf-8
+        # source text (same byte stream — DuckDB 1.0 lacks md5(BLOB), and
+        # Spark's base64() is MIME-chunked so hashing a base64 form differs)
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query("multimodal_feature_extract", oracle=None, tags=("multimodal", "udf"))
+def multimodal_feature_extract(spark, sf_dir):
+    """The stub decode+featurize pipeline end-to-end (rows-only check: the
+    fake features are implementation-defined, but schema/rowcount are real)."""
+    feats = decode_and_featurize(documents_as_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        "status",
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+Three tiers, trading recall for scan cost:
+ - brute-force cosine top-k (exact; the correctness baseline)
+ - IVF top-k (label = coarse-quantizer cell; scans one cell per query)
+ - random-hyperplane LSH top-k (sign-sketch bucketing; Pandas-UDF scale path)
+
+Dot products fold left-to-right over doubles in both engines, so the oracle
+comparison is stable at 1e-6 rounding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from ..operators.registry import load, query
+
+N_QUERIES = 10  # vec_id < 10 are the query set
+TOP_K = 5
+
+_SQL_COS = """
+    floor((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0
+"""
+
+
+def _cos(qcol: str, ccol: str):
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    q = F.col(qcol).cast("array<double>")
+    c = F.col(ccol).cast("array<double>")
+    return round_half_up(dot(q, c) / (F.sqrt(dot(q, q)) * F.sqrt(dot(c, c))), 6)
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann"),
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k: broadcast the (small) query set against the corpus,
+    per-query window top-k. One corpus scan regardless of query count."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-pruned top-k: probe only the query's own cell (label = coarse
+    centroid assignment). At 100 TB this turns a full scan into
+    corpus/n_cells per query; recall depends on cell quality, which is the
+    standard IVF trade."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_label") == F.col("q_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query("sim_rp_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+def sim_rp_lsh_topk(spark, sf_dir):
+    """Random-hyperplane (sign) LSH: 6-bit sketch per vector from seeded
+    hyperplanes, candidates = same-sketch-bucket, exact cosine re-rank.
+
+    The sketch is computed in a vectorized Pandas UDF (numpy matmul over
+    Arrow batches — the sanctioned slow-path) and the rest stays DataFrame
+    ops. No oracle: bucketing is implementation-defined (driver records the
+    rows-only check); recall is validated against sim_bruteforce_topk in
+    tests/test_ext.py.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    n_bits, dim, seed = 6, 64, 42  # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
+
+    # annotations reference module-level `pd` so get_type_hints can resolve
+    # them under `from __future__ import annotations`
+    @pandas_udf(T.IntegerType())
+    def sketch(emb: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(seed).randn(dim, n_bits)
+        m = np.stack(emb.values) @ planes > 0
+        return pd.Series((m * (1 << np.arange(n_bits))).sum(axis=1).astype("int32"))
+
+    e = load(spark, sf_dir, "embeddings").withColumn("bucket", sketch("embedding"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

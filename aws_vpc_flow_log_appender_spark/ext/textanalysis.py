@@ -1,0 +1,175 @@
+"""Text-analysis operators over the documents table (north-star extension):
+token counting, quality scoring, language ID, document fingerprinting.
+
+All pure Column arithmetic / built-in string functions — no UDFs — so they
+run inside whole-stage codegen and scale linearly. Occurrence counts use the
+(length - length(replace)) / len(marker) identity, which is engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from ..operators.registry import load, query
+
+# language markers: common function words, scored as whole-word occurrences.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " und ", " die "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def _occurrences(col, marker: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))) / len(marker)
+
+
+def _sql_occurrences(expr: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"(length({expr}) - length(replace({expr}, '{m}', ''))) / {len(marker)}"
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CAST(length(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           floor(((length(text) - length(replace(text, ' ', '')) + 0.0)
+                  / (length(text) - length(replace(text, ' ', '')) + 1)) * 1000000.0 + 0.5) / 1000000.0
+             AS space_ratio_proxy
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace token counting + distinct-token (type) counting."""
+    d = load(spark, sf_dir, "documents")
+    n_spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = n_spaces + 1
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        round_half_up(n_spaces.cast("double") / n_tokens, 6).alias("space_ratio_proxy"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           floor(((length(replace(text, ' ', '')) + 0.0)
+                  / (length(text) - length(replace(text, ' ', '')) + 1)) * 10000.0 + 0.5) / 10000.0
+             AS avg_word_len,
+           floor(({_sql_occurrences('text', ' the ')} + {_sql_occurrences('text', ' and ')})
+                 / (length(text) - length(replace(text, ' ', '')) + 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 500
+                 AND (length(replace(text, ' ', '')) + 0.0)
+                     / (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 3 AND 8
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: length band + mean word length + stopword
+    density (the Gopher-rules shape, arithmetic-only)."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))) + 1
+    nonspace = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    avg_word_len = nonspace.cast("double") / n_tokens
+    stop = (_occurrences(text, " the ") + _occurrences(text, " and ")) / n_tokens.cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        round_half_up(avg_word_len, 4).alias("avg_word_len"),
+        round_half_up(stop, 6).alias("stopword_ratio"),
+        F.when(
+            F.length(text).between(100, 500) & avg_word_len.between(3, 8), 1
+        ).otherwise(0).alias("quality_pass"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_sql_occurrences("text", m) for m in LANG_MARKERS[lang])
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS predicted_lang,
+           floor((s_en + s_es + s_fr + s_de + s_zh) * 100.0 + 0.5) / 100.0 AS marker_total
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram-marker language ID: score each language by function-word
+    occurrences, argmax with a deterministic preference order."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    s = {
+        lang: sum((_occurrences(text, m) for m in ms), F.lit(0.0))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+        round_half_up(s["en"] + s["es"] + s["fr"] + s["de"] + s["zh"], 2).alias("marker_total"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))) AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (lowercase, strip non-alphanumerics,
+    md5) — the cheap exact-dup key after normalization."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(norm, "utf-8")).alias("fingerprint"),
+        F.substring(F.md5(F.encode(norm, "utf-8")), 1, 8).alias("fp_prefix"),
+    )

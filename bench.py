@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full materialization, no collect
+to driver, no output IO skew) — the honest distributed-execution cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative mix: flagship pipeline, wide agg, star join, window, session,
+# dedup family, ANN, text scan.
+HEADLINE = [
+    "flowlog_enrich",
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "scan_filter_project",
+    "window_topk_per_group",
+    "ts_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from aws_vpc_flow_log_appender_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Structured Streaming tests: micro-batch flagship pipeline (per-batch dim
+refresh, checkpointed, idempotent sink) and event-time windows/watermarks,
+driven synchronously with availableNow + processAllAvailable."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_vpc_flow_log_appender_spark import fixtures
+from aws_vpc_flow_log_appender_spark.operators.registry import load
+from aws_vpc_flow_log_appender_spark.streaming import (
+    sessionized_stream,
+    stream_decorate,
+    tumbling_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_parquet(spark, sf_dir, tmp_path_factory):
+    """events with µs timestamps in a streamable location (the source file's
+    TIMESTAMP(NANOS) can't be stream-read either — load() normalizes)."""
+    out = str(tmp_path_factory.mktemp("events_us"))
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_decorate_end_to_end(spark, tmp_path):
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    lines = fixtures.make_lines(100)
+    (lines_dir / "part-0.txt").write_text("\n".join(lines[:50]) + "\n")
+    (lines_dir / "part-1.txt").write_text("\n".join(lines[50:]) + "\n")
+
+    refresh_count = {"n": 0}
+
+    def eni_provider(s):
+        refresh_count["n"] += 1  # proves per-batch dimension refresh
+        return fixtures.eni_dim_df(s)
+
+    out_dir = str(tmp_path / "out")
+    q = stream_decorate(
+        spark,
+        str(lines_dir),
+        eni_provider,
+        fixtures.geo_dim_df(spark),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_path=out_dir,
+    )
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 100
+    assert refresh_count["n"] >= 1
+    by_result = {r["result"]: r["n"] for r in
+                 result.groupBy("result").agg(F.count("*").alias("n")).collect()}
+    assert by_result.get("Ok", 0) + by_result.get("ProcessingFailed", 0) == 100
+    assert by_result.get("ProcessingFailed", 0) > 0
+
+    # restart on the same checkpoint: no new input -> no duplicate output
+    q2 = stream_decorate(
+        spark, str(lines_dir), eni_provider, fixtures.geo_dim_df(spark),
+        checkpoint_dir=str(tmp_path / "ckpt"), output_path=out_dir,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 100
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_window_stream_matches_batch(spark, sf_dir, events_parquet):
+    batch_events = spark.read.parquet(events_parquet)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_parquet)
+
+    got = _run_stream(
+        spark, tumbling_counts_stream(stream_events, watermark="0 seconds"),
+        "tumbling_out",
+    )
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # append mode withholds windows not yet past the watermark: the final
+    # (max-ts) window may be missing. Everything emitted must match batch.
+    got_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    exp_rows = {
+        (r["window"]["start"], r["event_type"]): r["n_events"]
+        for r in expected.collect()
+    }
+    assert got_rows
+    for k, v in got_rows.items():
+        assert exp_rows[k] == v
+    missing = set(exp_rows) - set(got_rows)
+    max_start = max(k[0] for k in exp_rows)
+    assert all(k[0] == max_start for k in missing)
+
+
+def test_session_window_stream(spark, events_parquet):
+    batch_events = spark.read.parquet(events_parquet)
+    stream_events = spark.readStream.schema(batch_events.schema).parquet(events_parquet)
+    got = _run_stream(
+        spark, sessionized_stream(stream_events, watermark="0 seconds"),
+        "session_out",
+    )
+    rows = got.collect()
+    assert rows
+    # session invariants: start <= end, gap-merged (no zero/negative spans)
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
