@@ -1,6 +1,7 @@
 """Operator surface: importing this package registers every query."""
 
 from . import (  # noqa: F401
+    advanced,
     aggregates,
     joins,
     relational,
