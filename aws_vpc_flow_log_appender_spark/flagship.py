@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import fixtures
+from .enrich import join_eni
 from .operators.registry import load, query
 from .pipeline import decorate_lines, enrich_flow_logs
 from .parse import parse_lines
@@ -97,8 +98,10 @@ def _eni_values_sql() -> str:
     return ", ".join(rows)
 
 
-FLAGSHIP_ORACLE = f"""
-WITH lines AS (
+# The shared oracle CTE chain (lines -> parsed -> typed -> enriched) is reused
+# by the flagship oracle and the flow-log domain analytics oracles below.
+_ORACLE_CTES = f"""
+lines AS (
   SELECT CASE WHEN event_type = 'error' THEN 'MALFORMED ' || CAST(event_id AS VARCHAR)
          ELSE
            '2 123456789010 '
@@ -167,6 +170,10 @@ WITH lines AS (
        AS e(interfaceId, sg, primary_ip)
     ON p.interface_id = e.interfaceId
 )
+"""
+
+FLAGSHIP_ORACLE = f"""
+WITH {_ORACLE_CTES}
 SELECT en.record_id, en.error_flag, en.version, en.account_id, en.interface_id,
        en.srcaddr, en.destaddr, en.srcport, en.dstport, en.protocol, en.packets,
        en.bytes, en.start_s, en.end_s, en.action, en.log_status, en.sg_ids,
@@ -225,4 +232,127 @@ def flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~err, F.col("`source-city`")).alias("source_city"),
         F.when(~err, F.col("`source-location`.lat")).alias("source_lat"),
         F.when(~err, F.col("`source-location`.lon")).alias("source_lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flow-log domain analytics — the queries the reference's downstream
+# Elasticsearch/Kibana exists to answer (README.md:5: "search, analyze, and
+# visualize"), expressed directly on the engine.
+# ---------------------------------------------------------------------------
+
+
+def _valid_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = synth_flow_lines(load(spark, sf_dir, "events"))
+    return parse_lines(lines).filter(~F.col("error"))
+
+
+@query(
+    "flowlog_top_talkers",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT srcaddr, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(packets) AS BIGINT) AS total_packets,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(count(DISTINCT dstport) AS BIGINT) AS n_ports
+    FROM typed WHERE error_flag = 0
+    GROUP BY srcaddr
+    ORDER BY total_bytes DESC, srcaddr
+    LIMIT 10
+    """,
+    tags=("flowlog", "domain"),
+)
+def flowlog_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 sources by transferred bytes (classic flow-log triage query)."""
+    return (
+        _valid_parsed(spark, sf_dir)
+        .groupBy("srcaddr")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("packets").alias("total_packets"),
+            F.count("*").alias("n_flows"),
+            F.countDistinct("dstport").alias("n_ports"),
+        )
+        .orderBy(F.desc("total_bytes"), F.asc("srcaddr"))
+        .limit(10)
+    )
+
+
+@query(
+    "flowlog_rejected_by_port",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT dstport, protocol,
+           CAST(count(*) AS BIGINT) AS n_rejected,
+           CAST(count(DISTINCT srcaddr) AS BIGINT) AS n_distinct_sources
+    FROM typed WHERE error_flag = 0 AND action = 'REJECT'
+    GROUP BY dstport, protocol
+    """,
+    tags=("flowlog", "domain", "security"),
+)
+def flowlog_rejected_by_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REJECT counts per destination port/protocol with distinct-source
+    fan-in — the port-scan / blocked-traffic detection shape."""
+    return (
+        _valid_parsed(spark, sf_dir)
+        .filter(F.col("action") == "REJECT")
+        .groupBy("dstport", "protocol")
+        .agg(
+            F.count("*").alias("n_rejected"),
+            F.countDistinct("srcaddr").alias("n_distinct_sources"),
+        )
+    )
+
+
+@query(
+    "flowlog_bytes_per_security_group",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT security_group,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_flows
+    FROM (
+      SELECT unnest(string_split(sg_ids, ',')) AS security_group, bytes
+      FROM enriched WHERE error_flag = 0 AND sg_ids IS NOT NULL
+    )
+    GROUP BY security_group
+    """,
+    tags=("flowlog", "domain"),
+)
+def flowlog_bytes_per_security_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic attribution per security group: the enrichment join's payoff —
+    explode the appended sg array and aggregate bytes against it."""
+    enriched = join_eni(_valid_parsed(spark, sf_dir), fixtures.eni_dim_df(spark))
+    return (
+        enriched.filter(F.col("`security-group-ids`").isNotNull())
+        .select(
+            F.explode("`security-group-ids`").alias("security_group"), "bytes"
+        )
+        .groupBy("security_group")
+        .agg(F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_flows"))
+    )
+
+
+@query(
+    "flowlog_traffic_by_direction",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT coalesce(direction, 'unknown') AS direction,
+           action,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_flows
+    FROM enriched WHERE error_flag = 0
+    GROUP BY 1, 2
+    """,
+    tags=("flowlog", "domain"),
+)
+def flowlog_traffic_by_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound/outbound/unknown split by action — exercises the NULL-direction
+    semantics of the ENI-miss branch (decorator/index.js:171-173)."""
+    enriched = join_eni(_valid_parsed(spark, sf_dir), fixtures.eni_dim_df(spark))
+    return (
+        enriched.groupBy(
+            F.coalesce("direction", F.lit("unknown")).alias("direction"), "action"
+        )
+        .agg(F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_flows"))
     )

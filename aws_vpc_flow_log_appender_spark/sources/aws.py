@@ -1,0 +1,131 @@
+"""AWS-facing source/sink adapters (SURVEY §2.1 S5/S8/S9/S11).
+
+boto3 and the elasticsearch-hadoop jar are not in this container, so every
+adapter takes an injectable client factory and degrades to a clear error (or
+a provided fixture) when the real dependency is absent — the Spark-side
+logic (batching, projection, foreachBatch wiring) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..enrich import project_eni_dim
+from ..schema import EC2_ENI_RAW_SCHEMA
+
+try:  # pragma: no cover - not present in this container
+    import boto3  # type: ignore
+except ImportError:
+    boto3 = None
+
+FIREHOSE_MAX_BATCH = 500  # putRecordBatch API max (ingestor/index.js:84)
+
+
+def firehose_sink(stream_name: str,
+                  client_factory: Callable | None = None) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body that ships a ``Data`` column to Kinesis Firehose in
+    500-record chunks (the reference's flush threshold, ingestor/index.js:84-87,
+    which equals the API max).
+
+    The putRecordBatch calls happen on the EXECUTORS via foreachPartition —
+    no collect to driver; each partition chunks independently.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if client_factory is None and boto3 is None:
+            raise NotImplementedError(
+                "firehose_sink needs boto3 or an injected client_factory"
+            )
+        factory = client_factory or (lambda: boto3.client("firehose"))
+
+        def ship(rows: Iterable) -> None:
+            client = factory()  # one client per partition (executor-local)
+            chunk: list[dict] = []
+            for row in rows:
+                chunk.append({"Data": row["Data"]})
+                if len(chunk) >= FIREHOSE_MAX_BATCH:
+                    client.put_record_batch(DeliveryStreamName=stream_name, Records=chunk)
+                    chunk = []
+            if chunk:
+                client.put_record_batch(DeliveryStreamName=stream_name, Records=chunk)
+
+        batch_df.select("Data").foreachPartition(ship)
+
+    return write
+
+
+def eni_dimension_from_ec2(spark: SparkSession,
+                           client_factory: Callable | None = None,
+                           fixture: DataFrame | None = None) -> DataFrame:
+    """S8: the ENI dimension from EC2 DescribeNetworkInterfaces
+    (decorator/index.js:52-55, 82-93), as a driver-side fetch -> small
+    DataFrame -> jmespath-equivalent projection (enrich.project_eni_dim).
+
+    ``fixture`` short-circuits for tests / offline runs.
+    """
+    if fixture is not None:
+        return fixture
+    if client_factory is None and boto3 is None:
+        raise NotImplementedError(
+            "eni_dimension_from_ec2 needs boto3 or an injected client_factory"
+        )
+    factory = client_factory or (lambda: boto3.client("ec2"))
+    client = factory()
+    pages: list[dict] = []
+    token: str | None = None
+    while True:  # paginate the full account listing like the reference does
+        kwargs = {"NextToken": token} if token else {}
+        resp = client.describe_network_interfaces(**kwargs)
+        pages.extend(resp.get("NetworkInterfaces", []))
+        token = resp.get("NextToken")
+        if not token:
+            break
+    raw = spark.createDataFrame(
+        [
+            (
+                eni.get("NetworkInterfaceId"),
+                [(g.get("GroupId"), g.get("GroupName")) for g in eni.get("Groups", [])],
+                [
+                    (p.get("Primary"), p.get("PrivateIpAddress"))
+                    for p in eni.get("PrivateIpAddresses", [])
+                ],
+            )
+            for eni in pages
+        ],
+        EC2_ENI_RAW_SCHEMA,
+    )
+    return project_eni_dim(raw)
+
+
+def get_parameter(name: str, client_factory: Callable | None = None,
+                  _cache: dict = {}) -> str:  # noqa: B006 - intentional module cache
+    """S9: SSM parameter fetch with module-scope memoization (the reference
+    caches the ipstack API key per container, geocode.js:31,:57). Driver-side
+    config — never a dataflow op."""
+    if name in _cache:
+        return _cache[name]
+    if client_factory is None and boto3 is None:
+        raise NotImplementedError("get_parameter needs boto3 or an injected client_factory")
+    factory = client_factory or (lambda: boto3.client("ssm"))
+    value = factory().get_parameter(Name=name, WithDecryption=True)["Parameter"]["Value"]
+    _cache[name] = value
+    return value
+
+
+def elasticsearch_sink(df: DataFrame, resource: str, nodes: str):
+    """S11: Elasticsearch terminal sink. Needs the elasticsearch-hadoop jar
+    on the classpath (not in this container) — config-only in the reference
+    too (Firehose-managed delivery, README.md:5,91)."""
+    try:
+        return (
+            df.write.format("org.elasticsearch.spark.sql")
+            .option("es.nodes", nodes)
+            .option("es.resource", resource)
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "elasticsearch sink requires the elasticsearch-hadoop connector jar"
+        ) from exc

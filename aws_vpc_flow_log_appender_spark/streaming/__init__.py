@@ -1,4 +1,8 @@
 from .flowlog import stream_decorate  # noqa: F401
+from .stateful import (  # noqa: F401
+    dedup_first_occurrence_stream,
+    running_totals_stream,
+)
 from .windows import (  # noqa: F401
     sessionized_stream,
     sliding_counts_stream,

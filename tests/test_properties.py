@@ -1,0 +1,105 @@
+"""Property tests (SURVEY §5.2.3): parse/unparse round-trip, RFC1918
+classifier vs an integer-CIDR reimplementation, and the ok+failed=total
+packaging invariant — hypothesis-generated inputs, one Spark job per example
+list to keep runtime sane."""
+
+import ipaddress
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from aws_vpc_flow_log_appender_spark import fixtures
+from aws_vpc_flow_log_appender_spark.enrich import is_rfc1918
+from aws_vpc_flow_log_appender_spark.parse import parse_lines
+from aws_vpc_flow_log_appender_spark.pipeline import decorate_lines
+
+ip_octet = st.integers(0, 255)
+ips = st.builds(lambda a, b, c, d: f"{a}.{b}.{c}.{d}", ip_octet, ip_octet, ip_octet, ip_octet)
+
+flow_fields = st.fixed_dictionaries({
+    "version": st.just(2),
+    "account": st.integers(10**11, 10**12 - 1),
+    "eni": st.from_regex(r"eni-[0-9a-f]{8}", fullmatch=True),
+    "src": ips,
+    "dst": ips,
+    "srcport": st.integers(0, 65535),
+    "dstport": st.integers(0, 65535),
+    "protocol": st.sampled_from([1, 6, 17]),
+    "packets": st.integers(0, 10**6),
+    "bytes": st.integers(0, 10**9),
+    "start": st.integers(1_000_000_000, 2_000_000_000),
+    "dur": st.integers(0, 3600),
+    "action": st.sampled_from(["ACCEPT", "REJECT"]),
+    "status": st.sampled_from(["OK", "NODATA", "SKIPDATA"]),
+})
+
+
+def _unparse(f: dict) -> str:
+    return (
+        f"{f['version']} {f['account']} {f['eni']} {f['src']} {f['dst']} "
+        f"{f['srcport']} {f['dstport']} {f['protocol']} {f['packets']} "
+        f"{f['bytes']} {f['start']} {f['start'] + f['dur']} {f['action']} {f['status']}"
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(flow_fields, min_size=1, max_size=30))
+def test_parse_unparse_roundtrip(spark, field_dicts):
+    lines = [_unparse(f) for f in field_dicts]
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    out = parse_lines(df).collect()
+    got = {r["raw"]: r for r in out}
+    for f in field_dicts:
+        r = got[_unparse(f)]
+        assert r["error"] is False, f"valid line parsed as error: {_unparse(f)!r}"
+        assert r["version"] == f["version"]
+        assert r["account-id"] == f["account"]
+        assert r["interface-id"] == f["eni"]
+        assert r["srcaddr"] == f["src"] and r["destaddr"] == f["dst"]
+        assert (r["srcport"], r["dstport"]) == (f["srcport"], f["dstport"])
+        assert (r["packets"], r["bytes"]) == (f["packets"], f["bytes"])
+        assert (r["start"], r["end"]) == (f["start"], f["start"] + f["dur"])
+        assert (r["action"], r["log-status"]) == (f["action"], f["status"])
+
+
+def _reference_rfc1918(ip: str) -> bool:
+    """Integer-CIDR reimplementation of decorator/index.js:149-153, including
+    its quirks: 127/8 counted as private, 172.16/12 and nothing else."""
+    addr = int(ipaddress.IPv4Address(ip))
+    ranges = [
+        ("127.0.0.0", 8), ("10.0.0.0", 8), ("172.16.0.0", 12), ("192.168.0.0", 16),
+    ]
+    return any(
+        addr >> (32 - bits) == int(ipaddress.IPv4Address(net)) >> (32 - bits)
+        for net, bits in ranges
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(ips, min_size=1, max_size=200))
+def test_rfc1918_matches_integer_reimplementation(spark, ip_list):
+    df = spark.createDataFrame([(ip,) for ip in ip_list], ["ip"])
+    got = {
+        r["ip"]: r["priv"]
+        for r in df.select("ip", is_rfc1918("ip").alias("priv")).collect()
+    }
+    for ip in ip_list:
+        assert got[ip] == _reference_rfc1918(ip), ip
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(flow_fields.map(_unparse), st.text(max_size=40)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_ok_plus_failed_equals_total(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    out = decorate_lines(df, fixtures.eni_dim_df(spark), fixtures.geo_dim_df(spark))
+    counts = {r["result"]: r["n"] for r in
+              out.groupBy("result").agg(F.count("*").alias("n")).collect()}
+    # the invariant the reference logs per batch (decorator/index.js:232)
+    assert counts.get("Ok", 0) + counts.get("ProcessingFailed", 0) == len(lines)
