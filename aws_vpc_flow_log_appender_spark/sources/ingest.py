@@ -77,3 +77,58 @@ def frame_firehose_batches(records: DataFrame, batch_size: int = 500) -> DataFra
         "batch_id",
         (F.monotonically_increasing_id() / F.lit(batch_size)).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The full S1-S4 ingest chain as a registered query (rows-only check: gzip has
+# no DuckDB twin). CloudWatch envelopes are synthesized from the documents
+# table, then decoded back through the real ingest path.
+# ---------------------------------------------------------------------------
+
+from ..operators.registry import load, query  # noqa: E402
+
+
+@query("ingest_cloudwatch_decode", oracle=None, tags=("source", "ingest"))
+def ingest_cloudwatch_decode(spark, sf_dir):
+    """Round-trip the ingest chain: build base64(gzip(JSON envelope)) payloads
+    (one envelope per 10 documents) with a pandas UDF, then decode with the
+    production path (unbase64 -> gunzip -> from_json -> explode -> filter ->
+    project). Returns the extracted lines keyed for a stable rows check."""
+    import base64 as b64mod
+    import gzip as gzmod
+    import json
+
+    d = load(spark, sf_dir, "documents")
+
+    @pandas_udf(T.StringType())
+    def make_envelope(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        # one envelope per ROW (scalar pandas UDFs are row-wise over the
+        # batch; building one envelope from the whole Arrow batch would make
+        # the output depend on batch boundaries)
+        out = []
+        for i, t in zip(doc_ids, texts):
+            payload = json.dumps({
+                "messageType": "DATA_MESSAGE",
+                "owner": "123456789010",
+                "logGroup": "docs",
+                "logStream": "s",
+                "subscriptionFilters": ["all"],
+                "logEvents": [
+                    {"id": str(i), "timestamp": 0, "message": f"{i}:{t.split(' ')[0]}"}
+                ],
+            })
+            out.append(b64mod.b64encode(gzmod.compress(payload.encode())).decode())
+        return pd.Series(out)
+
+    grouped = (
+        d.withColumn("g", F.col("doc_id") % 10)
+        .groupBy("g")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select(make_envelope("doc_id", "text").alias("data"))
+    )
+    envelopes = decode_cloudwatch_events(grouped)
+    lines = extract_log_lines(envelopes)
+    return lines.select(F.col("Data").alias("line")).orderBy("line")
