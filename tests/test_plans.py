@@ -1,0 +1,127 @@
+"""Plan-property regression tests: the PLANS.md claims as assertions, so a
+refactor that silently loses pushdown / broadcast / partial-agg / top-k
+pushdown fails CI — the scale posture is tested, not just documented."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from aws_vpc_flow_log_appender_spark.operators.skew import (
+    hot_keys,
+    salted_join,
+    salted_sum_count,
+)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+
+    def plan_of(name):
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_filter_and_projection_pushdown(plans):
+    p = plans("scan_filter_project")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # column pruning: the scan's bracketed column list must be the 6
+    # referenced columns, not all 11 lineitem columns
+    scan_line = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    cols = scan_line.split("[", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) == 6, cols
+
+
+def test_dim_filter_pushed_before_broadcast(plans):
+    p = plans("join_inner_broadcast")
+    assert "BroadcastHashJoin" in p
+    scan_lines = [l for l in p.splitlines() if "FileScan parquet" in l]
+    cust_scan = next(l for l in scan_lines if "c_mktsegment" in l)
+    assert "BUILDING" in cust_scan  # filter inside the dim scan, not after
+
+
+def test_flagship_joins_are_broadcast(plans):
+    p = plans("flowlog_enrich")
+    assert p.count("BroadcastHashJoin") >= 2  # ENI join + bucketed geo join
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # the naive range-join shape
+
+
+def test_agg_has_partial_phase(plans):
+    p = plans("agg_pricing_summary")
+    assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_window_topk_uses_group_limit(plans):
+    p = plans("window_topk_per_group")
+    assert "WindowGroupLimit" in p  # partial top-k before the shuffle
+
+
+def test_global_topk_avoids_full_sort(plans):
+    p = plans("sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_salted_sum_matches_plain_groupby(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (round(r["s"], 6), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (round(r["qty"], 6), r["n_rows"])
+        for r in salted_sum_count(
+            li, ["l_returnflag"], {"l_quantity": "qty"}, n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = o.join(c, on="o_custkey").count()
+    salted = salted_join(o, c, "o_custkey", n_salts=4).count()
+    assert plain == salted
+
+
+def test_hot_keys_profile(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    top = hot_keys(li, ["l_returnflag"], top_n=2).collect()
+    assert len(top) == 2
+    assert top[0]["n_rows"] >= top[1]["n_rows"]
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key pre-shuffles at write time; the
+    join plan must then have no Exchange on either input."""
+    # default warehouse dir (spark-warehouse/, gitignored); tables dropped below
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("o_b")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).withColumn("x", F.col("l_quantity") * F.col("o_totalprice"))
+        # disable auto-broadcast so the co-located join is actually exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
