@@ -270,3 +270,51 @@ def join_asof_event_order(spark, sf_dir):
     return filled.filter(F.col("is_probe") == 1).select(
         F.col("event_id").alias("click_id"), "user_id", "last_purchase_us"
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_suppkey, s.s_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer(spark, sf_dir):
+    """Right-outer: every nation survives, supplier columns NULL on miss."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        F.col("n_name").alias("nation"), "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT event_id, CASE WHEN event_id % 5 = 0 THEN NULL
+                                     ELSE event_id % 7 END AS k FROM events),
+         b AS (SELECT CASE WHEN x = 7 THEN NULL ELSE x END AS k,
+                      'bucket-' || CAST(x AS VARCHAR) AS tag
+               FROM (SELECT unnest(range(0, 8)) AS x))
+    SELECT a.event_id, b.tag
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics dimension tables with
+    'unknown' buckets need."""
+    e = load(spark, sf_dir, "events")
+    a = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("event_id") % 7)
+        .alias("k"),
+    )
+    b = spark.range(0, 8).select(
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("bucket-"), F.col("id").cast("string")).alias("tag"),
+    )
+    return a.join(F.broadcast(b), a.k.eqNullSafe(b.k)).select("event_id", "tag")

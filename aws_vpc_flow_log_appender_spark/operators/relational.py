@@ -242,3 +242,49 @@ def sort_limit_topk(spark, sf_dir):
         .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(25)
     )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("sort", "offset"),
+)
+def sort_limit_offset(spark, sf_dir):
+    """Pagination: ORDER BY ... LIMIT/OFFSET (deterministic via key tiebreak).
+    OFFSET forces a single-partition tail — fine for page-sized offsets, a
+    deliberate anti-pattern for deep pagination (use keyset pagination there)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(substr(text, 1, 3) AS BIGINT) AS first3_as_num,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS roundtrip_chars,
+           coalesce(TRY_CAST(lang AS BIGINT), -1) AS lang_as_num
+    FROM documents
+    """,
+    tags=("scalar", "cast"),
+)
+def scalar_try_cast(spark, sf_dir):
+    """try_cast: malformed input -> NULL instead of error (ANSI-safe parsing
+    — the record-level dead-letter philosophy at expression granularity)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.substring("text", 1, 3), F.lit("999")).cast("long").alias("first3_as_num"),
+        F.col("n_chars").cast("string").cast("long").alias("roundtrip_chars"),
+        F.coalesce(F.expr("try_cast(lang AS LONG)"), F.lit(-1)).alias("lang_as_num"),
+    )

@@ -96,3 +96,21 @@ def set_distinct_union(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    tags=("setop", "intersect"),
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics): keeps min(multiplicity) per value."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
