@@ -24,6 +24,7 @@ def _registry():
     from aws_vpc_flow_log_appender_spark import flagship  # noqa: F401
     from aws_vpc_flow_log_appender_spark import operators  # noqa: F401
     from aws_vpc_flow_log_appender_spark import sources  # noqa: F401
+    from aws_vpc_flow_log_appender_spark.streaming import queries as _sq  # noqa: F401
     from aws_vpc_flow_log_appender_spark.operators.registry import QUERY_REGISTRY
 
     return QUERY_REGISTRY

@@ -1,0 +1,66 @@
+"""Streaming entries in the graded query surface.
+
+``stream_tumbling_window`` runs a REAL Structured Streaming query (readStream
+-> event-time window agg -> memory sink, availableNow) to completion inside
+the callable and returns the materialized result — which must equal the batch
+oracle exactly (complete output mode emits every window, so no append-mode
+watermark holdback). This is the strongest checkable claim about the
+streaming engine: batch and stream agree on the same input.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import round_half_up
+from ..operators.registry import load, query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream equivalence, oracle-checked: the events table is staged
+    to a streamable location, consumed as a stream in one availableNow pass,
+    aggregated with the same tumbling-window semantics as the batch
+    ts_tumbling_window — and the result must hash-match the same DuckDB
+    oracle the batch query uses."""
+    events = load(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_src_")
+    events.write.mode("overwrite").parquet(staging)
+
+    stream = spark.readStream.schema(events.schema).parquet(staging)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
