@@ -316,3 +316,66 @@ def dedup_embedding_nn(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "nn_id", "cos_sim")
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 17))}
+      FROM wh GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (16 - j)} ELSE 0 END)" for j in range(1, 17))} AS BIGINT) AS simhash
+      FROM bits
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 4)) & 15 AS band_val
+      FROM sh, (VALUES (0), (1), (2), (3)) AS b(band_id)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with Hamming distance <= 3, found via 4-bit
+    banding (pigeonhole: <= 3 differing bits over 4 bands leaves >= 1 band
+    identical, so the band join has full recall for the threshold). The
+    Hamming filter is the cheap residual — never an all-pairs scan."""
+    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+    ).withColumn(
+        # expr form: F.shiftright only takes a literal shift amount
+        "band_val", F.expr("shiftright(simhash, band_id * 4) & 15")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

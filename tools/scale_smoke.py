@@ -1,0 +1,94 @@
+"""Scale smoke: multiply the sf0.1 fact tables 10x in-memory (~6M lineitem
+rows) and check that (a) results scale exactly linearly where they should,
+(b) AQE re-specializes the physical plans (the lineitem<->orders join must
+fall back from broadcast to a shuffle join once the build side exceeds the
+broadcast threshold), (c) nothing collapses to a driver-side bottleneck.
+
+Usage: python tools/scale_smoke.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from aws_vpc_flow_log_appender_spark.functions import round_half_up
+    from aws_vpc_flow_log_appender_spark.session import get_spark
+
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_smoke")
+
+    def multiplied(name: str, key_cols: list[str]):
+        """Replicate a table mult times, offsetting keys so join fanout stays
+        realistic (copies do not collide)."""
+        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        copies = df.crossJoin(
+            spark.range(mult).select(F.col("id").alias("__copy"))
+        )
+        for k in key_cols:
+            copies = copies.withColumn(
+                k, F.col(k) + F.col("__copy") * F.lit(10 ** 10)
+            )
+        return copies.drop("__copy")
+
+    li = multiplied("lineitem", ["l_orderkey"])
+    orders = multiplied("orders", ["o_orderkey"])
+    base_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    ok = True
+
+    # 1) linear-scaling check: Q1-style agg count must be exactly mult x base
+    t0 = time.perf_counter()
+    big = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        round_half_up(F.sum("l_quantity"), 2).alias("qty"),
+    ).collect()
+    t_agg = time.perf_counter() - t0
+    base = {
+        r["l_returnflag"]: r["n"]
+        for r in base_li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for r in big:
+        if r["n"] != base[r["l_returnflag"]] * mult:
+            print(f"FAIL linear-scaling: {r['l_returnflag']} {r['n']} != {base[r['l_returnflag']]}x{mult}")
+            ok = False
+
+    # 2) plan re-specialization: fact-fact join must NOT broadcast at this size
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "l_returnflag"
+    ).agg(F.count("*").alias("n"))
+    t0 = time.perf_counter()
+    jrows = {r["l_returnflag"]: r["n"] for r in j.collect()}
+    t_join = time.perf_counter() - t0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    fact_fact_broadcast = "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    if fact_fact_broadcast:
+        print("FAIL plan: fact-fact join still broadcast at", mult, "x")
+        ok = False
+    for flag, n in jrows.items():
+        if n != base[flag] * mult:
+            print(f"FAIL join-result scaling: {flag} {n} != {base[flag]}x{mult}")
+            ok = False
+
+    n_rows = li.count()
+    print(
+        f"scale_smoke mult={mult}: lineitem={n_rows:,} rows; "
+        f"agg {t_agg:.1f}s ({n_rows / t_agg / 1e6:.1f}M rows/s), "
+        f"join+agg {t_join:.1f}s; "
+        f"fact-fact join strategy: {'shuffle (correct)' if not fact_fact_broadcast else 'broadcast (WRONG)'}; "
+        f"{'ALL OK' if ok else 'FAILURES'}"
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
