@@ -170,3 +170,36 @@ def sim_rp_lsh_topk(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label, pos,
+           floor((avg(x)) * 10000.0 + 0.5) / 10000.0 AS avg_x,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "vector", "agg"),
+)
+def sim_label_centroids(spark, sf_dir):
+    """Vector aggregation: per-cluster centroids via posexplode + per-dim avg
+    (the IVF coarse-quantizer training step). One shuffle keyed by
+    (label, dim) — dimension count bounds the fanout, not corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("long").alias("pos"),  # 1-based, int64 like generate_subscripts
+            F.col("x").cast("double").alias("x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            round_half_up(F.avg("x"), 4).alias("avg_x"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

@@ -165,3 +165,55 @@ def ts_daily_activity(spark, sf_dir):
         F.countDistinct("event_type").alias("n_types"),
         round_half_up(F.max("value"), 4).alias("max_value"),
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(date_trunc('hour', ts)))) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(date_trunc('hour', ts)))) AS BIGINT) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(range(lo, hi + 3600, 3600)) AS window_start FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.window_start,
+           coalesce(a.n_events, 0) AS n_events,
+           CASE WHEN a.window_start IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s LEFT JOIN actual a ON s.window_start = a.window_start
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def ts_gap_fill(spark, sf_dir):
+    """Gap filling / resampling: a generated hourly spine (sequence + explode)
+    left-joined against actual counts so empty hours appear as zero rows —
+    the dense-series shape dashboards and forecasting need. The spine is
+    computed from a 1-row aggregate, so it broadcasts. Counts are restricted
+    to purchase events so genuine zero-filled gap hours exist at test SFs."""
+    e = load(spark, sf_dir, "events")
+    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
+    bounds = e.agg(
+        F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_start")
+    )
+    actual = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(hour_epoch.alias("window_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        spine.join(actual, "window_start", "left")
+        .select(
+            "window_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )
