@@ -356,3 +356,37 @@ def flowlog_traffic_by_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_flows"))
     )
+
+
+@query(
+    "flowlog_conversations",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT srcaddr, destaddr, dstport,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(min(start_s) AS BIGINT) AS first_seen,
+           CAST(max(end_s) AS BIGINT) AS last_seen,
+           CAST(max(end_s) - min(start_s) AS BIGINT) AS span_s,
+           CAST(count(DISTINCT srcport) AS BIGINT) AS n_src_ports
+    FROM typed WHERE error_flag = 0
+    GROUP BY srcaddr, destaddr, dstport
+    """,
+    tags=("flowlog", "domain"),
+)
+def flowlog_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connection/conversation tracking: flows rolled up per
+    (src, dst, service port) with first/last-seen span and ephemeral-port
+    fan-out — the NetFlow 'conversation' view security tooling builds."""
+    return (
+        _valid_parsed(spark, sf_dir)
+        .groupBy("srcaddr", "destaddr", "dstport")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("start").alias("first_seen"),
+            F.max("end").alias("last_seen"),
+            (F.max("end") - F.min("start")).alias("span_s"),
+            F.countDistinct("srcport").alias("n_src_ports"),
+        )
+    )

@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     advanced,
+    analytics,
     aggregates,
     joins,
     relational,

@@ -1,0 +1,115 @@
+"""Product-analytics operators over the events stream: sequential funnels,
+cohort retention, conversation tracking. The query shapes an events consumer
+runs daily — all window/join compositions, one shuffle per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS did_signup,
+             CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END AS did_click_after,
+             CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                   AND t_purchase > t_click THEN 1 ELSE 0 END AS did_purchase_after
+      FROM firsts
+    )
+    SELECT CAST(sum(did_signup) AS BIGINT) AS n_signup,
+           CAST(sum(did_click_after) AS BIGINT) AS n_click_after_signup,
+           CAST(sum(did_purchase_after) AS BIGINT) AS n_full_funnel,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM staged
+    """,
+    tags=("analytics", "funnel"),
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered funnel: users whose first signup precedes their first
+    subsequent click precedes their first subsequent purchase. One
+    conditional-min aggregation pass — no self-joins, no explosion."""
+    e = load(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, t_us))
+
+    firsts = e.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    did_signup = F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)
+    did_click = F.when(
+        F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")), 1
+    ).otherwise(0)
+    did_purchase = F.when(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    return firsts.select(
+        did_signup.alias("s"), did_click.alias("c"), did_purchase.alias("p")
+    ).agg(
+        F.sum("s").alias("n_signup"),
+        F.sum("c").alias("n_click_after_signup"),
+        F.sum("p").alias("n_full_funnel"),
+        F.count("*").alias("n_users"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(date_trunc('day', ts))) / 86400) AS BIGINT) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(epoch(date_trunc('day', e.ts)) / 86400) AS BIGINT) - f.cohort_day AS day_offset,
+             f.cohort_day
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("analytics", "retention"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen day, counted per
+    day-offset for the first week. first_day is small (1 row/user) -> the
+    join broadcasts; activity dedup is a distinct on (user, day)."""
+    e = load(spark, sf_dir, "events")
+    day_num = (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast("long")
+    first_day = e.groupBy("user_id").agg(F.min(day_num).alias("cohort_day"))
+    activity = (
+        e.select("user_id", day_num.alias("day"))
+        .join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
