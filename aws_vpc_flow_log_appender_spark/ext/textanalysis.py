@@ -173,3 +173,59 @@ def text_fingerprint(spark, sf_dir):
         F.md5(F.encode(norm, "utf-8")).alias("fingerprint"),
         F.substring(F.md5(F.encode(norm, "utf-8")), 1, 8).alias("fp_prefix"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: tf and df from one tokenize pass, idf
+    joined back via a broadcast (df table = vocabulary-sized), per-doc top-k
+    via WindowGroupLimit. The canonical keyword-extraction shape."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # plan-time scalar (one tiny job; the oracle's CROSS JOIN n)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        round_half_up(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

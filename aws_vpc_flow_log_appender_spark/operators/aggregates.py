@@ -250,3 +250,29 @@ def agg_approx_quantiles(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
         F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor((o_totalprice - 0.0) / 25000.0), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS lo,
+           floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram via pure bucket arithmetic (portable — no
+    engine-specific width_bucket), clamped top bucket. One partial-agg pass;
+    the profiling primitive behind range-join band selection and skew
+    detection."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        round_half_up(F.min("o_totalprice"), 2).alias("lo"),
+        round_half_up(F.max("o_totalprice"), 2).alias("hi"),
+    )
