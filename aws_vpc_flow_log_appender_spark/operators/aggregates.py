@@ -276,3 +276,28 @@ def agg_histogram(spark, sf_dir):
         round_half_up(F.min("o_totalprice"), 2).alias("lo"),
         round_half_up(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           floor((regr_slope(l_extendedprice, l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((regr_intercept(l_extendedprice, l_quantity)) * 10000.0 + 0.5) / 10000.0 AS intercept,
+           floor((regr_r2(l_extendedprice, l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression"),
+)
+def agg_regression(spark, sf_dir):
+    """Linear-regression aggregates (price ~ quantity per flag): single-pass
+    distributed moments, same formulas both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        round_half_up(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        round_half_up(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )

@@ -54,10 +54,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
         try:
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # min-of-2: strips one-off scheduling noise
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 - one bad query must not kill the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
