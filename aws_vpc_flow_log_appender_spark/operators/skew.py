@@ -9,7 +9,7 @@ shuffle for eliminating the hot reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -63,7 +63,3 @@ def hot_keys(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"))
         .limit(top_n)
     )
-
-
-def _col(c: str | Column) -> Column:
-    return F.col(c) if isinstance(c, str) else c

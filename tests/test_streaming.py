@@ -117,3 +117,57 @@ def test_session_window_stream(spark, events_parquet):
     # session invariants: start <= end, gap-merged (no zero/negative spans)
     assert all(r["session_start"] <= r["session_end"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The enforceable watermark guarantee: once a window's state has been
+    evicted (watermark passed its end and it was emitted), a late arrival for
+    that window is dropped — the window is neither re-emitted nor mutated.
+
+    (The converse is deliberately NOT asserted: Spark documents that data
+    later than the watermark *may* still be aggregated if eviction hasn't
+    happened yet — a late row landing one batch after its window can merge.)
+    """
+    from pyspark.sql import types as T
+    import datetime as dt
+    import time
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: hours 0..3 (1 event each)
+    b1 = [(base + i * h, "click", 1.0, i, 1) for i in range(4)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(1.1)  # distinct mtimes: the file source orders batches by them
+    # batch 2: hour 4 -> watermark firmly passes hour 0; hour-0 state evicted+emitted
+    spark.createDataFrame(
+        [(base + 4 * h, "click", 1.0, 5, 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    time.sleep(1.1)
+    # batch 3: a LATE row for hour 0 (state long gone) + fresh hour 5
+    spark.createDataFrame(
+        [(base + dt.timedelta(minutes=30), "click", 1.0, 99, 1),
+         (base + 5 * h, "click", 1.0, 6, 1)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    got = _run_stream(
+        spark, tumbling_counts_stream(stream, watermark="10 minutes"), "late_out"
+    )
+    hour0_rows = [r for r in got.collect() if r["window_start"] == base]
+    # exactly one emission of hour 0, with exactly the on-time event count
+    assert len(hour0_rows) == 1
+    assert hour0_rows[0]["n_events"] == 1
