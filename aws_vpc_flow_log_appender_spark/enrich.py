@@ -131,8 +131,10 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
     shift = F.lit(2 ** (32 - prefix_bits))
     bucketed = bucket_geo_dim(geo_dim, prefix_bits)
     ip_int = F.when(gate, ip_to_int(src_col))
-    df = df.withColumn("__ip_int", ip_int).withColumn(
-        "__ip_bucket", (F.col("__ip_int") / shift).cast("long")
+    df = (
+        df.withColumn("__ip_int", ip_int)
+        .withColumn("__ip_bucket", (F.col("__ip_int") / shift).cast("long"))
+        .withColumn("__geo_row", F.monotonically_increasing_id())
     )
     cond = (
         (df["__ip_bucket"] == bucketed["ip_bucket"])
@@ -140,6 +142,22 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
         & (df["__ip_int"] <= bucketed["end_ip_int"])
     )
     joined = df.join(F.broadcast(bucketed), cond, "left")
+    # Most-specific-match discipline: real GeoIP feeds contain overlapping
+    # ranges (country-level superset + city-level subset); without this a
+    # multi-match would DUPLICATE the input record (the reference's per-row
+    # lookup returns exactly one result). Keep the narrowest matching range,
+    # ties broken by start ip.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__geo_row").orderBy(
+        F.asc_nulls_last(bucketed["end_ip_int"] - bucketed["start_ip_int"]),
+        F.asc_nulls_last(bucketed["start_ip_int"]),
+    )
+    joined = (
+        joined.withColumn("__geo_rank", F.row_number().over(w))
+        .filter(F.col("__geo_rank") == 1)
+        .drop("__geo_rank")
+    )
     out = (
         joined
         .withColumn("source-country-code", F.coalesce(bucketed["country_code"], F.lit("")))
@@ -157,7 +175,7 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
         .drop(
             "ip_bucket", "start_ip_int", "end_ip_int", "country_code",
             "country_name", "region_code", "region_name", "city",
-            "latitude", "longitude", "__ip_int", "__ip_bucket",
+            "latitude", "longitude", "__ip_int", "__ip_bucket", "__geo_row",
         )
     )
     return out

@@ -46,6 +46,10 @@ def salted_join(facts: DataFrame, dim: DataFrame, key: str,
     fact side randomly, join on (key, salt). The hot key's probe rows spread
     across n_salts reducers instead of one.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        # replicated dim rows that fail to match would each survive a
+        # right/full outer join -> n_salts copies of every unmatched dim row
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     dim_rep = dim.select("*", salts)
     facts_salted = facts.withColumn(

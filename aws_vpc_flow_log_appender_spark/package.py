@@ -10,10 +10,17 @@ here, not two scans + union.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .schema import ENRICHED_COLUMNS
+
+
+def unchunked_base64(col: Column) -> Column:
+    """Spark's base64() is MIME-chunked (CRLF every 76 chars); the reference's
+    Buffer.toString('base64') is not — strip the line breaks so payloads are
+    byte-comparable with unchunked encoders."""
+    return F.regexp_replace(F.base64(col), "\r\n", "")
 
 
 def package_records(enriched: DataFrame) -> DataFrame:
@@ -21,12 +28,18 @@ def package_records(enriched: DataFrame) -> DataFrame:
     (decorator/index.js:206-234).
 
     Ok rows: data = base64(to_json(enriched struct)) (decorator/index.js:222).
-    Failed rows: data = base64(raw payload) passthrough (decorator/index.js:214-220).
+    Failed rows: the ORIGINAL payload passes through byte-for-byte via the
+    ``__orig_b64`` column parse_records preserved (decorator/index.js:214-220
+    re-emits the untouched record.data; decoding+re-encoding would mangle
+    non-UTF-8 originals).
     """
-    payload_ok = F.base64(
-        F.to_json(F.struct(*[F.col(f"`{c}`") for c in ENRICHED_COLUMNS]))
+    payload_ok = unchunked_base64(
+        F.encode(
+            F.to_json(F.struct(*[F.col(f"`{c}`") for c in ENRICHED_COLUMNS])),
+            "utf-8",
+        )
     )
-    payload_failed = F.base64(F.col("raw"))
+    payload_failed = F.col("__orig_b64")
     return enriched.select(
         "recordId",
         F.when(F.col("error"), F.lit("ProcessingFailed"))

@@ -59,13 +59,24 @@ def parse_records(records: DataFrame, data_col: str = "data",
     Implemented as one projection (no per-branch scans): the validity predicate
     is computed once and the typed columns are NULL-masked by it.
     """
-    raw = decode_base64_utf8(data_col) if base64_encoded else F.col(data_col)
-    df = records.withColumn("raw", raw)
+    if base64_encoded:
+        raw = decode_base64_utf8(data_col)
+        # preserve the ORIGINAL base64 payload for dead-lettering: re-encoding
+        # the lossily-decoded string would corrupt non-UTF-8 originals
+        # (the reference re-emits the untouched payload, decorator/index.js:214-220)
+        orig = F.col(data_col)
+    else:
+        from .package import unchunked_base64
+
+        raw = F.col(data_col)
+        orig = unchunked_base64(F.encode(data_col, "utf-8"))
+    df = records.withColumn("raw", raw).withColumn("__orig_b64", orig)
     valid = is_valid_flow_line(F.col("raw"))
     parsed = parse_flow_fields(F.col("raw"))
     out = df.select(
         "recordId",
         "raw",
+        "__orig_b64",
         (~valid).alias("error"),
         F.when(valid, F.current_timestamp()).alias("@timestamp"),
         *[F.when(valid, c).alias(name) for c, (name, _) in zip(parsed, FLOW_FIELDS)],
@@ -73,14 +84,34 @@ def parse_records(records: DataFrame, data_col: str = "data",
     return out
 
 
-def parse_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_lines(lines: DataFrame, line_col: str = "value",
+                unique_ids: bool = False) -> DataFrame:
     """Parse bare flow-log lines (no Firehose framing) — batch/file-source path.
 
     Adds a synthetic recordId from the line content so downstream packaging
     stays keyed (the reference's recordId comes from Firehose).
+
+    ``unique_ids=False`` (default): recordId = sha256(line) — deterministic
+    and cheap, but byte-identical lines COLLIDE (a recordId-keyed dedupe
+    would drop legitimate repeats). ``unique_ids=True`` disambiguates
+    repeats with a per-content occurrence index (costs one shuffle on the
+    line content) — use for sinks that dedupe on recordId.
     """
-    df = lines.select(
-        F.sha2(F.col(line_col), 256).alias("recordId"),
-        F.col(line_col).alias("data"),
-    )
+    if unique_ids:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(line_col).orderBy(F.monotonically_increasing_id())
+        df = lines.select(
+            F.concat(
+                F.sha2(F.col(line_col), 256),
+                F.lit("-"),
+                F.row_number().over(w).cast("string"),
+            ).alias("recordId"),
+            F.col(line_col).alias("data"),
+        )
+    else:
+        df = lines.select(
+            F.sha2(F.col(line_col), 256).alias("recordId"),
+            F.col(line_col).alias("data"),
+        )
     return parse_records(df, data_col="data", base64_encoded=False)

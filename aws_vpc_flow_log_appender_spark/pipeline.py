@@ -45,8 +45,13 @@ def decorate(records: DataFrame, eni_dim: DataFrame, geo_dim: DataFrame,
 
 def decorate_lines(lines: DataFrame, eni_dim: DataFrame, geo_dim: DataFrame,
                    line_col: str = "value",
-                   geolocation_enabled: bool = True) -> DataFrame:
-    """Same pipeline over bare text lines (batch/file-source entry)."""
-    parsed = parse_lines(lines, line_col)
+                   geolocation_enabled: bool = True,
+                   unique_ids: bool = False) -> DataFrame:
+    """Same pipeline over bare text lines (batch/file-source entry).
+
+    ``unique_ids=True`` disambiguates byte-identical lines (see
+    parse.parse_lines) — required when the sink dedupes on recordId.
+    """
+    parsed = parse_lines(lines, line_col, unique_ids=unique_ids)
     enriched = enrich_flow_logs(parsed, eni_dim, geo_dim, geolocation_enabled)
     return package_records(enriched)

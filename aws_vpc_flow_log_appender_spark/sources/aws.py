@@ -40,16 +40,45 @@ def firehose_sink(stream_name: str,
             )
         factory = client_factory or (lambda: boto3.client("firehose"))
 
+        def put_with_retry(client, chunk: list[dict], max_attempts: int = 5) -> None:
+            """Firehose partial failures arrive as HTTP 200 + FailedPutCount;
+            retry only the failed records (per-record ErrorCode) with backoff.
+            The reference's whole-batch retry (ingestor/index.js:137-140)
+            re-sends everything; this re-sends only what failed."""
+            import time as _time
+
+            attempt = 0
+            while chunk:
+                resp = client.put_record_batch(
+                    DeliveryStreamName=stream_name, Records=chunk
+                )
+                if not resp.get("FailedPutCount"):
+                    return
+                chunk = [
+                    rec
+                    for rec, r in zip(chunk, resp.get("RequestResponses", []))
+                    if r.get("ErrorCode")
+                ]
+                attempt += 1
+                if attempt >= max_attempts:
+                    raise RuntimeError(
+                        f"firehose put_record_batch: {len(chunk)} records still "
+                        f"failing after {max_attempts} attempts"
+                    )
+                _time.sleep(min(2 ** attempt * 0.1, 5.0))
+
         def ship(rows: Iterable) -> None:
             client = factory()  # one client per partition (executor-local)
             chunk: list[dict] = []
             for row in rows:
+                if row["Data"] is None:
+                    continue  # never build an invalid Firehose record
                 chunk.append({"Data": row["Data"]})
                 if len(chunk) >= FIREHOSE_MAX_BATCH:
-                    client.put_record_batch(DeliveryStreamName=stream_name, Records=chunk)
+                    put_with_retry(client, chunk)
                     chunk = []
             if chunk:
-                client.put_record_batch(DeliveryStreamName=stream_name, Records=chunk)
+                put_with_retry(client, chunk)
 
         batch_df.select("Data").foreachPartition(ship)
 

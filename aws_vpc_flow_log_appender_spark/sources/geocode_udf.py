@@ -58,7 +58,8 @@ def make_geocode_udf(resolver: Callable[[str], dict] | None = None) -> Callable[
     producing a GEO_RESULT_SCHEMA struct (NULL fields on resolver failure).
     """
     resolve = resolver or _default_resolver
-    cache: dict[str, str | None] = {}  # executor-local across batches
+    cache: dict[str, str] = {}  # executor-local across batches
+    max_cache = 100_000  # bound memory on high-cardinality streams
 
     @F.pandas_udf(T.StringType())
     def _geocode_json(ips: pd.Series) -> pd.Series:
@@ -67,13 +68,19 @@ def make_geocode_udf(resolver: Callable[[str], dict] | None = None) -> Callable[
             if ip is None:
                 out.append(None)
                 continue
-            if ip not in cache:
-                try:
-                    geo = resolve(ip)
-                    cache[ip] = json.dumps({k: geo.get(k) for k in _FIELDS})
-                except Exception:  # degrade, never fail the batch
-                    cache[ip] = None
-            out.append(cache[ip])
+            if ip in cache:
+                out.append(cache[ip])
+                continue
+            try:
+                geo = resolve(ip)
+                value = json.dumps({k: geo.get(k) for k in _FIELDS})
+            except Exception:  # degrade, never fail the batch; do NOT cache
+                out.append(None)  # transient outages must stay retryable
+                continue
+            if len(cache) >= max_cache:
+                cache.clear()  # crude but bounded; real deployments use an LRU
+            cache[ip] = value
+            out.append(value)
         return pd.Series(out)
 
     def geocode(col: Column) -> Column:

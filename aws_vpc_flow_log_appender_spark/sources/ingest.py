@@ -60,7 +60,14 @@ def extract_log_lines(envelopes: DataFrame) -> DataFrame:
             | (F.col("messageType") != "CONTROL_MESSAGE")
         )
         .select(F.explode("logEvents").alias("ev"))
-        .select(F.concat(F.col("ev.message"), F.lit("\n")).alias("Data"))
+        # a logEvent missing `message` must not become a NULL Data row
+        # (F.concat null-propagates and NULL records break Firehose puts);
+        # JS `undefined + '\n'` yields the literal 'undefined\n' — replicated
+        .select(
+            F.concat(
+                F.coalesce(F.col("ev.message"), F.lit("undefined")), F.lit("\n")
+            ).alias("Data")
+        )
     )
 
 

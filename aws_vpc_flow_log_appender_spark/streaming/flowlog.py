@@ -45,10 +45,12 @@ def stream_decorate(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         eni_dim = eni_provider(spark)  # per-batch dimension refresh
         out = decorate_lines(batch_df, eni_dim, geo_dim,
-                             geolocation_enabled=geolocation_enabled)
-        # parquet append keyed by recordId -> replays are idempotent for
-        # downstream consumers that dedupe on recordId
-        out.write.mode("append").parquet(output_path)
+                             geolocation_enabled=geolocation_enabled,
+                             unique_ids=True)
+        # idempotent-by-epoch sink: each micro-batch owns its own partition
+        # directory and a replayed batch OVERWRITES it — a partial write
+        # followed by retry cannot duplicate rows (a blind append could).
+        out.write.mode("overwrite").parquet(f"{output_path}/epoch={epoch_id}")
 
     writer = (
         lines.writeStream

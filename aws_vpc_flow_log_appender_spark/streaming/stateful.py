@@ -25,7 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 RUNNING_TOTALS_OUTPUT = "key string, total_bytes long, n_flows long, batch_rows long"
 RUNNING_TOTALS_STATE = "total_bytes long, n_flows long"
 
-DEDUP_OUTPUT = "recordId string, first_seen_batch long"
+DEDUP_OUTPUT = "recordId string, first_batch_rows long"
 DEDUP_STATE = "seen long"
 
 
@@ -79,7 +79,9 @@ def dedup_first_occurrence_stream(records: DataFrame, key_col: str = "recordId")
             return
             yield  # pragma: no cover - keeps this a generator
         state.update((1,))
-        yield pd.DataFrame({"recordId": [key[0]], "first_seen_batch": [n]})
+        # first_batch_rows = how many copies arrived in the first batch seen
+        # (an observability count, NOT a batch id — GroupState exposes none)
+        yield pd.DataFrame({"recordId": [key[0]], "first_batch_rows": [n]})
 
     return (
         records.select(key_col)

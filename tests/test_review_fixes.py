@@ -1,0 +1,90 @@
+"""Regression tests for the code-review findings: unchunked base64 payloads,
+byte-exact dead-letter passthrough, overlapping-geo-range discipline,
+unique recordIds, salted-join guard."""
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_vpc_flow_log_appender_spark import fixtures
+from aws_vpc_flow_log_appender_spark.enrich import join_geo
+from aws_vpc_flow_log_appender_spark.operators.skew import salted_join
+from aws_vpc_flow_log_appender_spark.parse import parse_lines, parse_records
+from aws_vpc_flow_log_appender_spark.pipeline import decorate
+from aws_vpc_flow_log_appender_spark.schema import FIREHOSE_RECORD_SCHEMA, GEO_DIM_SCHEMA
+
+
+def test_packaged_base64_is_unchunked(spark):
+    """Spark's base64() is MIME-chunked; packaged payloads must not contain
+    CRLF (the reference's Buffer.toString('base64') is unchunked)."""
+    out = decorate(
+        fixtures.firehose_records_df(spark),
+        fixtures.eni_dim_df(spark),
+        fixtures.geo_dim_df(spark),
+    ).collect()
+    assert len(out) == 200
+    assert all("\r" not in r["data"] and "\n" not in r["data"] for r in out)
+
+
+def test_dead_letter_preserves_non_utf8_payload(spark):
+    """A non-UTF-8 original payload must pass through ProcessingFailed
+    byte-for-byte (decode+re-encode would substitute U+FFFD)."""
+    raw_bytes = b"\xff\xfe garbage \x80\x81"
+    rec = [("rec-bin", base64.b64encode(raw_bytes).decode(), 0)]
+    df = spark.createDataFrame(rec, FIREHOSE_RECORD_SCHEMA)
+    out = decorate(
+        df, fixtures.eni_dim_df(spark), fixtures.geo_dim_df(spark)
+    ).collect()[0]
+    assert out["result"] == "ProcessingFailed"
+    assert base64.b64decode(out["data"]) == raw_bytes
+
+
+def test_overlapping_geo_ranges_do_not_duplicate(spark):
+    """Real GeoIP feeds contain nested ranges; a multi-match must keep the
+    most specific range, never duplicate the record."""
+    geo_rows = [
+        # country-level superset
+        (fixtures._ip_to_int("72.0.0.0"), fixtures._ip_to_int("72.255.255.255"),
+         "US", "United States", "", "", "", 0.0, 0.0),
+        # city-level subset covering the same address
+        (fixtures._ip_to_int("72.21.192.0"), fixtures._ip_to_int("72.21.223.255"),
+         "US", "United States", "WA", "Washington", "Seattle", 47.6, -122.3),
+    ]
+    geo = spark.createDataFrame(geo_rows, GEO_DIM_SCHEMA)
+    parsed = parse_records(
+        fixtures.firehose_records_df(spark, [fixtures.EVENT_JSON_LINES[0]])
+    )
+    out = join_geo(parsed, geo).collect()
+    assert len(out) == 1  # no fanout
+    assert out[0]["source-city"] == "Seattle"  # narrowest range won
+
+
+def test_parse_lines_unique_ids_disambiguate_repeats(spark):
+    line = fixtures.EVENT_JSON_LINES[0]
+    df = spark.createDataFrame([(line,), (line,), (line,)], ["value"])
+    dup = parse_lines(df)  # default: content hash -> collisions
+    assert dup.select("recordId").distinct().count() == 1
+    uniq = parse_lines(df, unique_ids=True)
+    assert uniq.select("recordId").distinct().count() == 3
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(o, c, "o_custkey", how="full")
+
+
+def test_null_log_event_message_does_not_poison_sink(spark):
+    from aws_vpc_flow_log_appender_spark.sources.ingest import extract_log_lines
+
+    envelopes = spark.createDataFrame(
+        [("DATA_MESSAGE", [("1", 0, None), ("2", 0, "real line")])],
+        "messageType string, logEvents array<struct<id:string,timestamp:long,message:string>>",
+    )
+    rows = sorted(r["Data"] for r in extract_log_lines(envelopes).collect())
+    # JS `undefined + '\n'` parity: no NULL Data rows ever reach the sink
+    assert rows == ["real line\n", "undefined\n"]
