@@ -84,6 +84,54 @@ def join_eni(parsed: DataFrame, eni_dim: DataFrame) -> DataFrame:
     )
 
 
+def flatten_geo_dim(geo_dim: DataFrame) -> DataFrame:
+    """Rewrite a possibly-overlapping range dimension into DISJOINT ranges,
+    each carrying the attributes of its most specific (narrowest) covering
+    source range.
+
+    Real GeoIP feeds nest ranges (country superset + city subset); joining
+    facts against overlapping ranges would duplicate records. Doing the
+    de-overlap ONCE on the small dimension side keeps the fact-side join a
+    plain broadcast probe — the alternative (per-record post-join dedup)
+    costs a fact-sized shuffle at every query.
+
+    Classic boundary sweep: every start / end+1 becomes a breakpoint;
+    consecutive breakpoints form candidate intervals; each interval takes the
+    narrowest source range containing it (uncovered gaps drop out). The
+    single-partition window is fine — this runs on dimension-sized data.
+    """
+    from pyspark.sql import Window as W
+
+    points = (
+        geo_dim.select(F.col("start_ip_int").alias("p"))
+        .union(geo_dim.select((F.col("end_ip_int") + 1).alias("p")))
+        .distinct()
+    )
+    iv = (
+        points.withColumn("next_p", F.lead("p").over(W.orderBy("p")))
+        .filter(F.col("next_p").isNotNull())
+        .select(F.col("p").alias("f_start"), (F.col("next_p") - 1).alias("f_end"))
+    )
+    covered = iv.join(
+        geo_dim,
+        (iv.f_start >= geo_dim.start_ip_int) & (iv.f_end <= geo_dim.end_ip_int),
+    )
+    most_specific = W.partitionBy("f_start").orderBy(
+        F.asc(F.col("end_ip_int") - F.col("start_ip_int")), F.asc("start_ip_int")
+    )
+    attrs = [f.name for f in geo_dim.schema.fields
+             if f.name not in ("start_ip_int", "end_ip_int")]
+    return (
+        covered.withColumn("__rn", F.row_number().over(most_specific))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("f_start").alias("start_ip_int"),
+            F.col("f_end").alias("end_ip_int"),
+            *attrs,
+        )
+    )
+
+
 def bucket_geo_dim(geo_dim: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """Explode each CIDR range into the /prefix_bits buckets it spans so the
     range join becomes an equi join on bucket + residual BETWEEN filter."""
@@ -129,12 +177,12 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
 
     gate = (~is_rfc1918(src_col)) & F.col(src_col).isNotNull()
     shift = F.lit(2 ** (32 - prefix_bits))
-    bucketed = bucket_geo_dim(geo_dim, prefix_bits)
+    # de-overlap the dimension ONCE (dim-sized work) so each fact row can
+    # match at most one range — no post-join dedup shuffle on the fact side
+    bucketed = bucket_geo_dim(flatten_geo_dim(geo_dim), prefix_bits)
     ip_int = F.when(gate, ip_to_int(src_col))
-    df = (
-        df.withColumn("__ip_int", ip_int)
-        .withColumn("__ip_bucket", (F.col("__ip_int") / shift).cast("long"))
-        .withColumn("__geo_row", F.monotonically_increasing_id())
+    df = df.withColumn("__ip_int", ip_int).withColumn(
+        "__ip_bucket", (F.col("__ip_int") / shift).cast("long")
     )
     cond = (
         (df["__ip_bucket"] == bucketed["ip_bucket"])
@@ -142,22 +190,6 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
         & (df["__ip_int"] <= bucketed["end_ip_int"])
     )
     joined = df.join(F.broadcast(bucketed), cond, "left")
-    # Most-specific-match discipline: real GeoIP feeds contain overlapping
-    # ranges (country-level superset + city-level subset); without this a
-    # multi-match would DUPLICATE the input record (the reference's per-row
-    # lookup returns exactly one result). Keep the narrowest matching range,
-    # ties broken by start ip.
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("__geo_row").orderBy(
-        F.asc_nulls_last(bucketed["end_ip_int"] - bucketed["start_ip_int"]),
-        F.asc_nulls_last(bucketed["start_ip_int"]),
-    )
-    joined = (
-        joined.withColumn("__geo_rank", F.row_number().over(w))
-        .filter(F.col("__geo_rank") == 1)
-        .drop("__geo_rank")
-    )
     out = (
         joined
         .withColumn("source-country-code", F.coalesce(bucketed["country_code"], F.lit("")))
@@ -175,7 +207,7 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
         .drop(
             "ip_bucket", "start_ip_int", "end_ip_int", "country_code",
             "country_name", "region_code", "region_name", "city",
-            "latitude", "longitude", "__ip_int", "__ip_bucket", "__geo_row",
+            "latitude", "longitude", "__ip_int", "__ip_bucket",
         )
     )
     return out
