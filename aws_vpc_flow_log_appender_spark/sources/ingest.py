@@ -95,12 +95,27 @@ def frame_firehose_batches(records: DataFrame, batch_size: int = 500) -> DataFra
 from ..operators.registry import load, query  # noqa: E402
 
 
-@query("ingest_cloudwatch_decode", oracle=None, tags=("source", "ingest"))
+@query(
+    "ingest_cloudwatch_decode",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) || ':' || string_split(text, ' ')[1] || chr(10) AS line
+    FROM (
+      SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      FROM documents GROUP BY doc_id % 10
+    )
+    """,
+    tags=("source", "ingest"),
+)
 def ingest_cloudwatch_decode(spark, sf_dir):
     """Round-trip the ingest chain: build base64(gzip(JSON envelope)) payloads
     (one envelope per 10 documents) with a pandas UDF, then decode with the
     production path (unbase64 -> gunzip -> from_json -> explode -> filter ->
-    project). Returns the extracted lines keyed for a stable rows check."""
+    project).
+
+    Oracle-checkable even though DuckDB has no gzip: the encode side and the
+    decode side are inverse transport transforms, so the expected output is
+    derivable straight from the documents table — the comparison proves the
+    b64/gzip/JSON round-trip is lossless end-to-end."""
     import base64 as b64mod
     import gzip as gzmod
     import json
