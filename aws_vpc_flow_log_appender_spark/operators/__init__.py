@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     relational,
     setops,
     timeseries,
+    tpch,
     windows,
 )
 from .registry import QUERY_REGISTRY, QuerySpec, load, query, register_views  # noqa: F401
