@@ -90,15 +90,20 @@ _SQL_MINHASH_SIG = f"""
     FROM shingled GROUP BY doc_id
 """
 
+# shared band-generation fragment (also reused by graph.py's cluster oracle —
+# a drifted copy would silently desynchronize the two oracles)
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(m{2 * b} || m{2 * b + 1}) AS band_sig FROM sig"
+    for b in range(N_BANDS)
+)
+
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH shingled AS ({_SQL_SHINGLED}),
     sig AS ({_SQL_MINHASH_SIG}),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(m{2*b} || m{2*b+1}) AS band_sig FROM sig" for b in range(N_BANDS))}
-    )
+    bands AS ({_SQL_BANDS})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -219,17 +224,17 @@ _HEX = "0123456789abcdef"
     ),
     bits AS (
       SELECT doc_id,
-             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 17))}
+             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 33))}
       FROM wh GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (16 - j)} ELSE 0 END)" for j in range(1, 17))} AS BIGINT) AS simhash
+           CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (32 - j)} ELSE 0 END)" for j in range(1, 33))} AS BIGINT) AS simhash
     FROM bits
     """,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash: each word votes ±1 per bit position (derived from the
+    """32-bit SimHash: each word votes ±1 per bit position (derived from the
     parity of its md5 hex digits); the sign vector is the fingerprint.
     Near-dups differ in few bits — Hamming-ball lookups go via band indexes."""
     d = load(spark, sf_dir, "documents")
@@ -241,11 +246,11 @@ def dedup_simhash(spark, sf_dir):
             F.sum(
                 2 * ((F.instr(F.lit(_HEX), F.substring("h", j, 1)) - 1) % 2) - 1
             ).alias(f"s{j}")
-            for j in range(1, 17)
+            for j in range(1, 33)
         ]
     )
     simhash = sum(
-        (F.when(F.col(f"s{j}") > 0, 2 ** (16 - j)).otherwise(0) for j in range(1, 17)),
+        (F.when(F.col(f"s{j}") > 0, 2 ** (32 - j)).otherwise(0) for j in range(1, 33)),
         F.lit(0),
     )
     return bits.select("doc_id", simhash.cast("long").alias("simhash"))
@@ -326,16 +331,16 @@ def dedup_embedding_nn(spark, sf_dir):
     ),
     bits AS (
       SELECT doc_id,
-             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 17))}
+             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 33))}
       FROM wh GROUP BY doc_id
     ),
     sh AS (
       SELECT doc_id,
-             CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (16 - j)} ELSE 0 END)" for j in range(1, 17))} AS BIGINT) AS simhash
+             CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (32 - j)} ELSE 0 END)" for j in range(1, 33))} AS BIGINT) AS simhash
       FROM bits
     ),
     bands AS (
-      SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 4)) & 15 AS band_val
+      SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS band_val
       FROM sh, (VALUES (0), (1), (2), (3)) AS b(band_id)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -347,10 +352,12 @@ def dedup_embedding_nn(spark, sf_dir):
     tags=("dedup", "simhash", "lsh"),
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs with Hamming distance <= 3, found via 4-bit
-    banding (pigeonhole: <= 3 differing bits over 4 bands leaves >= 1 band
-    identical, so the band join has full recall for the threshold). The
-    Hamming filter is the cheap residual — never an all-pairs scan."""
+    """SimHash near-dup pairs with Hamming distance <= 3, found via 8-bit
+    banding over a 32-bit fingerprint (pigeonhole: <= 3 differing bits over
+    4 bands leaves >= 1 band identical — full recall for the threshold).
+    256 buckets per band keeps candidates ~(n/256)^2 per band instead of the
+    near-all-pairs a 16-bit/4-bit scheme degenerates to; production systems
+    scale this to 64-bit fingerprints as corpora grow."""
     sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
     bands = sig.select(
         "doc_id",
@@ -358,7 +365,7 @@ def dedup_simhash_pairs(spark, sf_dir):
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
     ).withColumn(
         # expr form: F.shiftright only takes a literal shift amount
-        "band_val", F.expr("shiftright(simhash, band_id * 4) & 15")
+        "band_val", F.expr("shiftright(simhash, band_id * 8) & 255")
     )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(

@@ -19,12 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.registry import query
-from .dedup import _SQL_MINHASH_SIG, _SQL_SHINGLED, N_BANDS, dedup_minhash_lsh
+from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG, _SQL_SHINGLED, dedup_minhash_lsh
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id = min id in
-    component). Nodes = every endpoint."""
+    component). Nodes = every endpoint.
+
+    Each round does neighbor-min propagation PLUS pointer jumping
+    (comp <- comp(comp)), so convergence is O(log diameter) rounds, not
+    O(diameter) — a 1M-node chain needs ~20 rounds, not 1M. The loop runs to
+    a verified fixpoint; exhausting ``max_iter`` without convergence raises
+    instead of silently returning partial labels (which would disagree with
+    the exact transitive-closure oracle).
+    """
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -43,12 +51,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("comp").alias("neigh_comp"))
         )
+        stepped = nodes.join(neigh_min, nodes.id == neigh_min.src, "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: follow the label one hop (comp of comp)
+        labels = stepped.select(
+            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+        )
         updated = (
-            nodes.join(neigh_min, nodes.id == neigh_min.src, "left")
+            stepped.join(labels, stepped.comp == labels.cid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("ccomp", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()  # cut lineage: plans stay O(1) per round
@@ -58,6 +74,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return nodes.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
@@ -66,9 +86,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE shingled AS ({_SQL_SHINGLED}),
     sig AS ({_SQL_MINHASH_SIG}),
-    bands AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, md5(m{2 * b} || m{2 * b + 1}) AS band_sig FROM sig" for b in range(N_BANDS))}
-    ),
+    bands AS ({_SQL_BANDS}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b

@@ -85,8 +85,9 @@ def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "mime": pdf["meta"].map(lambda m: m["mime"]),
-                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                # meta is nullable in MEDIA_SCHEMA — guard row-wise
+                "mime": pdf["meta"].map(lambda m: m["mime"] if m is not None else None),
+                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"] if m is not None else None),
                 "feature": feats,
                 "status": ["stub-decoded"] * len(pdf),
             })

@@ -135,15 +135,17 @@ def sim_rp_lsh_topk(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import types as T
 
-    n_bits, dim, seed = 6, 64, 42  # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
+    n_bits, seed = 6, 42  # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
 
     # annotations reference module-level `pd` so get_type_hints can resolve
     # them under `from __future__ import annotations`
     @pandas_udf(T.IntegerType())
     def sketch(emb: pd.Series) -> pd.Series:
-        planes = np.random.RandomState(seed).randn(dim, n_bits)
-        m = np.stack(emb.values) @ planes > 0
-        return pd.Series((m * (1 << np.arange(n_bits))).sum(axis=1).astype("int32"))
+        m = np.stack(emb.values)
+        # derive dim from the data — hardcoding it breaks on any other corpus
+        planes = np.random.RandomState(seed).randn(m.shape[1], n_bits)
+        bits = m @ planes > 0
+        return pd.Series((bits * (1 << np.arange(n_bits))).sum(axis=1).astype("int32"))
 
     e = load(spark, sf_dir, "embeddings").withColumn("bucket", sketch("embedding"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -213,13 +213,19 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # plan-time scalar (one tiny job; the oracle's CROSS JOIN n)
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        round_half_up(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # corpus size as a lazy 1-row crossJoin (the oracle's CROSS JOIN n) —
+    # an eager d.count() would run a separate job at plan-construction time
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            round_half_up(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W
 

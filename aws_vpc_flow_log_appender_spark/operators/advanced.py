@@ -116,20 +116,30 @@ def agg_exact_percentiles(spark, sf_dir):
     "agg_min_max_by",
     oracle="""
     SELECT o_custkey,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
            floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS max_price
-    FROM orders
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders
+    )
     GROUP BY o_custkey
     """,
     tags=("agg", "argmax"),
 )
 def agg_min_max_by(spark, sf_dir):
-    """arg_max/arg_min (max_by/min_by): single-pass 'key of the extreme row'."""
+    """arg_max/arg_min (max_by/min_by): single-pass 'key of the extreme row'.
+    The ordering value is a (price, orderkey) struct so price ties resolve
+    identically in both engines (bare max_by on a tied value is arbitrary)."""
     o = load(spark, sf_dir, "orders")
+    tie = F.struct("o_totalprice", "o_orderkey")
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max_by("o_orderkey", tie).alias("biggest_order"),
+        F.min_by("o_orderkey", tie).alias("smallest_order"),
         round_half_up(F.max("o_totalprice"), 2).alias("max_price"),
     )
 

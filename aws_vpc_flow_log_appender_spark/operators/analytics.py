@@ -95,14 +95,15 @@ def funnel_signup_click_purchase(spark, sf_dir):
 )
 def retention_cohorts(spark, sf_dir):
     """Cohort retention: users bucketed by first-seen day, counted per
-    day-offset for the first week. first_day is small (1 row/user) -> the
-    join broadcasts; activity dedup is a distinct on (user, day)."""
+    day-offset for the first week. The first_day side is 1 row/user —
+    unbounded at scale — so join strategy is left to Catalyst/AQE (broadcast
+    when genuinely small, shuffle on user_id otherwise)."""
     e = load(spark, sf_dir, "events")
     day_num = (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast("long")
     first_day = e.groupBy("user_id").agg(F.min(day_num).alias("cohort_day"))
     activity = (
         e.select("user_id", day_num.alias("day"))
-        .join(F.broadcast(first_day), "user_id")
+        .join(first_day, "user_id")
         .select(
             "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
         )

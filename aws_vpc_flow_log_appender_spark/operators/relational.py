@@ -271,7 +271,8 @@ def sort_limit_offset(spark, sf_dir):
     "scalar_try_cast",
     oracle="""
     SELECT doc_id,
-           TRY_CAST(substr(text, 1, 3) AS BIGINT) AS first3_as_num,
+           CASE WHEN regexp_matches(substr(text, 1, 3), '^[0-9]+$')
+                THEN CAST(substr(text, 1, 3) AS BIGINT) END AS first3_as_num,
            TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS roundtrip_chars,
            coalesce(TRY_CAST(lang AS BIGINT), -1) AS lang_as_num
     FROM documents
@@ -280,11 +281,16 @@ def sort_limit_offset(spark, sf_dir):
 )
 def scalar_try_cast(spark, sf_dir):
     """try_cast: malformed input -> NULL instead of error (ANSI-safe parsing
-    — the record-level dead-letter philosophy at expression granularity)."""
+    — the record-level dead-letter philosophy at expression granularity).
+
+    first3_as_num is regex-guarded on BOTH sides: the engines' bare TRY_CAST
+    semantics diverge ('+12' and '1.5' cast in DuckDB — with rounding — but
+    not in Spark), so the digits-only guard pins one shared definition."""
     d = load(spark, sf_dir, "documents")
+    first3 = F.substring("text", 1, 3)
     return d.select(
         "doc_id",
-        F.try_to_number(F.substring("text", 1, 3), F.lit("999")).cast("long").alias("first3_as_num"),
+        F.when(first3.rlike("^[0-9]+$"), first3.cast("long")).alias("first3_as_num"),
         F.col("n_chars").cast("string").cast("long").alias("roundtrip_chars"),
         F.coalesce(F.expr("try_cast(lang AS LONG)"), F.lit(-1)).alias("lang_as_num"),
     )

@@ -20,9 +20,11 @@ def salted_sum_count(df: DataFrame, key_cols: list[str],
     -> groupBy(key) -> final sums.
 
     ``agg_cols`` maps input column -> output alias; sums and counts only
-    (they re-aggregate losslessly; avg = sum/count downstream). The hot key's
-    rows spread over ``n_salts`` reducers in phase 1; phase 2 reduces
-    n_salts pre-aggregated rows per key — trivially balanced.
+    (they re-aggregate losslessly). Each summed column also gets a non-null
+    count ``n_<alias>`` so a downstream mean is sum/n_<alias> — using the
+    row count for a nullable column would understate it. The hot key's rows
+    spread over ``n_salts`` reducers in phase 1; phase 2 reduces n_salts
+    pre-aggregated rows per key — trivially balanced.
     """
     salt = (F.rand(seed=0) * n_salts).cast("int").alias("__salt")
     phase1 = (
@@ -30,11 +32,13 @@ def salted_sum_count(df: DataFrame, key_cols: list[str],
         .groupBy(*key_cols, "__salt")
         .agg(
             *[F.sum(src).alias(f"__s_{alias}") for src, alias in agg_cols.items()],
+            *[F.count(src).alias(f"__c_{alias}") for src, alias in agg_cols.items()],
             F.count("*").alias("__s_n"),
         )
     )
     return phase1.groupBy(*key_cols).agg(
         *[F.sum(f"__s_{alias}").alias(alias) for alias in agg_cols.values()],
+        *[F.sum(f"__c_{alias}").alias(f"n_{alias}") for alias in agg_cols.values()],
         F.sum("__s_n").alias("n_rows"),
     )
 
