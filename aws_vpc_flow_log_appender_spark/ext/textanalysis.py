@@ -235,3 +235,26 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@query(
+    "text_edit_distance",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000000') AS INTEGER) AS dist_to_proto,
+           CAST(levenshtein(lower(c_mktsegment), 'building') AS INTEGER) AS seg_dist
+    FROM customer
+    WHERE c_custkey % 4 = 0
+    """,
+    tags=("text", "editdistance"),
+)
+def text_edit_distance(spark, sf_dir):
+    """Edit-distance scoring (fuzzy matching primitive — entity resolution's
+    residual comparator after blocking). Cross-engine comparable since both
+    implement plain Levenshtein."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000000")).alias("dist_to_proto"),
+        F.levenshtein(F.lower("c_mktsegment"), F.lit("building")).alias("seg_dist"),
+    )
