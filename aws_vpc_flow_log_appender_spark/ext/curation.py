@@ -1,0 +1,176 @@
+"""Capstone: the full training-data curation pipeline as one composed query.
+
+The individual operators (quality scoring, exact dedup, MinHash-LSH, connected
+components) exist as separately-verified queries; this composes them the way a
+real corpus-prep job runs them:
+
+    documents
+      -> quality gate      (length band + mean word length)
+      -> exact dedup       (content-hash, keep lowest doc_id)
+      -> near-dup clusters (MinHash-LSH pairs -> connected components)
+      -> keep one representative per cluster (the cluster_id doc)
+      -> per-language corpus stats
+
+Oracle: the same composition in SQL, reusing the exact shared fragments
+(shingle/minhash/band CTEs + the recursive-CTE closure) — so the composition
+itself is hash-verified, not just the pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.registry import load, query
+from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG, _SQL_SHINGLED
+from .graph import connected_components
+from . import dedup as dedup_mod
+
+_SQL_QUALITY_GATE = """
+    length(text) BETWEEN 100 AND 500
+    AND (length(replace(text, ' ', '')) + 0.0)
+        / (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 3 AND 8
+"""
+
+
+def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents after the full gate chain (doc_id, lang, n_chars)."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))) + 1
+    avg_word_len = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    quality = d.filter(
+        F.length(text).between(100, 500) & avg_word_len.between(3, 8)
+    )
+
+    # exact dedup: keep the lowest doc_id per content hash
+    h = F.md5(F.encode("text", "utf-8"))
+    exact_kept = (
+        quality.withColumn("__h", h)
+        .withColumn(
+            "__keep",
+            F.col("doc_id") == F.min("doc_id").over(W.partitionBy("__h")),
+        )
+        .filter("__keep")
+        .drop("__h", "__keep")
+    )
+
+    # near-dup clusters over the quality-surviving corpus
+    pairs = _minhash_pairs_for(exact_kept)
+    clusters = connected_components(pairs)
+    joined = exact_kept.join(clusters, "doc_id", "left")
+    survivors = joined.filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return survivors.select("doc_id", "lang", "n_chars")
+
+
+def _minhash_pairs_for(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs over an arbitrary documents-shaped frame
+    (the registered dedup_minhash_lsh reads the full table; the pipeline needs
+    it over the gated subset)."""
+    sh = (
+        docs.withColumn("words", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(dedup_mod._SPARK_SHINGLES))).alias("sh"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("sh")), "utf-8"))
+            ).alias(f"m{j}")
+            for j in range(dedup_mod.N_MINHASH)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.encode(
+                                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")),
+                                "utf-8",
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(dedup_mod.N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE gated AS (
+      SELECT * FROM documents WHERE {_SQL_QUALITY_GATE}
+    ),
+    exact_kept AS (
+      SELECT * FROM (
+        SELECT g.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM gated g
+      ) WHERE doc_id = keep_id
+    ),
+    shingled AS (
+      SELECT doc_id, unnest(list_distinct({dedup_mod._SQL_SHINGLES})) AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM exact_kept)
+    ),
+    sig AS ({_SQL_MINHASH_SIG}),
+    bands AS ({_SQL_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    survivors AS (
+      SELECT e.doc_id, e.lang, e.n_chars
+      FROM exact_kept e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+      WHERE c.cluster_id IS NULL OR c.cluster_id = e.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM survivors GROUP BY lang
+    """,
+    tags=("curation", "capstone", "dedup", "iterative"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the curated corpus — the composed quality ->
+    exact-dedup -> near-dup-cluster -> representative chain, hash-verified
+    end to end."""
+    survivors = curate(spark, sf_dir)
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

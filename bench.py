@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_clusters",
     "sim_bruteforce_topk",
     "text_quality_score",
+    "corpus_curation_pipeline",
 ]
 
 
