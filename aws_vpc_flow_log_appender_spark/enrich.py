@@ -8,8 +8,9 @@ Reference behavior (decorator/index.js:163-197):
  - geo fields appended with ''/0 defaults when no geo data (:182-190)
 
 Spark-first design:
- - J1 -> broadcast LEFT OUTER equi join; first-match semantics via
-   dropDuplicates on the build side (lodash.find returns the first match).
+ - J1 -> broadcast LEFT OUTER equi join; deterministic-match discipline via
+   a stable-ordered row_number on the build side (lodash.find returns the
+   first match; see first_match_dim).
  - J2 (per-row HTTP geo lookup) -> a *data* join against a CIDR-range geo
    dimension: prefix-bucketed equi join + range filter, broadcast. At 100 TB
    the naive (ip BETWEEN start AND end) range join is O(n*m); bucketing by /16
@@ -47,9 +48,20 @@ def ip_to_int(col: Column | str) -> Column:
 
 
 def first_match_dim(eni_dim: DataFrame, key: str = "interfaceId") -> DataFrame:
-    """lodash.find takes the FIRST match (decorator/index.js:167); enforce the
-    same semantics by deduplicating the build side on the join key."""
-    return eni_dim.dropDuplicates([key])
+    """lodash.find takes the FIRST match (decorator/index.js:167). 'First' in
+    API-listing order is unknowable once distributed, so the enforced
+    discipline is *deterministic*-match: one row per key chosen by a stable
+    value ordering (bare dropDuplicates keeps whichever row the hash
+    aggregate meets first — flip-flopping sg-ids/direction across runs)."""
+    from pyspark.sql import Window as W
+
+    others = [c for c in eni_dim.columns if c != key]
+    w = W.partitionBy(key).orderBy(*[F.asc_nulls_last(c) for c in others])
+    return (
+        eni_dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def join_eni(parsed: DataFrame, eni_dim: DataFrame) -> DataFrame:
@@ -148,7 +160,8 @@ def bucket_geo_dim(geo_dim: DataFrame, prefix_bits: int = 16) -> DataFrame:
 
 
 def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
-             geolocation_enabled: bool = True, prefix_bits: int = 16) -> DataFrame:
+             geolocation_enabled: bool = True, prefix_bits: int = 16,
+             dim_is_disjoint: bool = False) -> DataFrame:
     """J2: geolocation as a broadcast prefix-bucketed range join.
 
     Replaces the serial per-row HTTP lookup (decorator/index.js:175-177,
@@ -178,8 +191,11 @@ def join_geo(df: DataFrame, geo_dim: DataFrame, src_col: str = "srcaddr",
     gate = (~is_rfc1918(src_col)) & F.col(src_col).isNotNull()
     shift = F.lit(2 ** (32 - prefix_bits))
     # de-overlap the dimension ONCE (dim-sized work) so each fact row can
-    # match at most one range — no post-join dedup shuffle on the fact side
-    bucketed = bucket_geo_dim(flatten_geo_dim(geo_dim), prefix_bits)
+    # match at most one range — no post-join dedup shuffle on the fact side.
+    # Callers that pre-flatten (e.g. streaming, where the static dim would
+    # otherwise be re-swept every micro-batch) pass dim_is_disjoint=True.
+    prepared = geo_dim if dim_is_disjoint else flatten_geo_dim(geo_dim)
+    bucketed = bucket_geo_dim(prepared, prefix_bits)
     ip_int = F.when(gate, ip_to_int(src_col))
     df = df.withColumn("__ip_int", ip_int).withColumn(
         "__ip_bucket", (F.col("__ip_int") / shift).cast("long")

@@ -54,6 +54,9 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("__keep")
         .drop("__h", "__keep")
+        # consumed twice (shingle source + final survivor join) and the CC
+        # loop would otherwise re-derive it per round through the pair graph
+        .localCheckpoint()
     )
 
     # near-dup clusters over the quality-surviving corpus

@@ -204,7 +204,9 @@ def flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = F.col("error")
     return enriched.select(
-        F.sha2(F.col("raw"), 256).alias("record_id"),
+        # parse_lines already derived recordId = sha2(line); re-hashing here
+        # would be a second per-row SHA-256 and a sync hazard
+        F.col("recordId").alias("record_id"),
         err.cast("int").alias("error_flag"),
         F.col("version"),
         F.col("`account-id`").alias("account_id"),

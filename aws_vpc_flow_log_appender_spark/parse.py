@@ -71,7 +71,9 @@ def parse_records(records: DataFrame, data_col: str = "data",
         raw = F.col(data_col)
         orig = unchunked_base64(F.encode(data_col, "utf-8"))
     df = records.withColumn("raw", raw).withColumn("__orig_b64", orig)
-    valid = is_valid_flow_line(F.col("raw"))
+    # null-safe: a NULL payload gives rlike(NULL)=NULL, and NULL `error`
+    # would be treated as false downstream, misrouting the record to 'Ok'
+    valid = F.coalesce(is_valid_flow_line(F.col("raw")), F.lit(False))
     parsed = parse_flow_fields(F.col("raw"))
     out = df.select(
         "recordId",

@@ -25,13 +25,15 @@ from .parse import parse_lines, parse_records
 
 
 def enrich_flow_logs(parsed: DataFrame, eni_dim: DataFrame, geo_dim: DataFrame,
-                     geolocation_enabled: bool = True) -> DataFrame:
+                     geolocation_enabled: bool = True,
+                     geo_dim_is_disjoint: bool = False) -> DataFrame:
     """Parse output -> fully enriched records (ENRICHED_SCHEMA columns +
     recordId/raw/error carried through)."""
     return join_geo(
         join_eni(parsed, eni_dim),
         geo_dim,
         geolocation_enabled=geolocation_enabled,
+        dim_is_disjoint=geo_dim_is_disjoint,
     )
 
 
@@ -46,12 +48,16 @@ def decorate(records: DataFrame, eni_dim: DataFrame, geo_dim: DataFrame,
 def decorate_lines(lines: DataFrame, eni_dim: DataFrame, geo_dim: DataFrame,
                    line_col: str = "value",
                    geolocation_enabled: bool = True,
-                   unique_ids: bool = False) -> DataFrame:
+                   unique_ids: bool = False,
+                   geo_dim_is_disjoint: bool = False) -> DataFrame:
     """Same pipeline over bare text lines (batch/file-source entry).
 
     ``unique_ids=True`` disambiguates byte-identical lines (see
     parse.parse_lines) — required when the sink dedupes on recordId.
+    ``geo_dim_is_disjoint=True`` skips the de-overlap sweep for callers that
+    pre-flattened the geo dimension (streaming reuse across micro-batches).
     """
     parsed = parse_lines(lines, line_col, unique_ids=unique_ids)
-    enriched = enrich_flow_logs(parsed, eni_dim, geo_dim, geolocation_enabled)
+    enriched = enrich_flow_logs(parsed, eni_dim, geo_dim, geolocation_enabled,
+                                geo_dim_is_disjoint=geo_dim_is_disjoint)
     return package_records(enriched)

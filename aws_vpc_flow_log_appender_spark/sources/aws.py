@@ -54,10 +54,16 @@ def firehose_sink(stream_name: str,
                 )
                 if not resp.get("FailedPutCount"):
                     return
+                responses = resp.get("RequestResponses", [])
+                if len(responses) != len(chunk):
+                    # can't tell WHICH records failed -> never silently drop
+                    raise RuntimeError(
+                        "firehose reported FailedPutCount="
+                        f"{resp['FailedPutCount']} but returned "
+                        f"{len(responses)} responses for {len(chunk)} records"
+                    )
                 chunk = [
-                    rec
-                    for rec, r in zip(chunk, resp.get("RequestResponses", []))
-                    if r.get("ErrorCode")
+                    rec for rec, r in zip(chunk, responses) if r.get("ErrorCode")
                 ]
                 attempt += 1
                 if attempt >= max_attempts:
@@ -155,6 +161,11 @@ def elasticsearch_sink(df: DataFrame, resource: str, nodes: str):
             .save()
         )
     except Exception as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "elasticsearch sink requires the elasticsearch-hadoop connector jar"
-        ) from exc
+        # only translate the missing-connector case; genuine write failures
+        # (unreachable nodes, mapping/auth errors) must propagate untouched
+        msg = str(exc)
+        if "Failed to find data source" in msg or "ClassNotFound" in msg:
+            raise NotImplementedError(
+                "elasticsearch sink requires the elasticsearch-hadoop connector jar"
+            ) from exc
+        raise

@@ -28,8 +28,20 @@ from ..schema import CLOUDWATCH_ENVELOPE_SCHEMA
 # at import time without an active SparkSession.
 @pandas_udf(T.BinaryType())
 def _gunzip(data: pd.Series) -> pd.Series:
-    """Vectorized gunzip (ingestor/index.js:100-110's gunzipPromise)."""
-    return data.map(lambda b: gzip.decompress(b) if b is not None else None)
+    """Vectorized gunzip (ingestor/index.js:100-110's gunzipPromise).
+
+    Corrupt payloads degrade to None per record (downstream from_json yields a
+    NULL envelope) — one bad gzip stream must never fail the whole batch."""
+
+    def safe(b):
+        if b is None:
+            return None
+        try:
+            return gzip.decompress(b)
+        except Exception:
+            return None
+
+    return data.map(safe)
 
 
 def decode_cloudwatch_events(events: DataFrame, data_col: str = "data") -> DataFrame:

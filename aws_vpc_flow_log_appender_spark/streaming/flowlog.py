@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..enrich import flatten_geo_dim
 from ..pipeline import decorate_lines
 
 
@@ -41,12 +42,16 @@ def stream_decorate(
     DescribeNetworkInterfaces call, in tests a fixture DataFrame factory.
     """
     lines = spark.readStream.format("text").load(input_path)
+    # the geo dim is static for the stream's lifetime: flatten its ranges
+    # ONCE here instead of re-running the boundary sweep every micro-batch
+    geo_flat = flatten_geo_dim(geo_dim).localCheckpoint() if geolocation_enabled else geo_dim
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         eni_dim = eni_provider(spark)  # per-batch dimension refresh
-        out = decorate_lines(batch_df, eni_dim, geo_dim,
+        out = decorate_lines(batch_df, eni_dim, geo_flat,
                              geolocation_enabled=geolocation_enabled,
-                             unique_ids=True)
+                             unique_ids=True,
+                             geo_dim_is_disjoint=True)
         # idempotent-by-epoch sink: each micro-batch owns its own partition
         # directory and a replayed batch OVERWRITES it — a partial write
         # followed by retry cannot duplicate rows (a blind append could).

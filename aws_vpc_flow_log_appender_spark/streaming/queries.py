@@ -38,29 +38,41 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated with the same tumbling-window semantics as the batch
     ts_tumbling_window — and the result must hash-match the same DuckDB
     oracle the batch query uses."""
+    import shutil
+
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_src_")
-    events.write.mode("overwrite").parquet(staging)
+    try:
+        events.write.mode("overwrite").parquet(staging)
 
-    stream = spark.readStream.schema(events.schema).parquet(staging)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            round_half_up(F.sum("value"), 4).alias("total_value"),
+        stream = spark.readStream.schema(events.schema).parquet(staging)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                round_half_up(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-        .select(
-            F.unix_timestamp(F.col("window.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
+        sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory").queryName(sink)
+            .trigger(availableNow=True).start()
         )
-    )
-    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
-    return spark.table(sink)
+        if not q.awaitTermination(300):
+            q.stop()  # a timed-out query would leak AND leave a partial sink
+            raise TimeoutError("stream_tumbling_window did not finish in 300s")
+        # materialize, then free the memory-sink table and staging copy —
+        # repeated invocations must not accumulate driver memory / tmp disk
+        rows = spark.table(sink).collect()
+        schema = spark.table(sink).schema
+        spark.catalog.dropTempView(sink)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

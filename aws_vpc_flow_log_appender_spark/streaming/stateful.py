@@ -25,7 +25,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 RUNNING_TOTALS_OUTPUT = "key string, total_bytes long, n_flows long, batch_rows long"
 RUNNING_TOTALS_STATE = "total_bytes long, n_flows long"
 
-DEDUP_OUTPUT = "recordId string, first_batch_rows long"
 DEDUP_STATE = "seen long"
 
 
@@ -62,35 +61,31 @@ def running_totals_stream(parsed: DataFrame, key_col: str = "`interface-id`") ->
 
 
 def dedup_first_occurrence_stream(records: DataFrame, key_col: str = "recordId") -> DataFrame:
-    """Emit each key's row only the first time it is ever seen (cross-batch).
+    """Emit each key's FULL first-seen record exactly once (cross-batch);
+    later duplicates (same batch or any later batch) are swallowed.
 
     The at-least-once upstream (the reference's retry model re-sends whole
     batches, ingestor/index.js:137-140) becomes exactly-once record delivery
-    downstream of this operator.
+    downstream of this operator — output schema == input schema, so it wires
+    in as a transparent dedup stage, not a key stream.
     """
 
     def update(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
         already = state.exists
-        n = 0
+        first_row = None
         for pdf in pdfs:
-            n += len(pdf)
-        if already or n == 0:
-            state.update((1,))
+            if first_row is None and len(pdf):
+                first_row = pdf.head(1)
+        state.update((1,))
+        if already or first_row is None:
             return
             yield  # pragma: no cover - keeps this a generator
-        state.update((1,))
-        # first_batch_rows = how many copies arrived in the first batch seen
-        # (an observability count, NOT a batch id — GroupState exposes none)
-        yield pd.DataFrame({"recordId": [key[0]], "first_batch_rows": [n]})
+        yield first_row
 
-    return (
-        records.select(key_col)
-        .groupBy(key_col)
-        .applyInPandasWithState(
-            update,
-            outputStructType=DEDUP_OUTPUT,
-            stateStructType=DEDUP_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return records.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=records.schema,
+        stateStructType=DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
