@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     analytics,
     aggregates,
     joins,
+    modernsql,
     relational,
     setops,
     timeseries,
