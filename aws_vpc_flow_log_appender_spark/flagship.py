@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from . import fixtures
 from .enrich import join_eni
+from .functions import round_half_up
 from .operators.registry import load, query
 from .pipeline import decorate_lines, enrich_flow_logs
 from .parse import parse_lines
@@ -390,5 +391,55 @@ def flowlog_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("end").alias("last_seen"),
             (F.max("end") - F.min("start")).alias("span_s"),
             F.countDistinct("srcport").alias("n_src_ports"),
+        )
+    )
+
+
+@query(
+    "flowlog_byte_anomalies",
+    oracle=f"""
+    WITH {_ORACLE_CTES},
+    stats AS (
+      SELECT record_id, srcaddr, bytes,
+             avg(bytes) OVER (PARTITION BY srcaddr) AS mu,
+             stddev_samp(bytes) OVER (PARTITION BY srcaddr) AS sigma,
+             count(*) OVER (PARTITION BY srcaddr) AS n_flows
+      FROM typed WHERE error_flag = 0
+    )
+    SELECT record_id, srcaddr, bytes,
+           floor(((bytes - mu) / sigma) * 10000.0 + 0.5) / 10000.0 AS z_score
+    FROM stats
+    WHERE n_flows >= 30 AND sigma > 0 AND (bytes - mu) / sigma > 1.5
+    """,
+    tags=("flowlog", "domain", "anomaly"),
+)
+def flowlog_byte_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volumetric anomaly detection: flows whose byte count exceeds their
+    source's mean by >1.5 sigma (exfiltration/beaconing triage; a uniform
+    synthetic byte distribution tops out near 1.73 sigma, so 1.5 keeps the
+    detector non-vacuous on the test corpus — production traffic is
+    heavy-tailed and would use 3+). Per-source baselines via window
+    aggregates — one shuffle on srcaddr; sources with <30 flows are skipped
+    (no stable baseline)."""
+    from pyspark.sql import Window as W
+
+    flows = _valid_parsed(spark, sf_dir)
+    w = W.partitionBy("srcaddr")
+    stats = flows.select(
+        F.col("recordId").alias("record_id"),
+        "srcaddr",
+        "bytes",
+        F.avg("bytes").over(w).alias("mu"),
+        F.stddev_samp("bytes").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_flows"),
+    )
+    z = (F.col("bytes") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter((F.col("n_flows") >= 30) & (F.col("sigma") > 0) & (z > 1.5))
+        .select(
+            "record_id",
+            "srcaddr",
+            "bytes",
+            round_half_up(z, 4).alias("z_score"),
         )
     )
