@@ -439,3 +439,43 @@ def agg_bitwise(spark, sf_dir):
         F.bit_or("user_id").alias("uid_or"),
         F.bit_xor("user_id").alias("uid_xor"),
     )
+
+
+@query(
+    "grouped_map_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+           floor((o_totalprice / max(o_totalprice) OVER (PARTITION BY o_custkey))
+                 * 1000000.0 + 0.5) / 1000000.0 AS price_vs_best
+    FROM orders
+    """,
+    tags=("udf", "groupedmap"),
+)
+def grouped_map_rank(spark, sf_dir):
+    """Grouped-map Pandas UDF (applyInPandas): per-customer rank + normalized
+    price computed in pandas per group — the custom-per-group-logic escape
+    hatch. The oracle is the pure-relational window twin, so the UDF path is
+    hash-verified against built-in semantics."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["price_rank"] = (pdf.index + 1).astype("int32")
+        import math
+
+        best = pdf["o_totalprice"].max()
+        pdf["price_vs_best"] = [
+            math.floor((v / best) * 1e6 + 0.5) / 1e6 for v in pdf["o_totalprice"]
+        ]
+        return pdf[["o_custkey", "o_orderkey", "price_rank", "price_vs_best"]]
+
+    return o.groupBy("o_custkey").applyInPandas(
+        per_group,
+        schema="o_custkey long, o_orderkey long, price_rank int, price_vs_best double",
+    )

@@ -1,0 +1,78 @@
+"""Custom Python DataSource (Spark 4 DataSource API): `flowlog` format.
+
+``spark.read.format("flowlog").load(path)`` scans raw VPC Flow Log text files
+and emits typed rows directly — parsing pushed into the source, one partition
+per file, schema declared up front. This is the packaged-connector form of
+what parse.parse_lines does as a transformation: a user points the reader at
+a log dump and gets FLOW_SCHEMA rows (+ raw/error for dead-lettering) with no
+pipeline assembly.
+
+Python data sources run in the Python worker (slower than the JVM text
+reader + Column parse used by the main pipeline) — this exists for
+connector-surface completeness and for formats the JVM has no reader for.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+from ..schema import FLOW_FIELDS, FLOW_LINE_PATTERN
+
+READ_SCHEMA = T.StructType(
+    [T.StructField("raw", T.StringType(), True),
+     T.StructField("error", T.BooleanType(), True)]
+    + [T.StructField(n, t, True) for n, t in FLOW_FIELDS]
+)
+
+_LONG_FIELDS = {n for n, t in FLOW_FIELDS if t.typeName() == "long"}
+
+
+class FlowLogDataSource(DataSource):
+    """format name: ``flowlog``; option ``path`` = file or glob of text logs."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flowlog"
+
+    def schema(self):
+        return READ_SCHEMA
+
+    def reader(self, schema):
+        return FlowLogReader(self.options)
+
+
+class FlowLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flowlog source requires a path")
+
+    def partitions(self):
+        import glob as globmod
+
+        files = sorted(globmod.glob(self.path)) or [self.path]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        pattern = re.compile(FLOW_LINE_PATTERN)
+        with open(partition.value) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                m = pattern.match(line)
+                if not m:
+                    yield (line, True) + (None,) * len(FLOW_FIELDS)
+                    continue
+                vals = []
+                for (name, _), tok in zip(FLOW_FIELDS, m.groups()):
+                    vals.append(int(tok) if name in _LONG_FIELDS else tok)
+                yield (line, False) + tuple(vals)
+
+
+def register(spark) -> None:
+    """Idempotent registration: after this, format('flowlog') resolves."""
+    spark.dataSource.register(FlowLogDataSource)

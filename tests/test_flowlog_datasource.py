@@ -1,0 +1,35 @@
+"""Custom Python DataSource: format('flowlog') must agree with the pipeline's
+parse_lines on the same input (connector vs transformation parity)."""
+
+from pyspark.sql import functions as F
+
+from aws_vpc_flow_log_appender_spark import fixtures
+from aws_vpc_flow_log_appender_spark.parse import parse_lines
+from aws_vpc_flow_log_appender_spark.sources.flowlog_datasource import register
+
+
+def test_flowlog_datasource_matches_parse_lines(spark, tmp_path):
+    register(spark)
+    lines = fixtures.make_lines(120)
+    f1 = tmp_path / "a.log"
+    f2 = tmp_path / "b.log"
+    f1.write_text("\n".join(lines[:60]) + "\n")
+    f2.write_text("\n".join(lines[60:]) + "\n")
+
+    via_source = spark.read.format("flowlog").load(str(tmp_path / "*.log"))
+    assert via_source.rdd.getNumPartitions() == 2  # one partition per file
+
+    via_pipeline = parse_lines(
+        spark.createDataFrame([(ln,) for ln in lines if ln], ["value"])
+    )
+    cols = ["raw", "error"] + [f"`{n}`" for n, _ in
+            __import__("aws_vpc_flow_log_appender_spark.schema",
+                       fromlist=["FLOW_FIELDS"]).FLOW_FIELDS]
+    a = {tuple(r) for r in via_source.select("raw", "error", *cols[2:]).collect()}
+    b = {tuple(r) for r in via_pipeline.select("raw", "error", *cols[2:]).collect()}
+    # empty lines are skipped by the source and absent from the pipeline input
+    assert a == b
+    # error routing agrees too
+    n_err_src = via_source.filter(F.col("error")).count()
+    n_err_pipe = via_pipeline.filter(F.col("error")).count()
+    assert n_err_src == n_err_pipe > 0
