@@ -109,25 +109,61 @@ def flatten_geo_dim(geo_dim: DataFrame) -> DataFrame:
 
     Classic boundary sweep: every start / end+1 becomes a breakpoint;
     consecutive breakpoints form candidate intervals; each interval takes the
-    narrowest source range containing it (uncovered gaps drop out). The
-    single-partition window is fine — this runs on dimension-sized data.
+    narrowest source range containing it (uncovered gaps drop out).
+
+    Scale posture (the module docstring promises a few-million-row GeoIP
+    feed): both sweep steps are bucketed by /8 IP prefix so nothing runs on
+    one core or as a nested loop —
+     - "next breakpoint" = lead() within each /8 bucket, patched across
+       bucket boundaries with a 256-row bucket spine (the only global window
+       runs on that spine, not the data);
+     - the interval→covering-range match is an equi join on the interval's
+       /8 bucket against ranges exploded into the /8 buckets they span
+       (complete because intervals never cross a breakpoint, hence never a
+       range boundary: interval ⊆ range ⟹ the interval's start bucket is
+       among the range's spanned buckets), with the BETWEEN containment as a
+       residual filter — a hash/sort-merge join, not BroadcastNestedLoop.
     """
     from pyspark.sql import Window as W
 
+    shift = F.lit(2 ** 24)  # /8 prefix buckets (≤256 distinct)
     points = (
         geo_dim.select(F.col("start_ip_int").alias("p"))
         .union(geo_dim.select((F.col("end_ip_int") + 1).alias("p")))
         .distinct()
+        .withColumn("__bkt", (F.col("p") / shift).cast("long"))
+    )
+    in_bucket = W.partitionBy("__bkt").orderBy("p")
+    # Tiny spine: one row per occupied /8 bucket; its global window sorts
+    # ≤256 rows, so the single partition is bounded regardless of dim size.
+    spine = (
+        points.groupBy("__bkt").agg(F.min("p").alias("__bmin"))
+        .withColumn("__next_bmin", F.lead("__bmin").over(W.orderBy("__bkt")))
+        .select("__bkt", "__next_bmin")
     )
     iv = (
-        points.withColumn("next_p", F.lead("p").over(W.orderBy("p")))
+        points.withColumn("__next_in_bkt", F.lead("p").over(in_bucket))
+        .join(F.broadcast(spine), "__bkt")
+        .withColumn("next_p", F.coalesce("__next_in_bkt", "__next_bmin"))
         .filter(F.col("next_p").isNotNull())
         .select(F.col("p").alias("f_start"), (F.col("next_p") - 1).alias("f_end"))
+        .withColumn("__f_bkt", (F.col("f_start") / shift).cast("long"))
+    )
+    exploded = geo_dim.withColumn(
+        "__r_bkt",
+        F.explode(
+            F.sequence(
+                (F.col("start_ip_int") / shift).cast("long"),
+                (F.col("end_ip_int") / shift).cast("long"),
+            )
+        ),
     )
     covered = iv.join(
-        geo_dim,
-        (iv.f_start >= geo_dim.start_ip_int) & (iv.f_end <= geo_dim.end_ip_int),
-    )
+        F.broadcast(exploded),
+        (iv["__f_bkt"] == exploded["__r_bkt"])
+        & (iv["f_start"] >= exploded["start_ip_int"])
+        & (iv["f_end"] <= exploded["end_ip_int"]),
+    ).drop("__f_bkt", "__r_bkt")
     most_specific = W.partitionBy("f_start").orderBy(
         F.asc(F.col("end_ip_int") - F.col("start_ip_int")), F.asc("start_ip_int")
     )

@@ -215,6 +215,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 _HEX = "0123456789abcdef"
 
+# 64-bit fingerprint: 2 bits per md5 hex digit (digit d contributes bits
+# d&1 and (d>>1)&1), so bit j in 1..64 reads hex digit (j+1)//2 at shift
+# (j-1)%2. Bit 1 is the sign bit of the signed-64 fingerprint, so its weight
+# is -2^63 (two's complement) — band extraction masks with & 255 after the
+# shift, which makes arithmetic-vs-logical right-shift of negative values
+# agree between Spark and DuckDB (verified empirically).
+SIMHASH_BITS = 64
+_SIMHASH_POS = [((j + 1) // 2, (j - 1) % 2) for j in range(1, SIMHASH_BITS + 1)]
+
+_SQL_SIMHASH_BITS = ", ".join(
+    f"sum(2 * (((strpos('{_HEX}', substr(h, {d}, 1)) - 1) >> {sh}) & 1) - 1) AS s{j}"
+    for j, (d, sh) in enumerate(_SIMHASH_POS, 1)
+)
+_SQL_SIMHASH_VAL = " + ".join(
+    ["(CASE WHEN s1 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END)"]
+    + [
+        f"(CASE WHEN s{j} > 0 THEN CAST({2 ** (SIMHASH_BITS - j)} AS BIGINT) ELSE 0 END)"
+        for j in range(2, SIMHASH_BITS + 1)
+    ]
+)
+
 
 @query(
     "dedup_simhash",
@@ -223,20 +244,22 @@ _HEX = "0123456789abcdef"
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
     ),
     bits AS (
-      SELECT doc_id,
-             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 33))}
+      SELECT doc_id, {_SQL_SIMHASH_BITS}
       FROM wh GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (32 - j)} ELSE 0 END)" for j in range(1, 33))} AS BIGINT) AS simhash
+    SELECT doc_id, CAST({_SQL_SIMHASH_VAL} AS BIGINT) AS simhash
     FROM bits
     """,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash: each word votes ±1 per bit position (derived from the
-    parity of its md5 hex digits); the sign vector is the fingerprint.
-    Near-dups differ in few bits — Hamming-ball lookups go via band indexes."""
+    """64-bit SimHash: each word votes ±1 per bit position (two bits per md5
+    hex digit); the sign vector is the fingerprint, stored as a signed long
+    (bit 1 = sign bit, two's complement). Near-dups differ in few bits —
+    Hamming-ball lookups go via the 8-bit band index in dedup_simhash_pairs.
+    64 bits keeps band occupancy non-degenerate on production-size corpora
+    (a 32-bit fingerprint saturates its 256-value bands as n grows,
+    degrading the bucketed pair join toward quadratic)."""
     d = load(spark, sf_dir, "documents")
     wh = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).select(
         "doc_id", F.md5(F.encode("w", "utf-8")).alias("h")
@@ -244,14 +267,23 @@ def dedup_simhash(spark, sf_dir):
     bits = wh.groupBy("doc_id").agg(
         *[
             F.sum(
-                2 * ((F.instr(F.lit(_HEX), F.substring("h", j, 1)) - 1) % 2) - 1
+                2
+                * F.shiftright(
+                    F.instr(F.lit(_HEX), F.substring("h", d, 1)) - 1, sh
+                ).bitwiseAND(F.lit(1))
+                - 1
             ).alias(f"s{j}")
-            for j in range(1, 33)
+            for j, (d, sh) in enumerate(_SIMHASH_POS, 1)
         ]
     )
     simhash = sum(
-        (F.when(F.col(f"s{j}") > 0, 2 ** (32 - j)).otherwise(0) for j in range(1, 33)),
-        F.lit(0),
+        (
+            F.when(F.col(f"s{j}") > 0, F.lit(2 ** (SIMHASH_BITS - j))).otherwise(
+                F.lit(0)
+            ).cast("long")
+            for j in range(2, SIMHASH_BITS + 1)
+        ),
+        F.when(F.col("s1") > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0)).cast("long"),
     )
     return bits.select("doc_id", simhash.cast("long").alias("simhash"))
 
@@ -279,8 +311,22 @@ def dedup_simhash(spark, sf_dir):
 def dedup_embedding_nn(spark, sf_dir):
     """Embedding near-dup scan: nearest cosine neighbor within the same label
     (IVF-style cluster pruning — the label is the coarse quantizer cell, so
-    candidate pairs are per-cell, never global all-pairs)."""
-    e = load(spark, sf_dir, "embeddings")
+    candidate pairs are per-cell, never global all-pairs). Cells above
+    CELL_CAP are sub-bucketed by a locality-preserving RP sign sketch
+    (similarity.with_capped_cell) so a hot cell can't scale as cell² —
+    inactive at fixture scale, hence the exact oracle."""
+    return _embedding_nn(load(spark, sf_dir, "embeddings"))
+
+
+def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None):
+    from .similarity import CELL_CAP, N_SUB_BITS, with_capped_cell
+
+    e = with_capped_cell(
+        e,
+        "label",
+        cell_cap if cell_cap is not None else CELL_CAP,
+        n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
+    )
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
@@ -307,6 +353,7 @@ def dedup_embedding_nn(spark, sf_dir):
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub_bucket") == F.col("b.sub_bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
@@ -330,39 +377,38 @@ def dedup_embedding_nn(spark, sf_dir):
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
     ),
     bits AS (
-      SELECT doc_id,
-             {", ".join(f"sum(2 * ((strpos('{_HEX}', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}" for j in range(1, 33))}
+      SELECT doc_id, {_SQL_SIMHASH_BITS}
       FROM wh GROUP BY doc_id
     ),
     sh AS (
-      SELECT doc_id,
-             CAST({" + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** (32 - j)} ELSE 0 END)" for j in range(1, 33))} AS BIGINT) AS simhash
+      SELECT doc_id, CAST({_SQL_SIMHASH_VAL} AS BIGINT) AS simhash
       FROM bits
     ),
     bands AS (
       SELECT doc_id, simhash, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS band_val
-      FROM sh, (VALUES (0), (1), (2), (3)) AS b(band_id)
+      FROM sh, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS b(band_id)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
     """,
     tags=("dedup", "simhash", "lsh"),
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs with Hamming distance <= 3, found via 8-bit
-    banding over a 32-bit fingerprint (pigeonhole: <= 3 differing bits over
-    4 bands leaves >= 1 band identical — full recall for the threshold).
-    256 buckets per band keeps candidates ~(n/256)^2 per band instead of the
-    near-all-pairs a 16-bit/4-bit scheme degenerates to; production systems
-    scale this to 64-bit fingerprints as corpora grow."""
+    """SimHash near-dup pairs with Hamming distance <= 7, found via 8-bit
+    banding over the 64-bit fingerprint (pigeonhole: <= 7 differing bits over
+    8 bands leaves >= 1 band identical — full recall for the threshold).
+    Negative fingerprints are fine: & 255 after the shift makes arithmetic
+    and logical right-shift agree, in both engines. The pair join is keyed on
+    (band_id, band_val) so only same-bucket docs ever meet; 64 bits keeps
+    those buckets sparse at corpus scale."""
     sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_id"),
+        F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("band_id"),
     ).withColumn(
         # expr form: F.shiftright only takes a literal shift amount
         "band_val", F.expr("shiftright(simhash, band_id * 8) & 255")
@@ -383,6 +429,6 @@ def dedup_simhash_pairs(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= 7)
         .distinct()
     )

@@ -21,6 +21,57 @@ from ..operators.registry import load, query
 N_QUERIES = 10  # vec_id < 10 are the query set
 TOP_K = 5
 
+# Cells larger than this get sub-bucketed by a random-hyperplane sign sketch
+# before the per-cell join: per-label/IVF-cell all-pairs scales as cell², so
+# one hot cell (skewed label, coarse quantizer imbalance) otherwise dominates
+# the whole job at corpus scale. The default is far above the fixture cell
+# sizes (sf0.1 cells are ~1k rows), so the capped path is semantically
+# inactive for the oracle comparison and only engages on genuinely hot cells.
+CELL_CAP = 32_768
+N_SUB_BITS = 4  # 16 sub-buckets per hot cell
+
+
+def rp_sketch_udf(n_bits: int, seed: int):
+    """Vectorized random-hyperplane sign sketch: numpy matmul over Arrow
+    batches (the sanctioned Pandas-UDF slow path). Row-wise deterministic —
+    seeded planes derive from (seed, dim), never from batch boundaries —
+    and locality-preserving: near-identical vectors agree on every sign with
+    high probability, which is what makes it a valid sub-bucket key for
+    near-duplicate candidates (a value hash would scatter them)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.IntegerType())
+    def sketch(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.values).astype("float64")
+        planes = np.random.RandomState(seed).randn(m.shape[1], n_bits)
+        bits = m @ planes > 0
+        return pd.Series((bits * (1 << np.arange(n_bits))).sum(axis=1).astype("int32"))
+
+    return sketch
+
+
+def with_capped_cell(e, cell_col: str, cell_cap: int = CELL_CAP,
+                     n_sub_bits: int = N_SUB_BITS, seed: int = 7):
+    """Add a ``sub_bucket`` column: 0 for rows in cells at/below ``cell_cap``
+    (capping inactive — exact per-cell semantics preserved), an RP-sketch
+    bucket for rows in hot cells. Joining on (cell, sub_bucket) then bounds
+    candidate counts by ~(cell/2^bits)² instead of cell². The cell-size
+    profile is one tiny aggregate broadcast back onto the rows."""
+    sizes = e.groupBy(cell_col).agg(F.count("*").alias("__cell_n"))
+    sketch = rp_sketch_udf(n_sub_bits, seed)
+    return (
+        e.join(F.broadcast(sizes), cell_col)
+        .withColumn(
+            "sub_bucket",
+            F.when(F.col("__cell_n") > cell_cap, sketch("embedding")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("__cell_n")
+    )
+
 _SQL_COS = """
     floor((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
@@ -92,22 +143,31 @@ def sim_ivf_topk(spark, sf_dir):
     """IVF-pruned top-k: probe only the query's own cell (label = coarse
     centroid assignment). At 100 TB this turns a full scan into
     corpus/n_cells per query; recall depends on cell quality, which is the
-    standard IVF trade."""
-    e = load(spark, sf_dir, "embeddings")
+    standard IVF trade. Cells above CELL_CAP are further split by an RP
+    sign sketch (with_capped_cell) so one hot cell can't go quadratic —
+    inactive at fixture scale, hence the exact oracle."""
+    return _ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _ivf_topk(e, cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS):
+    e = with_capped_cell(e, "label", cell_cap, n_sub_bits)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
+        F.col("sub_bucket").alias("q_sub"),
         F.col("embedding").alias("q_emb"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
+        F.col("sub_bucket").alias("c_sub"),
         F.col("embedding").alias("c_emb"),
     )
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("c_label") == F.col("q_label"))
+            & (F.col("c_sub") == F.col("q_sub"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
         .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
@@ -131,22 +191,8 @@ def sim_rp_lsh_topk(spark, sf_dir):
     rows-only check); recall is validated against sim_bruteforce_topk in
     tests/test_ext.py.
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql import types as T
-
-    n_bits, seed = 6, 42  # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
-
-    # annotations reference module-level `pd` so get_type_hints can resolve
-    # them under `from __future__ import annotations`
-    @pandas_udf(T.IntegerType())
-    def sketch(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.values)
-        # derive dim from the data — hardcoding it breaks on any other corpus
-        planes = np.random.RandomState(seed).randn(m.shape[1], n_bits)
-        bits = m @ planes > 0
-        return pd.Series((bits * (1 << np.arange(n_bits))).sum(axis=1).astype("int32"))
-
+    # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
+    sketch = rp_sketch_udf(n_bits=6, seed=42)
     e = load(spark, sf_dir, "embeddings").withColumn("bucket", sketch("embedding"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -406,10 +406,15 @@ def flowlog_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY srcaddr) AS n_flows
       FROM typed WHERE error_flag = 0
     )
-    SELECT record_id, srcaddr, bytes,
-           floor(((bytes - mu) / sigma) * 10000.0 + 0.5) / 10000.0 AS z_score
-    FROM stats
-    WHERE n_flows >= 30 AND sigma > 0 AND (bytes - mu) / sigma > 1.5
+    , zz AS (
+      SELECT record_id, srcaddr, bytes,
+             floor(((bytes - mu) / sigma) * 10000.0 + 0.5) / 10000.0 AS z_score
+      FROM stats
+      WHERE n_flows >= 30 AND sigma > 0
+    )
+    SELECT record_id, srcaddr, bytes, z_score
+    FROM zz
+    WHERE z_score > 1.5
     """,
     tags=("flowlog", "domain", "anomaly"),
 )
@@ -433,13 +438,15 @@ def flowlog_byte_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("bytes").over(w).alias("sigma"),
         F.count("*").over(w).alias("n_flows"),
     )
-    z = (F.col("bytes") - F.col("mu")) / F.col("sigma")
+    # Threshold on the ROUNDED z-score: avg/stddev accumulate in different
+    # orders on Spark vs DuckDB, so a raw z within an ulp of 1.5 can flip
+    # between engines; rounding both sides first makes the boundary
+    # comparison bit-identical.
+    z = round_half_up(
+        (F.col("bytes") - F.col("mu")) / F.col("sigma"), 4
+    ).alias("z_score")
     return (
-        stats.filter((F.col("n_flows") >= 30) & (F.col("sigma") > 0) & (z > 1.5))
-        .select(
-            "record_id",
-            "srcaddr",
-            "bytes",
-            round_half_up(z, 4).alias("z_score"),
-        )
+        stats.filter((F.col("n_flows") >= 30) & (F.col("sigma") > 0))
+        .select("record_id", "srcaddr", "bytes", z)
+        .filter(F.col("z_score") > 1.5)
     )

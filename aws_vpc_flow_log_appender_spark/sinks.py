@@ -28,7 +28,16 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     if files_per_partition <= 1:
         staged = df.repartition(*[F.col(c) for c in partition_cols])
     else:
-        salt = (F.rand(seed=0) * files_per_partition).cast("int")
+        # Salt must be deterministic per ROW, not per (partition, position):
+        # F.rand is only seed-stable for a fixed row order, so a task retry
+        # that replays rows in a different order would reassign salts
+        # mid-shuffle — a documented row-loss/duplication hazard for
+        # nondeterministic repartition expressions. Hash of the full row
+        # content is retry-stable; collisions only skew file sizes slightly.
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
         staged = df.repartition(
             *[F.col(c) for c in partition_cols], salt.alias("__salt")
         ).drop("__salt")

@@ -84,3 +84,51 @@ def test_exact_dedup_counts(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert total == docs
     assert keepers <= total
+
+
+def test_hot_cell_cap_bounds_candidates(spark):
+    """A cell above CELL_CAP must split into multiple RP-sketch sub-buckets
+    (bounding the per-cell pair join below cell^2); a cell at/below the cap
+    must keep sub_bucket == 0 everywhere, i.e. the capped path is inactive
+    and per-cell semantics — and the driver oracle — are exact."""
+    import random
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import with_capped_cell
+
+    rng = random.Random(7)
+    rows = [(i, 0, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(128)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+
+    capped = with_capped_cell(e, "label", cell_cap=32, n_sub_bits=3)
+    sizes = [r["n"] for r in capped.groupBy("sub_bucket").agg(
+        F.count("*").alias("n")).collect()]
+    assert len(sizes) > 1, "hot cell was not split"
+    assert sum(n * n for n in sizes) < 128 * 128  # candidate bound tightened
+
+    inactive = with_capped_cell(e, "label", cell_cap=128, n_sub_bits=3)
+    assert inactive.select("sub_bucket").distinct().collect()[0]["sub_bucket"] == 0
+    assert inactive.filter(F.col("sub_bucket") != 0).count() == 0
+
+
+def test_embedding_nn_capped_stays_within_sub_buckets(spark):
+    """With a small cap, every emitted nearest neighbor must share the
+    query's sub-bucket — the join shape that bounds a hot cell."""
+    import random
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import _embedding_nn
+    from aws_vpc_flow_log_appender_spark.ext.similarity import with_capped_cell
+
+    rng = random.Random(11)
+    rows = [(i, 0, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    nn = {r["vec_id"]: r["nn_id"]
+          for r in _embedding_nn(e, cell_cap=16, n_sub_bits=2).collect()}
+    assert nn, "no neighbors found"
+    bucket = {r["vec_id"]: r["sub_bucket"]
+              for r in with_capped_cell(e, "label", 16, 2).collect()}
+    for v, n in nn.items():
+        assert bucket[v] == bucket[n]

@@ -48,6 +48,21 @@ def test_flagship_joins_are_broadcast(plans):
     assert "BroadcastNestedLoopJoin" not in p  # the naive range-join shape
 
 
+def test_flatten_geo_dim_has_no_nested_loop(spark):
+    """The de-overlap sweep must plan as an equi join (bucketed containment),
+    not BroadcastNestedLoopJoin/CartesianProduct — at a few-million-row GeoIP
+    dim the pure-containment join is O(n*m) on one core."""
+    from aws_vpc_flow_log_appender_spark import fixtures
+    from aws_vpc_flow_log_appender_spark.enrich import flatten_geo_dim
+
+    p = (
+        flatten_geo_dim(fixtures.geo_dim_df(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_agg_has_partial_phase(plans):
     p = plans("agg_pricing_summary")
     assert "partial_sum" in p  # map-side combine before the exchange
