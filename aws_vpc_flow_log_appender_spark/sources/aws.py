@@ -149,17 +149,36 @@ def get_parameter(name: str, client_factory: Callable | None = None,
     return value
 
 
-def elasticsearch_sink(df: DataFrame, resource: str, nodes: str):
-    """S11: Elasticsearch terminal sink. Needs the elasticsearch-hadoop jar
-    on the classpath (not in this container) — config-only in the reference
-    too (Firehose-managed delivery, README.md:5,91)."""
+def elasticsearch_sink(df: DataFrame, resource: str, nodes: str,
+                       mapping_id: str | None = None,
+                       extra_options: dict[str, str] | None = None,
+                       writer: Callable[[DataFrame, str, str], None] | None = None):
+    """S11: Elasticsearch terminal sink (the reference's terminal store —
+    Firehose-managed ES delivery, README.md:5,91).
+
+    A thin ``df.write.format("org.elasticsearch.spark.sql")`` wrapper:
+    ``es.nodes``/``es.resource`` addressing, optional ``es.mapping.id`` for
+    idempotent upserts (re-delivery writes the same doc id instead of a
+    duplicate — the es-hadoop equivalent of the reference's at-least-once
+    Firehose delivery), and passthrough options.
+
+    ``writer`` injects the transport for tests / alternative connectors;
+    the NotImplementedError translation fires only when the es-hadoop jar is
+    genuinely absent from the classpath.
+    """
+    if writer is not None:
+        return writer(df, resource, nodes)
     try:
-        return (
+        w = (
             df.write.format("org.elasticsearch.spark.sql")
             .option("es.nodes", nodes)
             .option("es.resource", resource)
-            .save()
         )
+        if mapping_id is not None:
+            w = w.option("es.mapping.id", mapping_id)
+        for k, v in (extra_options or {}).items():
+            w = w.option(k, v)
+        return w.save()
     except Exception as exc:  # pragma: no cover
         # only translate the missing-connector case; genuine write failures
         # (unreachable nodes, mapping/auth errors) must propagate untouched
@@ -169,3 +188,20 @@ def elasticsearch_sink(df: DataFrame, resource: str, nodes: str):
                 "elasticsearch sink requires the elasticsearch-hadoop connector jar"
             ) from exc
         raise
+
+
+def elasticsearch_stream_sink(resource: str, nodes: str,
+                              mapping_id: str | None = None,
+                              writer: Callable[[DataFrame, str, str], None] | None = None,
+                              ) -> Callable[[DataFrame, int], None]:
+    """S11 streaming shape: a ``foreachBatch`` body delivering each micro-batch
+    through ``elasticsearch_sink`` — the Spark-native replacement for the
+    reference's Firehose->ES managed delivery, reusing the same injectable
+    transport so checkpointed re-delivery stays idempotent via mapping_id."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        elasticsearch_sink(
+            batch_df, resource, nodes, mapping_id=mapping_id, writer=writer
+        )
+
+    return write

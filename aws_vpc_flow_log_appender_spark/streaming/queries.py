@@ -37,7 +37,15 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a streamable location, consumed as a stream in one availableNow pass,
     aggregated with the same tumbling-window semantics as the batch
     ts_tumbling_window — and the result must hash-match the same DuckDB
-    oracle the batch query uses."""
+    oracle the batch query uses.
+
+    VERIFICATION-ONLY SHAPE: complete output mode + memory sink keeps every
+    (window, event_type) group in driver memory, which is bounded at fixture
+    SF but grows with the stream's time span — a 100x-time-span corpus makes
+    this a driver OOM. The production shape is
+    ``stream_tumbling_window_to_files`` below (watermark + append mode +
+    file sink: bounded state, no driver materialization); the batch twin is
+    ``ts_tumbling_window``."""
     import shutil
 
     events = load(spark, sf_dir, "events")
@@ -76,3 +84,57 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_tumbling_window_to_files(spark: SparkSession, source_path: str,
+                                    schema, output_path: str,
+                                    checkpoint_dir: str,
+                                    width: str = "1 hour",
+                                    watermark: str = "10 minutes",
+                                    timeout_s: int = 300) -> None:
+    """Production shape of the tumbling-window stream: watermark + APPEND
+    output mode + parquet file sink.
+
+    Why this is the 100 TB shape (vs the memory-sink verification query):
+     - watermark bounds state to (horizon x key cardinality) — independent of
+       how long the stream has been running;
+     - append mode emits each window exactly once, when the watermark passes
+       its end — finalized windows leave state instead of accumulating;
+     - the file sink writes on executors and is exactly-once under restart
+       via the checkpoint's sink log (no driver materialization anywhere).
+
+    Late-data caveat (one-directional guarantee): rows later than the
+    watermark are dropped, but a window is only emitted once the watermark
+    passes it — with availableNow the final watermark stops at
+    max(event_time) - delay, so trailing windows stay unemitted until more
+    data (or a later restart on the same checkpoint) advances it. That is
+    correct append-mode semantics, not data loss.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_tumbling_window_to_files did not finish in {timeout_s}s"
+        )

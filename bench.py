@@ -31,9 +31,12 @@ HEADLINE = [
     "ts_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "dedup_clusters",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "corpus_curation_pipeline",
 ]
 

@@ -111,3 +111,45 @@ def test_geocode_default_resolver_is_stubbed(spark):
     # resolver raises inside the UDF -> degrade path yields NULL, not failure
     row = df.select(geocode(F.col("ip")).alias("geo")).collect()[0]
     assert row["geo"] is None
+
+
+def test_elasticsearch_sink_injectable_writer(spark):
+    """S11: the sink delivers through an injected transport (the es-hadoop
+    jar is absent here); the wrapper must hand the writer the exact frame
+    and addressing it would give the connector."""
+    from aws_vpc_flow_log_appender_spark.sources.aws import (
+        elasticsearch_sink,
+        elasticsearch_stream_sink,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "record_id long, payload string"
+    )
+    seen = []
+    elasticsearch_sink(
+        df, "flowlogs/enriched", "es:9200",
+        writer=lambda d, res, nodes: seen.append(
+            (res, nodes, sorted(r["record_id"] for r in d.collect()))
+        ),
+    )
+    assert seen == [("flowlogs/enriched", "es:9200", [1, 2])]
+
+    # streaming shape: the foreachBatch body routes through the same writer
+    batches = []
+    sink = elasticsearch_stream_sink(
+        "flowlogs/enriched", "es:9200",
+        writer=lambda d, res, nodes: batches.append(d.count()),
+    )
+    sink(df, epoch_id=0)
+    sink(df, epoch_id=1)
+    assert batches == [2, 2]
+
+
+def test_elasticsearch_sink_without_jar_raises_not_implemented(spark):
+    """Without an injected writer and without the connector jar, the failure
+    must be the clear capability error, not an opaque ClassNotFound."""
+    from aws_vpc_flow_log_appender_spark.sources.aws import elasticsearch_sink
+
+    df = spark.createDataFrame([(1,)], "record_id long")
+    with pytest.raises(NotImplementedError, match="elasticsearch"):
+        elasticsearch_sink(df, "idx/doc", "localhost:9200")

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_vpc_flow_log_appender_spark import fixtures
+from aws_vpc_flow_log_appender_spark.functions import round_half_up
 from aws_vpc_flow_log_appender_spark.operators.registry import load
 from aws_vpc_flow_log_appender_spark.streaming import (
     sessionized_stream,
@@ -171,3 +172,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # exactly one emission of hour 0, with exactly the on-time event count
     assert len(hour0_rows) == 1
     assert hour0_rows[0]["n_events"] == 1
+
+
+def test_tumbling_window_file_sink_production_shape(spark, sf_dir,
+                                                    events_parquet, tmp_path):
+    """The production tumbling-window query (watermark + append mode +
+    parquet sink + checkpoint): emitted windows must match batch exactly,
+    only watermark-held trailing windows may be missing, and a restart on
+    the same checkpoint with no new input must not duplicate output."""
+    from aws_vpc_flow_log_appender_spark.streaming.queries import (
+        stream_tumbling_window_to_files,
+    )
+
+    batch_events = spark.read.parquet(events_parquet)
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    stream_tumbling_window_to_files(
+        spark, events_parquet, batch_events.schema, out, ckpt,
+        watermark="10 minutes",
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no windows emitted"
+    exp = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "event_type", "n_events", "total_value",
+        )
+        .collect()
+    }
+    for k, v in got.items():
+        assert exp[k] == v  # everything emitted matches batch exactly
+    # only trailing windows (watermark not yet past their end) may be held
+    held = set(exp) - set(got)
+    if held:
+        emitted_max = max(k[0] for k in got)
+        assert all(k[0] > emitted_max for k in held)
+
+    # exactly-once under restart: same checkpoint, no new input -> no dupes
+    n_before = spark.read.parquet(out).count()
+    stream_tumbling_window_to_files(
+        spark, events_parquet, batch_events.schema, out, ckpt,
+        watermark="10 minutes",
+    )
+    assert spark.read.parquet(out).count() == n_before
