@@ -80,6 +80,12 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--json",
+        help="also write a CORRECTNESS_r{N}.json-shaped artifact (registration "
+        "order) — interim driver-style evidence for queries outside the "
+        "driver's 50-entry correctness window",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -93,26 +99,49 @@ def main() -> int:
     names = args.names or list(qs)
 
     n_pass = n_fail = n_noracle = 0
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {e}"[:200],
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"----  {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle",
+            }
             n_noracle += 1
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb error: {e}"[:200],
+            }
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
         hard = [p for p in problems if not p.startswith("DTYPE")]
+        report[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": sorted(sdf.columns) == sorted(ddf.columns),
+            "hash_match": not hard,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(hard)[:200] if hard else None,
+        }
         if hard:
             print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
@@ -124,6 +153,12 @@ def main() -> int:
                   + (f"  [{soft}]" if soft else ""))
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
