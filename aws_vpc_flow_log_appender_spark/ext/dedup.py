@@ -387,6 +387,78 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None)
 
 
 @query(
+    "dedup_embedding_pairs",
+    oracle="""
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.35
+    """,
+    tags=("dedup", "embedding", "pairs"),
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding near-dup PAIRS: every same-cell pair above a cosine
+    threshold (the drop-list form of embedding dedup — nn keeps one nearest
+    neighbor, this emits the full duplicate graph edges for clustering).
+    Same hot-cell discipline as dedup_embedding_nn: pairs only meet within
+    (label, sub_bucket). The threshold compares the ROUNDED cosine on both
+    engines so accumulation-order ulps can't flip boundary rows."""
+    return _embedding_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def _embedding_pairs(e, threshold: float = 0.35,
+                     cell_cap: int | None = None, n_sub_bits: int | None = None):
+    from .similarity import CELL_CAP, N_SUB_BITS, with_capped_cell
+
+    e = with_capped_cell(
+        e,
+        "label",
+        cell_cap if cell_cap is not None else CELL_CAP,
+        n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding").cast("array<double>"),
+            F.col("b.embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(side):
+        v = F.col(f"{side}.embedding").cast("array<double>")
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub_bucket") == F.col("b.sub_bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round_half_up(dot / (norm("a") * norm("b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@query(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH wh AS (

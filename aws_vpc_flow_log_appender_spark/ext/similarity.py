@@ -180,6 +180,129 @@ def _ivf_topk(e, cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS):
     )
 
 
+N_PROBE = 2  # cells examined per query in the multi-probe variant
+
+
+@query(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent0 AS (
+      SELECT label, pos, avg(x) AS cx FROM (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label,
+             list(floor(cx * 1000000.0 + 0.5) / 1000000.0 ORDER BY pos) AS centroid
+      FROM cent0 GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, c.label,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 floor((list_dot_product(q.qv, c.centroid)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.centroid, c.centroid)))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                 c.label) AS rn
+        FROM q, cent c)
+      WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             floor((list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN e ON e.label = p.label AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def sim_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF top-k: each query scans its N_PROBE nearest cells by
+    centroid cosine instead of only its own — the standard recall fix for
+    the single-probe IVF trade (a query near a cell boundary has true
+    neighbors in the adjacent cell). Cost scales as N_PROBE/n_cells of the
+    corpus per query, still never a full scan.
+
+    Engine-portability discipline: centroid components and every cosine are
+    rounded to 1e-6 BEFORE ranking, and cell ranking tiebreaks on label —
+    Spark and DuckDB accumulate the per-dimension averages in different
+    orders, so ranking on raw floats could flip near-tied cells."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def cos(x, y):
+        def dot(p, r):
+            return F.aggregate(
+                F.zip_with(p, r, lambda m, n: m * n),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+
+        return round_half_up(
+            dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))), 6
+        )
+
+    cent = (
+        e.select("label", F.posexplode(v).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select(
+            "label",
+            F.transform("pc", lambda s: round_half_up(s["cx"], 6)).alias("centroid"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), v.alias("qv")
+    )
+    ranked = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "label",
+        "qv",
+        F.row_number()
+        .over(
+            W.partitionBy("query_id").orderBy(
+                F.desc(cos(F.col("qv"), F.col("centroid"))), F.asc("label")
+            )
+        )
+        .alias("rn"),
+    )
+    probes = ranked.filter(F.col("rn") <= N_PROBE).select("query_id", "label", "qv")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        v.alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(probes),
+        (F.col("c_label") == F.col("label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 @query("sim_rp_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
 def sim_rp_lsh_topk(spark, sf_dir):
     """Random-hyperplane (sign) LSH: 6-bit sketch per vector from seeded

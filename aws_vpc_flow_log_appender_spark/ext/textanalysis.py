@@ -258,3 +258,47 @@ def text_edit_distance(spark, sf_dir):
         F.levenshtein("c_name", F.lit("Customer#000000000")).alias("dist_to_proto"),
         F.levenshtein(F.lower("c_mktsegment"), F.lit("building")).alias("seg_dist"),
     )
+
+
+# BPE-style pre-tokenizer pattern: letter runs, digit runs, and punctuation
+# runs each become one pre-token (the split a byte-pair tokenizer refines).
+# Plain character classes only — identical semantics in Java regex (Spark)
+# and DuckDB's RE2.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+           CAST(length(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+           floor((length(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                  / (length(text) - length(replace(text, ' ', '')) + 1.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS bpe_per_ws_token
+    FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish regex pre-tokenizer alongside the plain
+    whitespace count: letter/digit/punctuation runs as separate pre-tokens
+    (what subword tokenizers split before merging). The per-token cost ratio
+    (bpe_per_ws_token) is the usual budget metric when estimating LLM token
+    counts from a whitespace-tokenized corpus. Pure Column expressions —
+    regexp evaluation stays in codegen, no Python."""
+    d = load(spark, sf_dir, "documents")
+    n_ws = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        round_half_up(F.size(bpe) / n_ws.cast("double"), 6).alias(
+            "bpe_per_ws_token"
+        ),
+    )

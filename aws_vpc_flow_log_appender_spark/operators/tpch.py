@@ -1,6 +1,10 @@
-"""Classic TPC-H queries adapted to the driver tables' column subset
-(no partsupp/commitdate/shipmode/comment columns exist here, so Q2/Q4/Q12/...
-variants are out of scope; these five keep their canonical shapes).
+"""Classic TPC-H queries adapted to the driver tables' column subset.
+
+Q6/Q10/Q14/Q18/Q19 and Q5 keep their canonical shapes; Q4 and Q16 keep the
+canonical *query shape* (EXISTS semi-join by priority; distinct-supplier
+counts per part attribute) with predicates adapted to the columns that exist
+(no commitdate/receiptdate/partsupp here). Q2/Q12/... remain out of scope
+(their defining columns are absent entirely).
 """
 
 from __future__ import annotations
@@ -193,4 +197,121 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
     return j.filter(cond).agg(
         round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n_matches"),
+    )
+
+
+@query(
+    "tpch_q4_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "agg"),
+)
+def tpch_q4_priority_semi(spark, sf_dir):
+    """Q4 shape (order priority checking): EXISTS semi-join from orders into
+    lineitem, grouped by priority. The canonical commitdate<receiptdate
+    predicate is absent from this column subset; returned-items stands in.
+    LEFT SEMI keeps the fact table un-duplicated (no post-join distinct) and
+    the orders-side date filter is pushed to the scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """Q5 (local supplier volume), canonical shape: the only TPC-H query with
+    a join predicate BETWEEN dimensions (customer.nation = supplier.nation).
+    Facts join facts on keys (AQE picks the strategy); every dimension is
+    broadcast; the region filter prunes nations before they ever reach the
+    fact side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#15' AND p.p_size IN (5, 10, 15, 20)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "agg", "distinct"),
+)
+def tpch_q16_parts_supplier_counts(spark, sf_dir):
+    """Q16 shape (parts/supplier relationship): distinct-supplier counts per
+    part attribute, with lineitem standing in for the absent partsupp table.
+    countDistinct plans as a two-stage partial/final aggregate; the selective
+    part predicates ride the broadcast dim into the fact scan via DPP-style
+    filter pushdown."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )

@@ -145,3 +145,25 @@ def test_embedding_nn_capped_stays_within_sub_buckets(spark):
               for r in with_capped_cell(e, "label", 16, 2).collect()}
     for v, n in nn.items():
         assert bucket[v] == bucket[n]
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Multi-probe IVF exists to fix the single-probe recall trade: against
+    the brute-force ground truth it must never recall fewer true neighbors
+    than probing only the query's own cell."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import sim_ivf_multiprobe
+
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_bruteforce_topk(spark, sf_dir).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ivf_topk(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ivf_multiprobe(spark, sf_dir).collect()
+    }
+    assert len(multi & base) >= len(single & base)
+    assert len(multi) == 50  # 10 queries x top-5, cells always non-empty
