@@ -1,0 +1,157 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+The cardinal rule at corpus scale: splits must be a pure function of the
+ROW, never of execution order — `df.sample()` or `rand()` assignments change
+under retries, repartitioning, or reruns, silently leaking holdout data into
+training. Hash-based assignment (split = f(md5(key))) is stable across runs,
+engines, and cluster layouts, and never shuffles: both operators here are
+narrow transformations (plus one aggregation keyed by the output grouping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.registry import load, query
+
+# train fraction 0.9 expressed as an integer threshold over the first 32
+# hash bits: floor(0.9 * 2^32). Integer compare, no float boundary to drift.
+TRAIN_THRESHOLD = 3865470566
+HASH_SPACE = 4294967296  # 2^32
+
+
+def _hash32_sql(expr: str, salt: str) -> str:
+    """First 32 bits of md5('<salt>:' || expr) as BIGINT (DuckDB)."""
+    return f"CAST('0x' || substr(md5('{salt}:' || CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+def hash32(col, salt: str):
+    """First 32 bits of md5('<salt>:' || col) as long — engine-portable
+    (Spark twin of _hash32_sql; the salt namespaces independent splits so a
+    second split of the same corpus is uncorrelated with the first)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(F.concat(F.lit(f"{salt}:"), col.cast("string")), "utf-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+@query(
+    "sample_holdout_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_hash32_sql('doc_id', 'split')} < {TRAIN_THRESHOLD}
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "split"),
+)
+def sample_holdout_split(spark, sf_dir):
+    """Deterministic 90/10 train/val holdout: split = md5(doc_id) bucket
+    compared against an integer threshold. Row-pure (stable under retry,
+    rerun, engine change), no shuffle at all — the assignment is a narrow
+    projection, so splitting a 100 TB corpus costs one scan."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(hash32(F.col("doc_id"), "split") < TRAIN_THRESHOLD, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_split_rates",
+    oracle=f"""
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE WHEN {_hash32_sql('doc_id', 'split')} < {TRAIN_THRESHOLD}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    GROUP BY lang, split
+    """,
+    tags=("sampling", "split", "agg"),
+)
+def sample_split_rates(spark, sf_dir):
+    """Per-language split occupancy — the monitoring view over
+    sample_holdout_split (hash splits are only per-stratum ~90/10 in
+    expectation; this is the query that verifies no stratum drifted).
+    One shuffle keyed by (lang, split) — 10 groups, partial-aggregated."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.when(hash32(F.col("doc_id"), "split") < TRAIN_THRESHOLD, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS start_off
+      FROM toks
+    )
+    SELECT source,
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM offsets
+    GROUP BY source, CAST(start_off // {PACK_BUDGET} AS BIGINT)
+    """,
+    tags=("sampling", "packing", "window"),
+)
+def text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the standard LLM pretraining
+    batching step): per source, documents concatenate in doc_id order into a
+    token stream chopped every PACK_BUDGET tokens; a document belongs to the
+    sequence its first token lands in. Expressed as a running-sum window per
+    source + integer division — one shuffle on source, no Python. At 100 TB
+    the window partitions by source, so parallelism = #sources; a single
+    giant source would be range-partitioned on (source, doc_id) instead."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    offsets = toks.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        offsets.groupBy(
+            "source",
+            F.floor(F.col("start_off") / PACK_BUDGET).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

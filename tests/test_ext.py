@@ -167,3 +167,38 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     }
     assert len(multi & base) >= len(single & base)
     assert len(multi) == 50  # 10 queries x top-5, cells always non-empty
+
+
+def test_holdout_split_is_deterministic_and_near_rate(spark, sf_dir):
+    """Hash-based splits must be row-pure (identical across runs) and close
+    to the target 90/10 in aggregate."""
+    from aws_vpc_flow_log_appender_spark.ext.sampling import sample_holdout_split
+
+    a = {r["doc_id"]: r["split"] for r in sample_holdout_split(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in sample_holdout_split(spark, sf_dir).collect()}
+    assert a == b
+    train_frac = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.84 <= train_frac <= 0.96  # 500 docs, binomial(0.9) tolerance
+
+
+def test_pack_sequences_conserves_tokens_and_is_dense(spark, sf_dir):
+    """Packing must conserve the token stream (no doc dropped or double
+    packed) and produce dense sequence ids per source."""
+    from aws_vpc_flow_log_appender_spark.ext.sampling import text_pack_sequences
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    packed = text_pack_sequences(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    total_tokens = d.select(
+        F.sum(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in packed) == total_tokens
+    per_source = {}
+    for r in packed:
+        per_source.setdefault(r["source"], []).append(r["seq_id"])
+    for seqs in per_source.values():
+        assert sorted(seqs) == list(range(len(seqs)))
