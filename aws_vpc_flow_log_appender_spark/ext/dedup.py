@@ -493,33 +493,103 @@ def dedup_simhash_pairs(spark, sf_dir):
     8 bands leaves >= 1 band identical — full recall for the threshold).
     Negative fingerprints are fine: & 255 after the shift makes arithmetic
     and logical right-shift agree, in both engines. The pair join is keyed on
-    (band_id, band_val) so only same-bucket docs ever meet; 64 bits keeps
-    those buckets sparse at corpus scale."""
-    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    (band_id, band_val) so only same-bucket docs ever meet; band buckets
+    above HOT_BAND_CAP are additionally RE-BANDED over the residual 56 bits
+    (see _simhash_pairs) — identical output, bounded candidates."""
+    return _simhash_pairs(dedup_simhash(spark, sf_dir))
+
+
+# Band buckets above this size are re-banded over their residual bits before
+# the pair join. Re-banding pays off when a hot bucket is mostly COLLISIONS
+# (template pages, boilerplate — few true pairs, n^2 wasted comparisons);
+# when a bucket is genuinely dup-saturated the output itself is quadratic
+# and no candidate scheme helps (the 10x scale smoke's word-soup corpus is
+# that case: one bucket = 27% of 50k docs but ~2M TRUE pairs). The cap sits
+# above fixture-scale bucket sizes so driver-checked runs take the direct
+# join; recall is unaffected either way — see the pigeonhole argument in
+# _simhash_pairs.
+HOT_BAND_CAP = 4096
+
+
+def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
+    """Banded Hamming<=7 pair join with hot-bucket re-banding.
+
+    Small (band, value) buckets join directly. For buckets above ``hot_cap``,
+    members are exploded over 8 sub-chunks of 7 bits each, sliced from the
+    56 bits that remain after deleting the band's own byte, and the join
+    additionally requires an equal sub-chunk. Recall proof: a qualifying
+    pair in the bucket agrees on the band byte, so its <= 7 differing bits
+    all fall in the 56 residual bits; 7 diffs across 8 chunks leave >= 1
+    chunk identical (pigeonhole) — every qualifying pair still meets.
+    Candidate count per hot bucket drops from n^2 to ~8 * 128 * (n/128)^2.
+    The output is IDENTICAL to the direct join (asserted in
+    tests/test_ext.py on a corpus where the cap engages), so the DuckDB
+    oracle keeps the simple formulation."""
+    m56 = (1 << 56) - 1
+    structs = []
+    for b in range(8):
+        low = (1 << (8 * b)) - 1
+        # delete byte b: low bytes stay, bytes above shift down 8 —
+        # shiftrightunsigned because simhash is signed (arithmetic shift
+        # would smear the sign bit into the residual)
+        residual = (
+            F.col("simhash").bitwiseAND(F.lit(low))
+            .bitwiseOR(
+                F.shiftrightunsigned("simhash", 8).bitwiseAND(F.lit(m56 ^ low))
+            )
+        )
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"shiftright(simhash, {b * 8}) & 255").alias("band_val"),
+                residual.alias("residual"),
+            )
+        )
     bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("band_id"),
-    ).withColumn(
-        # expr form: F.shiftright only takes a literal shift amount
-        "band_val", F.expr("shiftright(simhash, band_id * 8) & 255")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
-    return (
-        a.join(
-            b,
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("x")
+    ).select("doc_id", "simhash", "x.band_id", "x.band_val", "x.residual")
+
+    sizes = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("__bn"))
+    # materialize ONCE: small/hot and both sides of each self-join reuse the
+    # banded table — without the checkpoint the upstream fingerprint
+    # aggregation (64 sums over the exploded words) re-executes per branch
+    # (~5x, measured 3x wall-clock on the registered query). 8 longs per doc
+    # row, so the checkpoint is corpus-row-bounded, not corpus-byte-bounded.
+    bands = bands.join(sizes, ["band_id", "band_val"]).localCheckpoint(eager=False)
+    small = bands.filter(F.col("__bn") <= hot_cap)
+    hot = bands.filter(F.col("__bn") > hot_cap)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.expr(f"shiftright(residual, {c * 7}) & 127").alias("chunk_val"),
+        )
+        for c in range(8)
+    ]
+    hot_chunks = hot.select(
+        "doc_id", "simhash", "band_id", "band_val",
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select("doc_id", "simhash", "band_id", "band_val", "c.chunk_id", "c.chunk_val")
+
+    def pair(df, extra_keys):
+        a, b = df.alias("a"), df.alias("b")
+        cond = (
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
-        .select(
+        for k in extra_keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        hamming = F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).cast("int")
+        return a.join(b, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
+    return (
+        pair(small, [])
+        .unionByName(pair(hot_chunks, ["chunk_id", "chunk_val"]))
         .filter(F.col("hamming") <= 7)
         .distinct()
     )

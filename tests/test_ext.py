@@ -202,3 +202,37 @@ def test_pack_sequences_conserves_tokens_and_is_dense(spark, sf_dir):
         per_source.setdefault(r["source"], []).append(r["seq_id"])
     for seqs in per_source.values():
         assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_simhash_hot_bucket_rebanding_preserves_output(spark):
+    """Hot-bucket re-banding is candidate pruning only: on a corpus whose
+    band-0 bucket exceeds the cap, the capped join must emit EXACTLY the
+    pairs of the direct join (pigeonhole recall proof in _simhash_pairs)."""
+    import random
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import _simhash_pairs
+
+    rng = random.Random(13)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    doc = 0
+    for _ in range(150):
+        # all fingerprints share byte 0 (0xAA) -> one hot band-0 bucket
+        base = (rng.getrandbits(56) << 8) | 0xAA
+        rows.append((doc, signed(base))); doc += 1
+        # partner at Hamming 3 within the residual bits -> qualifying pair
+        flipped = base
+        for bit in rng.sample(range(8, 64), 3):
+            flipped ^= 1 << bit
+        rows.append((doc, signed(flipped))); doc += 1
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    direct = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in _simhash_pairs(sig, hot_cap=10**9).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in _simhash_pairs(sig, hot_cap=100).collect()}
+    assert len(direct) >= 150  # the planted partners all qualify
+    assert capped == direct

@@ -87,6 +87,67 @@ def main() -> int:
         f"fact-fact join strategy: {'shuffle (correct)' if not fact_fact_broadcast else 'broadcast (WRONG)'}; "
         f"{'ALL OK' if ok else 'FAILURES'}"
     )
+
+    # 3) dedup at scale: multiply documents (text perturbed per copy so the
+    # corpus grows in content, not just dup density) and check the 64-bit
+    # SimHash band index stays non-degenerate — the property that keeps the
+    # banded pair join sub-quadratic as corpora grow.
+    import shutil
+    import tempfile
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mdocs = (
+        docs.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__copy") * F.lit(10 ** 10))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" copyword"), F.col("__copy").cast("string")),
+        )
+        .drop("__copy")
+    )
+    tmpdir = tempfile.mkdtemp(prefix="scale_docs_")
+    try:
+        mdocs.write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+        n_docs = mult * docs.count()
+        t0 = time.perf_counter()
+        sig = dedup_simhash(spark, tmpdir)
+        occ = (
+            sig.select(
+                F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("band_id"),
+                "simhash",
+            )
+            .withColumn("band_val", F.expr("shiftright(simhash, band_id * 8) & 255"))
+            .groupBy("band_id", "band_val")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("max_bucket"), F.count("*").alias("n_buckets"))
+            .collect()[0]
+        )
+        t_sig = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_pairs = dedup_simhash_pairs(spark, tmpdir).count()
+        t_pairs = time.perf_counter() - t0
+        # degenerate would be one bucket holding ~all docs; healthy banding
+        # keeps the hottest (band, value) bucket well below n_docs
+        if occ["max_bucket"] > n_docs * 0.5:
+            print(
+                f"FAIL simhash banding degenerate: max bucket {occ['max_bucket']}"
+                f" of {n_docs} docs"
+            )
+            ok = False
+        print(
+            f"scale_smoke docs mult={mult}: {n_docs:,} docs; simhash+occupancy "
+            f"{t_sig:.1f}s; hottest band bucket {occ['max_bucket']} "
+            f"({occ['max_bucket'] / n_docs:.1%} of corpus, {occ['n_buckets']} "
+            f"occupied buckets); pairs {n_pairs:,} in {t_pairs:.1f}s; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     return 0 if ok else 1
 
 
