@@ -452,3 +452,92 @@ def flowlog_byte_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("record_id", "srcaddr", "bytes", z)
         .filter(F.col("z_score") > 1.5)
     )
+
+
+@query(
+    "flowlog_ddos_targets",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT destaddr,
+           CAST(start_s // 3600 AS BIGINT) AS hour_bucket,
+           CAST(count(DISTINCT srcaddr) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS rejected_flows,
+           CAST(sum(packets) AS BIGINT) AS rejected_packets
+    FROM typed
+    WHERE error_flag = 0 AND action = 'REJECT'
+    GROUP BY destaddr, CAST(start_s // 3600 AS BIGINT)
+    HAVING count(DISTINCT srcaddr) >= 4
+    """,
+    tags=("flowlog", "domain", "security"),
+)
+def flowlog_ddos_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-denial triage: destinations whose REJECTed traffic in one
+    hour arrives from many distinct sources (source fan-in burst — the
+    inverse of top-talkers). One shuffle keyed by (destaddr, hour); the
+    distinct-source count partial-aggregates map-side. Integer hour buckets
+    from epoch seconds keep the grouping engine-portable (no timestamp
+    truncation semantics involved)."""
+    flows = _valid_parsed(spark, sf_dir).filter(F.col("action") == "REJECT")
+    return (
+        flows.groupBy(
+            "destaddr",
+            F.floor(F.col("start") / 3600).cast("long").alias("hour_bucket"),
+        )
+        .agg(
+            F.countDistinct("srcaddr").alias("n_sources"),
+            F.count("*").alias("rejected_flows"),
+            F.sum("packets").alias("rejected_packets"),
+        )
+        .filter(F.col("n_sources") >= 4)
+    )
+
+
+@query(
+    "flowlog_service_mix",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT CASE dstport WHEN 22 THEN 'ssh' WHEN 80 THEN 'http'
+                        WHEN 443 THEN 'https' WHEN 6379 THEN 'redis'
+                        ELSE 'other' END AS service,
+           CASE protocol WHEN 6 THEN 'tcp' WHEN 17 THEN 'udp'
+                         ELSE 'other' END AS transport,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           floor((sum(CASE WHEN action = 'ACCEPT' THEN 1.0 ELSE 0.0 END) / count(*)) * 10000.0 + 0.5) / 10000.0
+             AS accept_rate
+    FROM typed
+    WHERE error_flag = 0
+    GROUP BY 1, 2
+    """,
+    tags=("flowlog", "domain", "agg"),
+)
+def flowlog_service_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-level traffic breakdown: well-known dstports mapped to
+    service names, accept rate per (service, transport) — the first
+    dashboard a flow-log consumer builds. All-Column CASE expressions, one
+    partial-aggregated shuffle over ~10 groups."""
+    flows = _valid_parsed(spark, sf_dir)
+    service = (
+        F.when(F.col("dstport") == 22, "ssh")
+        .when(F.col("dstport") == 80, "http")
+        .when(F.col("dstport") == 443, "https")
+        .when(F.col("dstport") == 6379, "redis")
+        .otherwise("other")
+    )
+    transport = (
+        F.when(F.col("protocol") == 6, "tcp")
+        .when(F.col("protocol") == 17, "udp")
+        .otherwise("other")
+    )
+    return (
+        flows.groupBy(service.alias("service"), transport.alias("transport"))
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+            round_half_up(
+                F.sum(F.when(F.col("action") == "ACCEPT", 1.0).otherwise(0.0))
+                / F.count("*"),
+                4,
+            ).alias("accept_rate"),
+        )
+    )
