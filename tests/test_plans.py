@@ -140,3 +140,25 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+def test_holdout_split_has_no_shuffle(plans):
+    """Hash-based split assignment must stay a narrow projection — an
+    Exchange here would mean splitting a 100 TB corpus pays a shuffle."""
+    p = plans("sample_holdout_split")
+    assert "Exchange" not in p
+
+
+def test_q6_predicates_reach_scan(plans):
+    p = plans("tpch_q6_forecast_revenue")
+    scan_line = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters" in scan_line
+    assert "l_shipdate" in scan_line and "l_quantity" in scan_line
+
+
+def test_q5_dims_broadcast(plans):
+    """Every dimension in Q5 must broadcast; only the fact-fact join may
+    shuffle (AQE's call at real scale)."""
+    p = plans("tpch_q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
