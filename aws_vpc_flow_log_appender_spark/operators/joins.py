@@ -318,3 +318,50 @@ def join_null_safe_eq(spark, sf_dir):
         F.concat(F.lit("bucket-"), F.col("id").cast("string")).alias("tag"),
     )
     return a.join(F.broadcast(b), a.k.eqNullSafe(b.k)).select("event_id", "tag")
+
+
+@query(
+    "join_interval_events",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    tags=("join", "interval", "timeseries"),
+)
+def join_interval_events(spark, sf_dir):
+    """Interval (range) self-join: every click -> purchase pair by the same
+    user within the following hour — the batch twin of the stream-stream
+    interval join (streaming/joins.py). Equi-key on user_id drives the join;
+    the time interval is a residual predicate, so Catalyst plans a hash/SMJ
+    join on user_id, never a time-range nested loop. Microsecond epoch
+    integers keep the bound arithmetic engine-portable."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + 3_600_000_000),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+        )
+    )

@@ -1,4 +1,5 @@
 from .flowlog import stream_decorate  # noqa: F401
+from .joins import stream_stream_interval_join  # noqa: F401
 from .stateful import (  # noqa: F401
     dedup_first_occurrence_stream,
     running_totals_stream,

@@ -225,3 +225,49 @@ def test_tumbling_window_file_sink_production_shape(spark, sf_dir,
         watermark="10 minutes",
     )
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (watermarks on both sides) must emit
+    exactly the batch interval join's pairs when the whole input arrives
+    within one micro-batch (single source file -> one batch, so no
+    watermark eviction can drop matches)."""
+    from aws_vpc_flow_log_appender_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_one_file")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    got = _run_stream(
+        spark, stream_stream_interval_join(stream), "ss_interval_out"
+    )
+    got_pairs = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in got.collect()
+    }
+
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us"),
+    )
+    exp_pairs = {
+        (r["click_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + 3_600_000_000),
+        ).select(
+            "click_id", "purchase_id", "user_id",
+            (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+        ).collect()
+    }
+    assert exp_pairs, "fixture has no qualifying pairs"
+    assert got_pairs == exp_pairs
