@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 from ..schema import FLOW_FIELDS, FLOW_LINE_PATTERN
@@ -43,6 +48,9 @@ class FlowLogDataSource(DataSource):
     def reader(self, schema):
         return FlowLogReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return FlowLogStreamReader(self.options)
+
 
 class FlowLogReader(DataSourceReader):
     def __init__(self, options):
@@ -61,16 +69,68 @@ class FlowLogReader(DataSourceReader):
         with open(partition.value) as fh:
             for line in fh:
                 line = line.rstrip("\n")
-                if not line:
-                    continue
-                m = pattern.match(line)
-                if not m:
-                    yield (line, True) + (None,) * len(FLOW_FIELDS)
-                    continue
-                vals = []
-                for (name, _), tok in zip(FLOW_FIELDS, m.groups()):
-                    vals.append(int(tok) if name in _LONG_FIELDS else tok)
-                yield (line, False) + tuple(vals)
+                if line:
+                    yield _parse_line(line, pattern)
+
+
+def _parse_line(line: str, pattern) -> tuple:
+    """One text line -> a READ_SCHEMA tuple (shared by batch + stream)."""
+    m = pattern.match(line)
+    if not m:
+        return (line, True) + (None,) * len(FLOW_FIELDS)
+    vals = []
+    for (name, _), tok in zip(FLOW_FIELDS, m.groups()):
+        vals.append(int(tok) if name in _LONG_FIELDS else tok)
+    return (line, False) + tuple(vals)
+
+
+class FlowLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the connector: `spark.readStream.format("flowlog")`.
+
+    File-tailing source with exactly-once file accounting: the offset is the
+    sorted list of file paths already delivered (JSON-serializable, stored
+    in the checkpoint's offset log). ``read`` delivers every file that
+    appeared since the last offset; ``readBetweenOffsets`` replays a
+    committed range deterministically after restart — the two halves of the
+    Simple stream-reader contract. Driver-side file listing + worker-side
+    parse mirrors how Spark's own file source splits the work.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flowlog stream source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _list(self) -> list[str]:
+        import glob as globmod
+
+        return sorted(globmod.glob(self.path))
+
+    def _rows_for(self, files: list[str]) -> list[tuple]:
+        # materialized, not a generator: Spark's prefetch cache copies the
+        # returned iterator for replay, and generators aren't picklable
+        pattern = re.compile(FLOW_LINE_PATTERN)
+        rows = []
+        for f in files:
+            with open(f) as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if line:
+                        rows.append(_parse_line(line, pattern))
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [f for f in self._list() if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return iter(self._rows_for(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return iter(self._rows_for(replay))
 
 
 def register(spark) -> None:

@@ -33,3 +33,44 @@ def test_flowlog_datasource_matches_parse_lines(spark, tmp_path):
     n_err_src = via_source.filter(F.col("error")).count()
     n_err_pipe = via_pipeline.filter(F.col("error")).count()
     assert n_err_src == n_err_pipe > 0
+
+def test_flowlog_datasource_streaming_tails_files(spark, tmp_path):
+    """The streaming form of the connector must deliver each file exactly
+    once across checkpointed restarts: run 1 sees file A; after file B
+    appears, run 2 on the same checkpoint appends only B's rows."""
+    from aws_vpc_flow_log_appender_spark import fixtures
+
+    register(spark)
+    src = tmp_path / "logs"
+    src.mkdir()
+    lines = fixtures.make_lines(40)
+    # blank lines are skipped by the reader (both batch and stream forms)
+    n_a = sum(1 for ln in lines[:25] if ln)
+    n_all = sum(1 for ln in lines if ln)
+    (src / "a.log").write_text("\n".join(lines[:25]) + "\n")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("flowlog")
+            .option("path", str(src / "*.log"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == n_a
+
+    (src / "b.log").write_text("\n".join(lines[25:]) + "\n")
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == n_all  # B appended once, A not re-delivered
+    # parsed rows carry the typed fields; malformed lines are dead-lettered
+    assert result.filter("error = false").count() > 0
