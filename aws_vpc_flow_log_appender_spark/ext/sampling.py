@@ -155,3 +155,51 @@ def text_pack_sequences(spark, sf_dir):
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+# per-stratum keep fractions expressed as integer thresholds over the first
+# 32 hash bits (floor(frac * 2^32)): integer compare, no float boundary.
+STRATA_FRACTIONS = {
+    "en": 0.05,  # downsample the dominant language hard
+    "es": 0.2,
+    "de": 0.3,
+    "zh": 0.5,
+    "fr": 1.0,  # keep all of the rarest stratum
+}
+STRATA_THRESHOLDS = {
+    lang: int(frac * HASH_SPACE) for lang, frac in STRATA_FRACTIONS.items()
+}
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {thr}" for lang, thr in STRATA_THRESHOLDS.items()
+    )
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_hash32_sql('doc_id', 'strata')} < ({_strata_case_sql()})
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: each language stratum keeps a
+    different fraction (rebalancing a language-skewed corpus is the #1
+    sampling job in multilingual training pipelines). Keep/drop is a pure
+    function of md5(doc_id) against a per-stratum integer threshold — stable
+    across runs, retries and engines, and a narrow filter: sampling 100 TB
+    is one scan with zero shuffle, and the filter pushes below any
+    downstream join. The salt ('strata') de-correlates this decision from
+    the train/val split above."""
+    d = load(spark, sf_dir, "documents")
+    thr = F.lit(0)
+    for lang, t in STRATA_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return d.filter(hash32(F.col("doc_id"), "strata") < thr).select(
+        "doc_id", "lang", "source"
+    )

@@ -302,3 +302,175 @@ def text_bpe_token_count(spark, sf_dir):
             "bpe_per_ws_token"
         ),
     )
+
+
+CHUNK_SIZE = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_start,
+           array_to_string(l[i+1:i+{CHUNK_SIZE}], ' ') AS chunk_text,
+           CAST(len(l[i+1:i+{CHUNK_SIZE}]) AS INTEGER) AS chunk_len
+    FROM tok, unnest(generate_series(0, len(l) - 1, {CHUNK_STRIDE})) AS t(i)
+    """,
+    tags=("text", "chunk", "explode"),
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (size 32, stride 24) — the standard
+    prep for fixed-context training: every token appears in at least one
+    chunk and boundaries overlap by 8 tokens so no context is cut mid-chunk.
+    Narrow transformation (tokenize -> posexplode of start offsets -> slice);
+    a 100 TB corpus chunks in one scan with zero shuffle, output partitions
+    inherit input partitioning."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("l"), F.col("chunk_start") + 1, CHUNK_SIZE)
+    return (
+        d.select("doc_id", toks.alias("l"), F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id, len(l) AS n_tokens,
+             list_transform(generate_series(0, len(l) - 2),
+                            i -> array_to_string(l[i+1:i+2], ' ')) AS bigrams
+      FROM tok WHERE len(l) >= 2
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS INTEGER) AS n_distinct_bigrams,
+           floor((1.0 - len(list_distinct(bigrams)) / (len(bigrams) + 0.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS repetition_ratio
+    FROM bg
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Duplicate-bigram ratio — the classic boilerplate/spam signal (high
+    ratio = the same word pairs repeat throughout the document). Pure array
+    Column arithmetic (tokenize -> bigram transform -> distinct count), no
+    explode and no shuffle: per-row work bounded by document length."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    return (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            bigrams.alias("bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("bigrams").alias("n_bigrams"),
+            F.size(F.array_distinct("bigrams")).alias("n_distinct_bigrams"),
+            round_half_up(
+                1.0
+                - F.size(F.array_distinct("bigrams"))
+                / F.size("bigrams").cast("double"),
+                6,
+            ).alias("repetition_ratio"),
+        )
+    )
+
+
+CONTAM_SHINGLE = 8  # tokens per contamination shingle
+BENCHMARK_SOURCE = "src0"  # stands in for the held-out eval set
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                 FROM documents WHERE len(string_split(text, ' ')) >= {CONTAM_SHINGLE}),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  array_to_string(l[i+1:i+{CONTAM_SHINGLE}], ' ') AS shingle
+           FROM tok, unnest(generate_series(0, len(l) - {CONTAM_SHINGLE})) AS t(i)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{BENCHMARK_SOURCE}')
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           floor((sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  / (count(*) + 0.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS contamination_ratio,
+           max(CASE WHEN s.source = '{BENCHMARK_SOURCE}' THEN 1 ELSE 0 END)
+             AS is_benchmark
+    FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "contamination"),
+)
+def text_contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan: fraction of each document's 8-token
+    shingles that also appear in the held-out benchmark set (here: the
+    BENCHMARK_SOURCE source). The decontamination gate every training corpus needs
+    before an eval claim is honest.
+
+    Scale shape: the benchmark shingle set is DISTINCT-ed and broadcast (eval
+    sets are tiny next to the corpus), so the probe is a map-side hash join
+    over the exploded corpus shingles — one corpus scan, one shuffle for the
+    per-doc DISTINCT, no all-pairs anything. Docs shorter than one shingle
+    are excluded on both engines (Spark's sequence() would descend on a
+    negative stop; DuckDB's generate_series would return empty)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingle = F.array_join(
+        F.slice(F.col("l"), F.col("i") + 1, CONTAM_SHINGLE), " "
+    )
+    sh = (
+        d.filter(n >= CONTAM_SHINGLE)
+        .select(
+            "doc_id",
+            "source",
+            toks.alias("l"),
+            F.explode(F.sequence(F.lit(0), n - CONTAM_SHINGLE)).alias("i"),
+        )
+        .select("doc_id", "source", shingle.alias("shingle"))
+        .distinct()
+    )
+    bench = (
+        sh.filter(F.col("source") == BENCHMARK_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+            round_half_up(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("contamination_ratio"),
+            F.max(
+                F.when(F.col("source") == BENCHMARK_SOURCE, 1).otherwise(0)
+            ).alias("is_benchmark"),
+        )
+    )
