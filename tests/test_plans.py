@@ -162,3 +162,46 @@ def test_q5_dims_broadcast(plans):
     assert p.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q3_topk_and_segment_pushdown(plans):
+    """Q3's LIMIT must plan as TakeOrderedAndProject (never a global sort of
+    all groups) and the segment filter must reach the customer scan."""
+    p = plans("tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    cust_scan = next(
+        l for l in p.splitlines() if "FileScan parquet" in l and "c_mktsegment" in l
+    )
+    assert "BUILDING" in cust_scan
+
+
+def test_q8_star_is_all_broadcast(plans):
+    """Q8 joins five dims around lineitem-orders: every dim must broadcast
+    (no SMJ fan-out), and the OR-of-nation-pairs predicate must not have
+    degraded any join to a nested loop."""
+    p = plans("tpch_q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_chunk_windows_no_shuffle(plans):
+    """Chunking is tokenize -> explode -> slice: one scan, zero Exchange —
+    the property that lets a 100 TB corpus chunk without a shuffle."""
+    p = plans("text_chunk_windows")
+    assert "Exchange" not in p
+    assert "Generate explode" in p  # the explode runs inline, not post-shuffle
+
+
+def test_stratified_sample_no_shuffle(plans):
+    """Per-stratum hash sampling must stay a narrow filter."""
+    p = plans("sample_stratified")
+    assert "Exchange" not in p
+
+
+def test_contamination_probe_is_broadcast(plans):
+    """The benchmark shingle set must broadcast into the corpus-side probe;
+    an SMJ here would shuffle every corpus shingle by string key."""
+    p = plans("text_contamination_check")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
