@@ -37,6 +37,8 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_quality_score",
     "text_tfidf_top_terms",
+    "text_contamination_check",
+    "tpch_q8_market_share",
     "corpus_curation_pipeline",
 ]
 
