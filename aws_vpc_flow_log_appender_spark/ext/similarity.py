@@ -374,3 +374,107 @@ def sim_label_centroids(spark, sf_dir):
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+@query(
+    "embed_l2_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS norm,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           floor(norm * 1000000.0 + 0.5) / 1000000.0 AS norm,
+           md5(array_to_string(
+               list_transform(e, x -> CAST(floor(x / norm * 1000000.0 + 0.5) AS BIGINT)),
+               ',')) AS unit_checksum
+    FROM v WHERE norm > 0.0
+    """,
+    tags=("similarity", "embedding"),
+)
+def embed_l2_normalize(spark, sf_dir):
+    """L2 normalization — the prep step that turns cosine ANN into plain
+    dot-product ANN (normalize once at ingest, never per query pair). Narrow
+    per-row transform, no shuffle. The output serializes the unit vector as
+    an md5 over integer-rounded components (engine-portable: no float
+    formatting, no array columns in the compared result); the norm fold is
+    left-to-right so Spark's aggregate() and DuckDB's list_dot_product are
+    bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = F.sqrt(dot)
+    unit_q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("norm_raw") * 1000000.0 + 0.5).cast("long"),
+    )
+    return (
+        e.select("vec_id", "label", v.alias("v"), norm.alias("norm_raw"))
+        .filter(F.col("norm_raw") > 0.0)
+        .select(
+            "vec_id",
+            "label",
+            round_half_up(F.col("norm_raw"), 6).alias("norm"),
+            F.md5(
+                F.encode(F.array_join(unit_q.cast("array<string>"), ","), "utf-8")
+            ).alias("unit_checksum"),
+        )
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, amax,
+             list_transform(e, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+      FROM v WHERE amax > 0.0
+    )
+    SELECT vec_id, label,
+           floor((127.0 / amax) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           md5(array_to_string(qv, ',')) AS q_checksum
+    FROM q
+    """,
+    tags=("similarity", "embedding", "quantize"),
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization (per-vector absmax scaling) — the storage
+    scale path for ANN: 4x smaller than float32, distance error bounded by
+    1/127 of the dynamic range. Narrow per-row arithmetic, zero shuffle; at
+    100 TB the quantized corpus is what the IVF/LSH index stores, with exact
+    re-rank reading the float originals for the shortlist only. All compared
+    values are integers or integer-rounded, so the cut is engine-exact."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x * (127.0 / F.col("amax")) + 0.5).cast("long")
+    )
+    return (
+        e.select("vec_id", "label", v.alias("v"), amax.alias("amax"))
+        .filter(F.col("amax") > 0.0)
+        .select(
+            "vec_id",
+            "label",
+            round_half_up(127.0 / F.col("amax"), 6).alias("scale"),
+            F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.array_max(qv).alias("q_max"),
+            F.array_min(qv).alias("q_min"),
+            F.md5(
+                F.encode(F.array_join(qv.cast("array<string>"), ","), "utf-8")
+            ).alias("q_checksum"),
+        )
+    )

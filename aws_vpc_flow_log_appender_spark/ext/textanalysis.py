@@ -474,3 +474,56 @@ def text_contamination_check(spark, sf_dir):
             ).alias("is_benchmark"),
         )
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(-ln(v.cnt / (tot.total + 0.0)) * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM tok t JOIN vocab v USING (token), tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(((sum(q) + 0.0) / (count(*) * 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-level unigram LM quality score: mean -ln p(token) per document
+    (the cheap stand-in for model-based perplexity filtering — gibberish and
+    rare-token spam score high, formulaic boilerplate scores low).
+
+    Two-pass shape: pass 1 aggregates the corpus vocabulary (token counts —
+    bounded by language vocabulary, so it broadcasts even when the corpus is
+    100 TB); pass 2 probes it per token occurrence and re-aggregates per
+    document. Per-token scores are integer-quantized (floor(-ln p * 1e6))
+    BEFORE the per-doc sum, so the aggregation is exact integer arithmetic —
+    immune to float summation order across partitions and engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    q = F.floor(
+        -F.log(F.col("cnt") / F.col("total").cast("double")) * 1000000.0 + 0.5
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            round_half_up(
+                (F.sum("q") + 0.0) / (F.count("*") * 1000000.0), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
