@@ -217,3 +217,65 @@ def ts_gap_fill(spark, sf_dir):
             F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+@query(
+    "ts_mad_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - s.med), 0.5) AS mad,
+             any_value(s.med) AS med
+      FROM events e JOIN stats s USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           floor(e.value * 10000.0 + 0.5) / 10000.0 AS value,
+           floor(d.med * 10000.0 + 0.5) / 10000.0 AS med,
+           floor(d.mad * 10000.0 + 0.5) / 10000.0 AS mad
+    FROM events e JOIN dev d USING (event_type)
+    WHERE floor(abs(e.value - d.med) * 10000.0 + 0.5) / 10000.0
+          > 6.0 * (floor(d.mad * 10000.0 + 0.5) / 10000.0)
+    """,
+    tags=("timeseries", "outlier", "percentile"),
+)
+def ts_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: |value - median| > 6 * MAD per event type
+    (median absolute deviation shrugs off the very outliers that inflate a
+    stddev-based z-score). Two grouped exact-percentile passes over the
+    fact, each a (few groups × partials) shuffle, then a broadcast of the
+    per-type stats back onto the rows — no window over the whole fact, no
+    sort. Both sides of the threshold compare ROUNDED values (the z-score
+    boundary lesson): exact percentiles interpolate identically on both
+    engines, and rounding first makes the > cut bit-identical."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        e.join(F.broadcast(dev), "event_type")
+        .filter(
+            round_half_up(F.abs(F.col("value") - F.col("med")), 4)
+            > 6.0 * round_half_up(F.col("mad"), 4)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            round_half_up(F.col("value"), 4).alias("value"),
+            round_half_up(F.col("med"), 4).alias("med"),
+            round_half_up(F.col("mad"), 4).alias("mad"),
+        )
+    )
