@@ -205,3 +205,36 @@ def test_contamination_probe_is_broadcast(plans):
     p = plans("text_contamination_check")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """When a fact-fact join is too big to broadcast, Spark's runtime bloom
+    filter must inject a might_contain probe from the selective side into
+    the large side's scan — the 100 TB semi-join pushdown that saves reading
+    unjoinable rows. Default thresholds (10 GB application side) are tuned
+    for real clusters; the test lowers them to fixture scale to pin the
+    mechanism itself."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
