@@ -541,3 +541,45 @@ def flowlog_service_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accept_rate"),
         )
     )
+
+
+@query(
+    "flowlog_port_scans",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT srcaddr, destaddr,
+           CAST(count(DISTINCT dstport) AS BIGINT) AS n_ports,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected,
+           CAST(min(start_s) AS BIGINT) AS first_seen,
+           CAST(max(start_s) AS BIGINT) AS last_seen
+    FROM typed
+    WHERE error_flag = 0
+    GROUP BY srcaddr, destaddr
+    HAVING count(DISTINCT dstport) >= 4
+    """,
+    tags=("flowlog", "domain", "security"),
+)
+def flowlog_port_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Port-scan triage: source-destination pairs probing many distinct
+    destination ports (destination fan-out — the per-pair complement of
+    `flowlog_ddos_targets`' source fan-in). One shuffle keyed by the pair;
+    the distinct-port count partial-aggregates map-side, and every output is
+    an exact integer, so the HAVING cut is engine-exact. At real scale the
+    pair key is far finer than srcaddr alone — skewed scanners spread over
+    their victim count instead of concentrating on one reducer."""
+    flows = _valid_parsed(spark, sf_dir)
+    return (
+        flows.groupBy("srcaddr", "destaddr")
+        .agg(
+            F.countDistinct("dstport").alias("n_ports"),
+            F.count("*").alias("n_flows"),
+            F.sum(F.when(F.col("action") == "REJECT", 1).otherwise(0)).alias(
+                "n_rejected"
+            ),
+            F.min("start").cast("long").alias("first_seen"),
+            F.max("start").cast("long").alias("last_seen"),
+        )
+        .filter(F.col("n_ports") >= 4)
+    )
