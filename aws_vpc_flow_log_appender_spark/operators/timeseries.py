@@ -279,3 +279,51 @@ def ts_mad_outliers(spark, sf_dir):
             round_half_up(F.col("mad"), 4).alias("mad"),
         )
     )
+
+
+@query(
+    "ts_weighted_moving_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER uw AS v1,
+             lag(value, 2) OVER uw AS v2
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+           floor(((3.0 * value + 2.0 * v1 + 1.0 * v2) / 6.0) * 10000.0 + 0.5) / 10000.0
+             AS wma3
+    FROM seq WHERE v2 IS NOT NULL
+    """,
+    tags=("timeseries", "window", "smoothing"),
+)
+def ts_weighted_moving_avg(spark, sf_dir):
+    """3-point linearly-weighted moving average per user (recency-weighted
+    smoothing — the bounded-row-frame shape, distinct from the cumulative
+    frame in window_running_sum). Expressed as explicit lag() arithmetic
+    rather than an avg() over ROWS BETWEEN: the operation order is then a
+    fixed expression tree, identical on both engines, instead of a frame
+    scan whose internal summation order is an implementation detail. One
+    shuffle on user_id; warm-up rows (fewer than 3 points) are excluded on
+    both sides."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v1 = F.lag("value", 1).over(w)
+    v2 = F.lag("value", 2).over(w)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.col("value"),
+            ((3.0 * F.col("value") + 2.0 * v1 + 1.0 * v2) / 6.0).alias("wma_raw"),
+        )
+        .filter(F.col("wma_raw").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            round_half_up(F.col("value"), 4).alias("value"),
+            round_half_up(F.col("wma_raw"), 4).alias("wma3"),
+        )
+    )
