@@ -583,3 +583,83 @@ def flowlog_port_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_ports") >= 4)
     )
+
+
+@query(
+    "flowlog_incident_feed",
+    oracle=f"""
+    WITH {_ORACLE_CTES},
+    scans AS (
+      SELECT srcaddr, destaddr,
+             CAST(count(DISTINCT dstport) AS BIGINT) AS n_ports,
+             CAST(count(*) AS BIGINT) AS n_flows
+      FROM typed WHERE error_flag = 0
+      GROUP BY srcaddr, destaddr
+      HAVING count(DISTINCT dstport) >= 4
+    ),
+    ddos AS (
+      SELECT destaddr,
+             CAST(start_s // 3600 AS BIGINT) AS hour_bucket,
+             CAST(count(DISTINCT srcaddr) AS BIGINT) AS n_sources,
+             CAST(count(*) AS BIGINT) AS rejected_flows
+      FROM typed
+      WHERE error_flag = 0 AND action = 'REJECT'
+      GROUP BY destaddr, CAST(start_s // 3600 AS BIGINT)
+      HAVING count(DISTINCT srcaddr) >= 4
+    ),
+    vol_stats AS (
+      SELECT record_id, srcaddr, bytes,
+             avg(bytes) OVER (PARTITION BY srcaddr) AS mu,
+             stddev_samp(bytes) OVER (PARTITION BY srcaddr) AS sigma,
+             count(*) OVER (PARTITION BY srcaddr) AS n_flows
+      FROM typed WHERE error_flag = 0
+    ),
+    vol AS (
+      SELECT record_id, srcaddr, bytes,
+             floor(((bytes - mu) / sigma) * 10000.0 + 0.5) / 10000.0 AS z_score
+      FROM vol_stats WHERE n_flows >= 30 AND sigma > 0
+    )
+    SELECT 'port_scan' AS detection, srcaddr AS subject, destaddr AS object,
+           CAST(n_ports AS DOUBLE) AS score, n_flows AS detail
+    FROM scans
+    UNION ALL
+    SELECT 'ddos_fan_in', destaddr, CAST(hour_bucket AS VARCHAR),
+           CAST(n_sources AS DOUBLE), rejected_flows
+    FROM ddos
+    UNION ALL
+    SELECT 'byte_anomaly', srcaddr, record_id, z_score, CAST(bytes AS BIGINT)
+    FROM vol WHERE z_score > 1.5
+    """,
+    tags=("flowlog", "domain", "security", "capstone"),
+)
+def flowlog_incident_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capstone: the three security detectors (port-scan fan-out,
+    DDoS fan-in, volumetric z-score) composed into one tagged incident feed
+    — the table a SOC dashboard or alert router actually consumes. Pure
+    composition of the already-verified detector plans via unionByName
+    (Spark unions are plan-level concatenation — no shuffle of their own),
+    normalized to a (detection, subject, object, score, detail) schema; the
+    three branches share one `typed` parse of the corpus, which Spark's
+    subexpression reuse keeps to a single scan per branch pipeline."""
+    scans = flowlog_port_scans(spark, sf_dir).select(
+        F.lit("port_scan").alias("detection"),
+        F.col("srcaddr").alias("subject"),
+        F.col("destaddr").alias("object"),
+        F.col("n_ports").cast("double").alias("score"),
+        F.col("n_flows").alias("detail"),
+    )
+    ddos = flowlog_ddos_targets(spark, sf_dir).select(
+        F.lit("ddos_fan_in").alias("detection"),
+        F.col("destaddr").alias("subject"),
+        F.col("hour_bucket").cast("string").alias("object"),
+        F.col("n_sources").cast("double").alias("score"),
+        F.col("rejected_flows").alias("detail"),
+    )
+    vol = flowlog_byte_anomalies(spark, sf_dir).select(
+        F.lit("byte_anomaly").alias("detection"),
+        F.col("srcaddr").alias("subject"),
+        F.col("record_id").alias("object"),
+        F.col("z_score").alias("score"),
+        F.col("bytes").cast("long").alias("detail"),
+    )
+    return scans.unionByName(ddos).unionByName(vol)
