@@ -103,3 +103,26 @@ def test_ok_plus_failed_equals_total(spark, lines):
               out.groupBy("result").agg(F.count("*").alias("n")).collect()}
     # the invariant the reference logs per batch (decorator/index.js:232)
     assert counts.get("Ok", 0) + counts.get("ProcessingFailed", 0) == len(lines)
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=50))
+def test_hash32_split_matches_reference_md5(spark, keys):
+    """Split stability is a data-integrity invariant: the hash32 bucket that
+    drives train/val and stratified sampling must equal a from-scratch
+    md5-based reimplementation for ARBITRARY unicode keys — if the Spark
+    expression tree ever drifted (encoding, substring base, endianness), the
+    holdout assignment of a 100 TB corpus would silently reshuffle."""
+    import hashlib
+
+    from aws_vpc_flow_log_appender_spark.ext.sampling import hash32
+
+    def reference(key: str, salt: str) -> int:
+        return int(hashlib.md5(f"{salt}:{key}".encode("utf-8")).hexdigest()[:8], 16)
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", hash32(F.col("k"), "split").alias("h")).collect()
+    }
+    for k in keys:
+        assert got[k] == reference(k, "split"), repr(k)
