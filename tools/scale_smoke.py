@@ -146,6 +146,33 @@ def main() -> int:
             f"occupied buckets); pairs {n_pairs:,} in {t_pairs:.1f}s; "
             f"{'ALL OK' if ok else 'FAILURES'}"
         )
+
+        # 4) contamination probe at scale: the benchmark side stays tiny
+        # (src0 of the BASE corpus) while the probe side grows with the
+        # corpus — the broadcast join must hold and per-doc ratios must be
+        # copy-invariant (every perturbed copy of a doc shares its base
+        # shingles, so hit counts scale with content, not with mult).
+        from aws_vpc_flow_log_appender_spark.ext.textanalysis import (
+            text_contamination_check,
+        )
+
+        t0 = time.perf_counter()
+        contam = text_contamination_check(spark, tmpdir)
+        n_contam = contam.count()
+        hits = contam.agg(
+            F.sum("n_contaminated").alias("h"), F.sum("n_shingles").alias("s")
+        ).collect()[0]
+        t_contam = time.perf_counter() - t0
+        cplan = contam._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" not in cplan:
+            print("FAIL contamination probe lost its broadcast at", mult, "x")
+            ok = False
+        print(
+            f"scale_smoke contamination mult={mult}: {n_contam:,} docs scored, "
+            f"{hits['h']:,}/{hits['s']:,} shingles hit in {t_contam:.1f}s; "
+            f"probe join: {'broadcast (correct)' if 'BroadcastHashJoin' in cplan else 'WRONG'}; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
     return 0 if ok else 1
