@@ -527,3 +527,168 @@ def text_unigram_logprob(spark, sf_dir):
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS postings_md5
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= 2
+    """,
+    tags=("text", "search"),
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build: term -> document frequency, total term
+    frequency, and an md5 digest of the doc-id-sorted posting list (the
+    digest stands in for the list itself so the output carries no arrays).
+    One tokenize pass, two partial-aggregated shuffles (doc-term tf, then
+    term). At real corpus scale a stop-word-frequency term's posting list
+    is the skew hazard — production builds shard postings into fixed-size
+    blocks per term (doc_id div B as a secondary key); the fixture
+    vocabulary is Zipf-flat so the single-list form is the honest shape
+    here and the digest keeps the comparison exact."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("postings_md5"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+# BM25 constants (Robertson-Sparck Jones defaults) and a fixed query.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM words WHERE term <> '' GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               (ln((CAST(c.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                   / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+                        * (CAST(dl.dl AS DOUBLE)
+                           / (CAST(c.total_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE)))))))
+               * 1000000.0 + 0.5) AS BIGINT) AS term_score_u
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.term = df.term
+      CROSS JOIN corpus c
+    )
+    SELECT doc_id, CAST(sum(term_score_u) AS BIGINT) AS bm25_micro,
+           CAST(row_number() OVER (ORDER BY CAST(sum(term_score_u) AS BIGINT) DESC, doc_id)
+                AS INTEGER) AS rnk
+    FROM scored
+    GROUP BY doc_id
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+    tags=("text", "search"),
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed 3-term query (k1=1.2, b=0.75): the
+    scoring function behind every classical search engine and the standard
+    relevance filter in corpus curation. The fact-side work is one tokenize
+    pass; df and the corpus stats are vocabulary-/1-row-sized broadcasts, so
+    the plan is scan -> two broadcast joins -> per-doc sum however large the
+    corpus. Per-term scores are quantized to integer micro-units BEFORE the
+    per-doc sum (same discipline as text_unigram_logprob) so the ranking
+    never hinges on float accumulation order."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        words.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfd, dfd = F.col("tf").cast("double"), F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - dfd + 0.5) / (dfd + 0.5) + 1.0
+    )
+    ratio = (tfd * (_BM25_K1 + 1.0)) / (
+        tfd + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dld / avgdl))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(idf * ratio * 1000000.0 + 0.5).cast("long").alias(
+                "term_score_u"
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score_u").cast("long").alias("bm25_micro"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

@@ -663,3 +663,194 @@ def flowlog_incident_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bytes").cast("long").alias("detail"),
     )
     return scans.unionByName(ddos).unionByName(vol)
+
+
+@query(
+    "flowlog_beaconing",
+    oracle=f"""
+    WITH {_ORACLE_CTES},
+    ordered AS (
+      SELECT srcaddr, destaddr, start_s,
+             start_s - lag(start_s) OVER (
+               PARTITION BY srcaddr, destaddr ORDER BY start_s, record_id
+             ) AS gap_s
+      FROM typed WHERE error_flag = 0
+    ),
+    per_pair AS (
+      SELECT srcaddr, destaddr,
+             CAST(count(*) AS BIGINT) AS n_flows,
+             floor(avg(gap_s) * 10000.0 + 0.5) / 10000.0 AS mean_gap_s,
+             floor((stddev_samp(gap_s) / avg(gap_s)) * 10000.0 + 0.5) / 10000.0 AS gap_cv
+      FROM ordered
+      GROUP BY srcaddr, destaddr
+      HAVING count(*) >= 10 AND avg(gap_s) > 0
+    )
+    SELECT srcaddr, destaddr, n_flows, mean_gap_s, gap_cv,
+           CAST(row_number() OVER (ORDER BY gap_cv, srcaddr, destaddr)
+                AS INTEGER) AS regularity_rank
+    FROM per_pair
+    ORDER BY regularity_rank
+    LIMIT 20
+    """,
+    tags=("flowlog", "domain", "security"),
+)
+def flowlog_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beaconing detection: (src, dst) pairs whose inter-arrival gaps are
+    most regular (lowest coefficient of variation) — C2 implants phone home
+    on a timer, so a near-constant gap with enough flows is the classic
+    hunting signal. One shuffle keyed by the pair for the lag window, then a
+    pair-level aggregate; the global rank window runs over <= |src|x|dst|
+    pair rows, not flows, so the single-partition sort is dim-sized at any
+    corpus scale. CV is rounded before ranking (stddev/avg accumulate in
+    engine-specific order, ranks must not hinge on an ulp)."""
+    from pyspark.sql import Window as W
+
+    flows = _valid_parsed(spark, sf_dir)
+    w = W.partitionBy("srcaddr", "destaddr").orderBy("start", "recordId")
+    gaps = flows.select(
+        "srcaddr",
+        "destaddr",
+        (F.col("start") - F.lag("start").over(w)).alias("gap_s"),
+    )
+    per_pair = (
+        gaps.groupBy("srcaddr", "destaddr")
+        .agg(
+            F.count("*").alias("n_flows"),
+            round_half_up(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            round_half_up(
+                F.stddev_samp("gap_s") / F.avg("gap_s"), 4
+            ).alias("gap_cv"),
+            F.avg("gap_s").alias("_raw_mean"),
+        )
+        .filter((F.col("n_flows") >= 10) & (F.col("_raw_mean") > 0))
+        .drop("_raw_mean")
+    )
+    rank_w = W.orderBy("gap_cv", "srcaddr", "destaddr")
+    return (
+        per_pair.withColumn(
+            "regularity_rank", F.row_number().over(rank_w)
+        )
+        .filter(F.col("regularity_rank") <= 20)
+        .orderBy("regularity_rank")
+    )
+
+
+@query(
+    "flowlog_acl_flip_pairs",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    SELECT srcaddr, destaddr, dstport,
+           CAST(sum(CASE WHEN action = 'ACCEPT' THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+           CAST(sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) AS BIGINT) AS n_reject,
+           floor((sum(CASE WHEN action = 'REJECT' THEN 1.0 ELSE 0.0 END) / count(*))
+                 * 10000.0 + 0.5) / 10000.0 AS reject_ratio
+    FROM typed
+    WHERE error_flag = 0
+    GROUP BY srcaddr, destaddr, dstport
+    HAVING sum(CASE WHEN action = 'ACCEPT' THEN 1 ELSE 0 END) > 0
+       AND sum(CASE WHEN action = 'REJECT' THEN 1 ELSE 0 END) > 0
+    """,
+    tags=("flowlog", "domain", "security"),
+)
+def flowlog_acl_flip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Security-group misconfiguration triage: 5-tuples (collapsed to
+    src/dst/service) observed BOTH accepted and rejected — the signature of
+    an ACL change mid-capture or overlapping rules, and the first diff a
+    network operator pulls. Single partial-aggregated shuffle on the triple;
+    conditional counts fold map-side, so the flip detection costs one pass
+    regardless of corpus size."""
+    flows = _valid_parsed(spark, sf_dir)
+    agg = flows.groupBy("srcaddr", "destaddr", "dstport").agg(
+        F.count(F.when(F.col("action") == "ACCEPT", 1)).alias("n_accept"),
+        F.count(F.when(F.col("action") == "REJECT", 1)).alias("n_reject"),
+        round_half_up(
+            F.sum(F.when(F.col("action") == "REJECT", 1.0).otherwise(0.0))
+            / F.count("*"),
+            4,
+        ).alias("reject_ratio"),
+    )
+    return agg.filter((F.col("n_accept") > 0) & (F.col("n_reject") > 0))
+
+
+@query(
+    "flowlog_chi2_protocol_action",
+    oracle=f"""
+    WITH {_ORACLE_CTES},
+    cells AS (
+      SELECT protocol, action, CAST(count(*) AS BIGINT) AS observed
+      FROM typed WHERE error_flag = 0 GROUP BY protocol, action
+    ),
+    margins AS (
+      SELECT c.protocol, c.action, c.observed,
+             CAST(sum(c.observed) OVER (PARTITION BY c.protocol) AS BIGINT) AS row_total,
+             CAST(sum(c.observed) OVER (PARTITION BY c.action) AS BIGINT) AS col_total,
+             CAST(sum(c.observed) OVER () AS BIGINT) AS grand_total
+      FROM cells c
+    ),
+    terms AS (
+      SELECT protocol, action, observed,
+             floor((CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                    / CAST(grand_total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS expected,
+             CAST(floor(
+               (((CAST(observed AS DOUBLE)
+                  - (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                     / CAST(grand_total AS DOUBLE)))
+                 * (CAST(observed AS DOUBLE)
+                    - (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                       / CAST(grand_total AS DOUBLE))))
+                / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                   / CAST(grand_total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+      FROM margins
+    )
+    SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+           CAST((count(DISTINCT protocol) - 1) * (count(DISTINCT action) - 1) AS BIGINT) AS dof,
+           CAST(sum(observed) AS BIGINT) AS n
+    FROM terms
+    """,
+    tags=("flowlog", "domain", "stats"),
+)
+def flowlog_chi2_protocol_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between protocol and firewall action —
+    'does the ACL treat TCP and UDP differently?' is a real triage question,
+    and the contingency-table + chi-square shape generalizes to any pair of
+    categorical flow attributes. The fact scan collapses to one tiny
+    aggregate (|protocols| x |actions| cells); margins come from windows
+    over the cell table, so nothing after the first shuffle scales with the
+    corpus. Each cell's (O-E)^2/E term is quantized to integer micro-units
+    BEFORE the final sum — order-immune, bit-identical across engines."""
+    from pyspark.sql import Window as W
+
+    flows = _valid_parsed(spark, sf_dir)
+    cells = flows.groupBy("protocol", "action").agg(
+        F.count("*").alias("observed")
+    )
+    margins = cells.select(
+        "protocol",
+        "action",
+        "observed",
+        F.sum("observed").over(W.partitionBy("protocol")).alias("row_total"),
+        F.sum("observed").over(W.partitionBy("action")).alias("col_total"),
+        F.sum("observed").over(W.partitionBy()).alias("grand_total"),
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    dev = F.col("observed").cast("double") - expected
+    terms = margins.select(
+        "protocol",
+        "action",
+        "observed",
+        F.floor(((dev * dev) / expected) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("term_micro"),
+    )
+    return terms.agg(
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        (
+            (F.countDistinct("protocol") - 1) * (F.countDistinct("action") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("observed").cast("long").alias("n"),
+    )

@@ -4,8 +4,10 @@ from . import (  # noqa: F401
     advanced,
     analytics,
     aggregates,
+    graphs,
     joins,
     modernsql,
+    profiling,
     relational,
     setops,
     timeseries,

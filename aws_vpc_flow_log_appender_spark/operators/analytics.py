@@ -114,3 +114,56 @@ def retention_cohorts(spark, sf_dir):
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path
+      FROM seq WHERE p2 IS NOT NULL
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS INTEGER) AS rnk
+    FROM paths
+    GROUP BY path
+    QUALIFY rnk <= 15
+    ORDER BY rnk
+    """,
+    tags=("analytics", "sequence"),
+)
+def events_top_paths(spark, sf_dir):
+    """Sequential pattern mining: the 15 most common 3-step event paths
+    across all user journeys (the n-gram view of behavioral data — what
+    MATCH_RECOGNIZE engines sell, expressed as two lags over a per-user
+    event-time window). One shuffle keyed by user for the sequence window
+    (ties broken by event_id so the path multiset is deterministic), one
+    partial-aggregated shuffle on the path trigram; the final top-k window
+    runs over |event_types|^3 path rows at most, never the fact table."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    paths = seq.filter(F.col("p2").isNotNull()).select(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    )
+    rank_w = W.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )

