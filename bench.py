@@ -40,6 +40,8 @@ HEADLINE = [
     "text_contamination_check",
     "tpch_q8_market_share",
     "corpus_curation_pipeline",
+    "graph_pagerank",
+    "text_bm25_search",
 ]
 
 
