@@ -593,3 +593,77 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
         .filter(F.col("hamming") <= 7)
         .distinct()
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY doc_id),
+    bucket AS (SELECT doc_id, min(md5('0:' || sh)) AS b0 FROM shingled GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bucket a JOIN bucket b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           floor((i.n_common / (least(za.n_sh, zb.n_sh) + 0.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS containment,
+           CASE WHEN za.n_sh <= zb.n_sh THEN i.doc_a ELSE i.doc_b END AS contained_doc
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A n B| / min(|A|, |B|): catches the
+    subset-duplication Jaccard under-scores — a short document quoted
+    verbatim inside a long one has low Jaccard but containment 1.0, and
+    corpus curation must drop the contained copy, not miss the pair. Same
+    bucketed candidate generation and shingle equi-join as
+    dedup_ngram_jaccard (never all-pairs); the score just normalizes by the
+    smaller shingle set, and contained_doc names the removal candidate."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bucket = sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))).alias("b0")
+    )
+    a = bucket.alias("a")
+    b = bucket.alias("b")
+    cand = a.join(
+        b, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            round_half_up(
+                F.col("n_common")
+                / F.least(F.col("za.n_sh"), F.col("zb.n_sh")).cast("double"),
+                6,
+            ).alias("containment"),
+            F.when(
+                F.col("za.n_sh") <= F.col("zb.n_sh"), F.col("doc_a")
+            ).otherwise(F.col("doc_b")).alias("contained_doc"),
+        )
+    )

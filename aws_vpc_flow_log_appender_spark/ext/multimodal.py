@@ -235,3 +235,69 @@ def multimodal_feature_extract(spark, sf_dir):
         F.size("feature").alias("feature_dim"),
         "status",
     )
+
+
+_CHUNK_CHARS = 64
+
+
+@query(
+    "multimodal_chunk_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id AS media_id, text, length(text) AS n_chars
+      FROM documents WHERE length(text) > 0
+    ),
+    chunks AS (
+      SELECT media_id, n_chars,
+             unnest(range(0, CAST((n_chars - 1) // {_CHUNK_CHARS} AS BIGINT) + 1))
+               AS chunk_id,
+             text
+      FROM sized
+    )
+    SELECT media_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {_CHUNK_CHARS} AS BIGINT) AS char_offset,
+           CAST(length(substring(text, CAST(chunk_id * {_CHUNK_CHARS} + 1 AS INTEGER), {_CHUNK_CHARS}))
+                AS BIGINT) AS chunk_chars,
+           md5(substring(text, CAST(chunk_id * {_CHUNK_CHARS} + 1 AS INTEGER), {_CHUNK_CHARS}))
+             AS chunk_md5
+    FROM chunks
+    """,
+    tags=("multimodal", "chunking"),
+)
+def multimodal_chunk_manifest(spark, sf_dir):
+    """Chunked-upload manifest for the media payload column: fixed-size
+    chunks with offsets, lengths, and per-chunk content digests — what a
+    blob store or content-addressable cache needs before moving large
+    binaries (multipart upload planning, dedup at chunk granularity). The
+    chunk index is generated per row with sequence + explode (fan-out =
+    ceil(len/chunk)), and each chunk is hashed independently, so the whole
+    manifest is a single narrow projection pass — no shuffle at all. The
+    fixture payload is the text column (same stand-in as
+    multimodal_binary_stats); chunk boundaries are character-based because
+    the portable digest is md5-of-VARCHAR on both engines."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    sized = d.select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        F.length("text").alias("n_chars"),
+    )
+    chunks = sized.select(
+        "media_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0), ((F.col("n_chars") - 1) / _CHUNK_CHARS).cast("long")
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.substring(
+        F.col("text"), (F.col("chunk_id") * _CHUNK_CHARS + 1).cast("int"), _CHUNK_CHARS
+    )
+    return chunks.select(
+        "media_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * _CHUNK_CHARS).cast("long").alias("char_offset"),
+        F.length(piece).cast("long").alias("chunk_chars"),
+        F.md5(piece).alias("chunk_md5"),
+    )

@@ -301,3 +301,48 @@ def agg_regression(spark, sf_dir):
         round_half_up(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag,
+           floor(l_quantity * 10000.0 + 0.5) / 10000.0 AS mode_quantity,
+           n AS n_occurrences
+    FROM (
+      SELECT l_returnflag, l_quantity, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rk
+      FROM counts
+    ) WHERE rk = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Per-group mode with a defined tiebreak (smallest value wins) —
+    engines' built-in mode() picks ties arbitrarily, so the portable form
+    is count-then-rank: one partial-aggregated shuffle on (group, value),
+    then a WindowGroupLimit-prunable rank over value-level rows (group
+    cardinality x distinct values, never fact rows)."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            round_half_up(F.col("l_quantity"), 4).alias("mode_quantity"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

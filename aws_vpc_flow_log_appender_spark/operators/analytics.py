@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import round_half_up
 from .registry import load, query
 
 
@@ -166,4 +167,52 @@ def events_top_paths(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(rank_w))
         .filter(F.col("rnk") <= 15)
         .orderBy("rnk")
+    )
+
+
+@query(
+    "events_transition_probs",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    counts AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           floor((n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM counts
+    """,
+    tags=("analytics", "sequence", "markov"),
+)
+def events_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix over user journeys:
+    P(next event_type | current) — the behavioral model behind next-action
+    prediction and anomalous-session scoring. One shuffle keyed by user for
+    the sequence window (event_id tiebreak keeps the bigram multiset
+    deterministic), one partial-aggregated shuffle on the bigram; the
+    normalizing row-sum window runs over |event_types|^2 rows. Probabilities
+    are ratios of exact integer counts, rounded identically on both
+    engines."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    row_w = W.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        round_half_up(
+            F.col("n") / F.sum("n").over(row_w).cast("double"), 6
+        ).alias("p"),
     )

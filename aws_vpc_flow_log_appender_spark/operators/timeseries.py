@@ -472,3 +472,104 @@ def ts_interpolate_linear(spark, sf_dir):
         ).alias("value_filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interpolated"),
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(date_trunc('hour', ts)))) AS BIGINT) AS lo,
+             CAST(floor(epoch(max(date_trunc('hour', ts)))) AS BIGINT) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(range(lo, hi + 3600, 3600)) AS h FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      SELECT s.h, coalesce(a.x, 0) AS x
+      FROM spine s LEFT JOIN actual a ON s.h = a.h
+    ),
+    pairs AS (
+      SELECT k.lag AS lag, s.x AS x,
+             lead(s.x, k.lag) OVER (PARTITION BY k.lag ORDER BY s.h) AS y
+      FROM series s CROSS JOIN (VALUES (1), (24)) AS k(lag)
+    ),
+    sums AS (
+      SELECT CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs WHERE y IS NOT NULL GROUP BY lag
+    )
+    SELECT lag, n,
+           floor(((n * sxy - sx * sy)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS autocorr
+    FROM sums
+    ORDER BY lag
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of the hourly event-count series —
+    the seasonality detector (a strong lag-24 coefficient means diurnal
+    traffic; forecasting pipelines gate model choice on exactly this). The
+    series is zero-filled on the hourly spine first so gaps count as quiet
+    hours, then each lag's (x, y) pairs come from a lead() window. Every
+    sum is over exact BIGINT counts — the Pearson formula's products stay
+    integer until one final double division, so both engines compute the
+    identical value regardless of accumulation order (the same trick as
+    the scaled-integer PageRank, applied to second moments). The lag
+    window is per-lag over the spine — hours, not events, so its size is
+    time-span-bounded at any corpus scale."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
+    bounds = e.agg(F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h")
+    )
+    actual = e.groupBy(hour_epoch.alias("h")).agg(F.count("*").alias("x"))
+    series = spine.join(actual, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    lags = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (24,)], ["lag"]
+    )
+    pairs = series.crossJoin(F.broadcast(lags))
+    w = W.partitionBy("lag").orderBy("h")
+    # lead() needs a literal offset; lag is a column, so express y via a
+    # per-lag conditional on the two known offsets
+    pairs = pairs.withColumn(
+        "y",
+        F.when(F.col("lag") == 1, F.lead("x", 1).over(w)).otherwise(
+            F.lead("x", 24).over(w)
+        ),
+    ).filter(F.col("y").isNotNull())
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        "lag",
+        "n",
+        round_half_up(num / den, 6).alias("autocorr"),
+    ).orderBy("lag")
