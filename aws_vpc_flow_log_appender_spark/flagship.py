@@ -854,3 +854,63 @@ def flowlog_chi2_protocol_action(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.sum("observed").cast("long").alias("n"),
     )
+
+
+@query(
+    "flowlog_cidr_rollup",
+    oracle=f"""
+    WITH {_ORACLE_CTES},
+    prefixed AS (
+      SELECT array_to_string(string_split(srcaddr, '.')[1:2], '.') AS p16,
+             array_to_string(string_split(srcaddr, '.')[1:3], '.') AS p24,
+             bytes, packets, destaddr
+      FROM typed WHERE error_flag = 0
+    )
+    SELECT 16 AS prefix_len, p16 || '.0.0/16' AS cidr,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(count(DISTINCT destaddr) AS BIGINT) AS n_dsts
+    FROM prefixed GROUP BY p16
+    UNION ALL
+    SELECT 24, p24 || '.0/24',
+           CAST(sum(bytes) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT destaddr) AS BIGINT)
+    FROM prefixed GROUP BY p24
+    """,
+    tags=("flowlog", "domain", "agg"),
+)
+def flowlog_cidr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic rollup by CIDR prefix (/16 and /24) — how network operators
+    actually read flow data: which campus, then which subnet. Both prefix
+    levels aggregate the same single parse pass (Spark unions the two
+    grouped aggregates; each is one partial-aggregated shuffle keyed by a
+    prefix string, and the /16 level could equally reuse the /24 output at
+    scale — kept independent here to mirror the oracle exactly)."""
+    flows = _valid_parsed(spark, sf_dir)
+    octets = F.split("srcaddr", "\\.")
+    prefixed = flows.select(
+        F.concat_ws(".", F.slice(octets, 1, 2)).alias("p16"),
+        F.concat_ws(".", F.slice(octets, 1, 3)).alias("p24"),
+        "bytes",
+        "destaddr",
+    )
+
+    def level(col: str, length: int, suffix: str) -> DataFrame:
+        return (
+            prefixed.groupBy(col)
+            .agg(
+                F.sum("bytes").alias("total_bytes"),
+                F.count("*").alias("n_flows"),
+                F.countDistinct("destaddr").alias("n_dsts"),
+            )
+            .select(
+                F.lit(length).alias("prefix_len"),
+                F.concat(F.col(col), F.lit(suffix)).alias("cidr"),
+                "total_bytes",
+                "n_flows",
+                "n_dsts",
+            )
+        )
+
+    return level("p16", 16, ".0.0/16").unionAll(level("p24", 24, ".0/24"))

@@ -225,3 +225,65 @@ def graph_pagerank(spark, sf_dir):
         .filter(F.col("pr_rank") <= 25)
         .orderBy("pr_rank")
     )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH de AS ({_SQL_EDGES}),
+    ue AS ({_SQL_UEDGES}),
+    adj AS (
+      SELECT u AS n, v AS nb FROM ue UNION ALL SELECT v, u FROM ue
+    ),
+    wedges AS (
+      SELECT a.n AS u, b.n AS w, CAST(count(*) AS BIGINT) AS n_common
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n
+      GROUP BY a.n, b.n
+    ),
+    candidates AS (
+      SELECT w.u, w.w, w.n_common
+      FROM wedges w
+      LEFT JOIN ue e ON e.u = w.u AND e.v = w.w
+      WHERE e.u IS NULL
+    )
+    SELECT u, w, n_common,
+           CAST(row_number() OVER (ORDER BY n_common DESC, u, w) AS INTEGER) AS rnk
+    FROM candidates
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+    tags=("graph", "join"),
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction by common-neighbor count: the top non-adjacent node
+    pairs sharing the most neighbors (the classical 'people you may know'
+    score). Wedge enumeration is an equi-join of the symmetrized adjacency
+    list with itself on the shared neighbor, aggregated per candidate pair;
+    existing edges drop out with a left-anti hash join. Wedge fan-out is
+    sum(deg^2) — bounded here by the saturating circulant support, and the
+    shape to sample or cap per-node on a power-law graph (same hot-cell
+    discipline as the IVF sub-bucketing in ext/similarity)."""
+    from pyspark.sql import Window as W
+
+    ue = _undirected_edges(spark, sf_dir).localCheckpoint()
+    adj = ue.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionAll(
+        ue.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.nb") == F.col("b.nb")) & (F.col("a.n") < F.col("b.n")))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("w"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    candidates = wedges.join(
+        ue,
+        (wedges.u == ue.u) & (wedges.w == ue.v),
+        "left_anti",
+    )
+    rank_w = W.orderBy(F.desc("n_common"), F.asc("u"), F.asc("w"))
+    return (
+        candidates.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

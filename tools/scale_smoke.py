@@ -175,6 +175,46 @@ def main() -> int:
         )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+    # 5) graph saturation: the circulant edge synthesis must BOUND the edge
+    # set as events grow (operators/graphs.py's scale contract) — wedge
+    # fan-out in triangle/common-neighbor joins then stays dim-sized at any
+    # corpus multiple.
+    from aws_vpc_flow_log_appender_spark.operators.graphs import (
+        _N,
+        _OFF,
+        _undirected_edges,
+    )
+
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    events = load(spark, SF_DIR, "events")  # handles the NANOS fixture layout
+    mevents = (
+        events.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("event_id", F.col("event_id") * mult + F.col("__copy"))
+        .drop("__copy")
+    )
+    etmp = tempfile.mkdtemp(prefix="scale_events_")
+    try:
+        # registry.load() expects events.ts as INT64 nanos (the driver
+        # fixture's layout) — store it that way in the synthetic copy too
+        mevents.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).write.mode("overwrite").parquet(f"{etmp}/events.parquet")
+        t0 = time.perf_counter()
+        n_edges = _undirected_edges(spark, etmp).count()
+        t_edges = time.perf_counter() - t0
+        cap = _N * _OFF
+        if n_edges > cap:
+            print(f"FAIL graph saturation: {n_edges} edges exceeds support {cap}")
+            ok = False
+        print(
+            f"scale_smoke graph mult={mult}: {n_edges:,} distinct edges from "
+            f"{mevents.count():,} events (support cap {cap:,}) in {t_edges:.1f}s; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
+    finally:
+        shutil.rmtree(etmp, ignore_errors=True)
     return 0 if ok else 1
 
 
