@@ -1,0 +1,171 @@
+"""Arbitrary stateful processing via transformWithStateInPandas (Spark 4's
+StatefulProcessor API — the successor to applyInPandasWithState with typed
+per-key state variables, optional TTL, and timers).
+
+Operator: per-key CUSUM drift detection over a byte stream — the classic
+sequential change-point statistic (S+ accumulates positive deviations from
+the running mean, S- negative ones; either crossing a threshold flags a
+level shift). CUSUM is inherently ORDER-dependent and cross-batch — a
+windowed aggregate cannot express it, which is exactly the niche the
+stateful-processor API exists for.
+
+Determinism discipline (same as the rest of the engine): all state is
+scaled-integer (milli-units, floor division), and rows are processed in an
+explicit seq order — so the emitted statistics are a pure function of the
+input sequence, never of pandas batch boundaries or float accumulation
+order. State is one fixed-width tuple per key: the store grows with key
+cardinality only, and a production deployment would pass ``ttlDurationMs``
+so abandoned keys age out of the RocksDB store (the provider this API
+requires).
+
+Capability gate: the StatefulProcessor wire protocol needs the protobuf
+package in the Python workers. When it is absent (as in this container),
+``cusum_drift_stream`` raises NotImplementedError at plan time — same
+guard discipline as the boto3/es-hadoop/PIL gates — while the BATCH twin
+``cusum_drift_batch`` (applyInPandas over the identical kernel) always
+works and is pytest-verified against a from-scratch Python reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+CUSUM_OUTPUT = (
+    "key string, n long, mean_milli long, cusum_pos_milli long, "
+    "cusum_neg_milli long, alert int"
+)
+_CUSUM_STATE = "n long, mean_milli long, cpos_milli long, cneg_milli long"
+
+# slack k (in milli-units) absorbed before deviations accumulate, and the
+# alert threshold h — standard CUSUM tuning knobs, fixed for determinism.
+CUSUM_K_MILLI = 500
+CUSUM_H_MILLI = 100_000
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _cusum_fold(values_milli, state: tuple[int, int, int, int]) -> tuple[int, int, int, int]:
+    """The shared recurrence: fold milli-scaled values into (n, mean, S+, S-).
+    Pure integer arithmetic — identical on the driver reference, the batch
+    twin's executors, and the streaming processor."""
+    n, mean_m, cpos, cneg = state
+    for v in values_milli:
+        v = int(v)
+        n += 1
+        mean_m += (v - mean_m) // n
+        cpos = max(0, cpos + v - mean_m - CUSUM_K_MILLI)
+        cneg = max(0, cneg + mean_m - v - CUSUM_K_MILLI)
+    return n, mean_m, cpos, cneg
+
+
+def _state_row(key: str, state: tuple[int, int, int, int]) -> pd.DataFrame:
+    n, mean_m, cpos, cneg = state
+    return pd.DataFrame(
+        {
+            "key": [key],
+            "n": [n],
+            "mean_milli": [mean_m],
+            "cusum_pos_milli": [cpos],
+            "cusum_neg_milli": [cneg],
+            "alert": [1 if (cpos > CUSUM_H_MILLI or cneg > CUSUM_H_MILLI) else 0],
+        }
+    )
+
+
+def stateful_processor_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the worker Python."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CusumDrift(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("cusum", _CUSUM_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            state = self._state.get() if self._state.exists() else (0, 0, 0, 0)
+            pdf = pd.concat(list(rows), ignore_index=True)
+            # explicit sequence order: statistics must be a function of the
+            # logical stream, not of Arrow batch arrival order
+            pdf = pdf.sort_values("seq", kind="mergesort")
+            state = _cusum_fold(pdf["bytes_milli"].astype("int64"), state)
+            self._state.update(state)
+            yield _state_row(key[0], state)
+
+        def close(self) -> None:
+            pass
+
+    return CusumDrift()
+
+
+def _prepared(flows: DataFrame, key_col: str) -> DataFrame:
+    return flows.selectExpr(
+        f"{key_col} as key",
+        "seq",
+        "CAST(bytes * 1000 AS LONG) as bytes_milli",
+    )
+
+
+def cusum_drift_stream(flows: DataFrame, key_col: str = "`interface-id`") -> DataFrame:
+    """flows(``seq``-ordered, with ``bytes``) -> per-key CUSUM drift
+    statistics, emitted once per key per micro-batch (update mode).
+
+    Requires the RocksDB state store provider on the running session:
+    ``spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    ROCKSDB_PROVIDER)`` — transformWithState only supports RocksDB.
+    """
+    if not stateful_processor_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package in the "
+            "Python workers; it is not installed in this environment. Use "
+            "cusum_drift_batch (identical kernel) for batch data."
+        )
+    return _prepared(flows, key_col).groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_make_processor(),
+        outputStructType=CUSUM_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def cusum_drift_batch(flows: DataFrame, key_col: str = "`interface-id`") -> DataFrame:
+    """Batch twin: one CUSUM fold per key over the full seq-ordered history
+    (applyInPandas grouped map — no streaming-state wire protocol needed).
+    Emits the final state per key; per-key work is a single ordered pass, so
+    the shuffle is one exchange keyed by ``key`` and the kernel is the SAME
+    ``_cusum_fold`` the streaming processor uses."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq", kind="mergesort")
+        state = _cusum_fold(pdf["bytes_milli"].astype("int64"), (0, 0, 0, 0))
+        return _state_row(str(pdf["key"].iloc[0]), state)
+
+    return (
+        _prepared(flows, key_col)
+        .groupBy("key")
+        .applyInPandas(fold, schema=CUSUM_OUTPUT)
+    )
+
+
+def reference_cusum(values_by_key: dict[str, list[int]]) -> dict[str, tuple]:
+    """From-scratch reference (plain Python ints) for tests: same recurrence
+    over milli-scaled byte values in seq order."""
+    return {
+        key: _cusum_fold([v * 1000 for v in vals], (0, 0, 0, 0))
+        for key, vals in values_by_key.items()
+    }
