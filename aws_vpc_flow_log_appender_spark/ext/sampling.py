@@ -203,3 +203,75 @@ def sample_stratified(spark, sf_dir):
     return d.filter(hash32(F.col("doc_id"), "strata") < thr).select(
         "doc_id", "lang", "source"
     )
+
+
+# --- temperature resampling --------------------------------------------------
+# Multilingual corpora are heavily skewed toward the head language;
+# temperature sampling (the standard alpha-exponent reweighting) raises the
+# probability of rare languages. With alpha = 0.5 the per-language keep-rate
+# is rate_l = sqrt(n_min / n_l): exactly 1.0 for the rarest language,
+# shrinking as 1/sqrt for bigger strata. alpha = 0.5 is deliberate — the
+# whole computation is then one IEEE-exact sqrt of one correctly-rounded
+# double division, bit-identical across engines (pow(x, 0.7) would not be),
+# and the rate is quantized to integer parts-per-million before the
+# comparison so selection is pure integer arithmetic.
+TEMP_HASH_SPACE = 16777216  # 2^24: first 6 hex chars of md5
+
+
+def _hash24_sql(expr: str, salt: str) -> str:
+    return f"CAST('0x' || substr(md5('{salt}:' || CAST({expr} AS VARCHAR)), 1, 6) AS BIGINT)"
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs)
+                        * 1000000 + 0.5) AS BIGINT) AS rate_ppm
+      FROM counts
+    )
+    SELECT r.lang, r.n_docs, r.rate_ppm,
+           CAST(sum(CASE WHEN {_hash24_sql('d.doc_id', 'temp')} * 1000000
+                              < r.rate_ppm * {TEMP_HASH_SPACE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rates r USING (lang)
+    GROUP BY r.lang, r.n_docs, r.rate_ppm
+    """,
+    tags=("sampling", "multilingual"),
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-based language rebalancing (alpha = 0.5): per-language
+    keep-rate sqrt(n_min/n_l), membership decided by a row-pure hash
+    threshold — stable under retries and engine changes, like every sampler
+    here. Plan shape: one partial-aggregated shuffle for the per-language
+    counts (|langs| rows), the rate table broadcast back onto the corpus
+    scan, then one aggregating shuffle for the report — the actual document
+    selection is a narrow projection, so the 100 TB path is two scans with
+    nothing but lang-cardinality state moving."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * 1000000 + 0.5
+        ).cast("long").alias("rate_ppm"),
+    )
+    hash24 = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")), "utf-8")),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("long")
+    selected = F.when(hash24 * 1000000 < F.col("rate_ppm") * TEMP_HASH_SPACE, 1).otherwise(0)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("lang", "n_docs", "rate_ppm", selected.alias("sel"))
+        .groupBy("lang", "n_docs", "rate_ppm")
+        .agg(F.sum("sel").cast("long").alias("n_sampled"))
+    )

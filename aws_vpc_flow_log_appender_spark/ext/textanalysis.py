@@ -692,3 +692,89 @@ def text_bm25_search(spark, sf_dir):
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# The patterns stay inside the (large) Java-regex ∩ RE2 common subset —
+# character classes, bounded repetition, \b — so Spark's regexp_* (Java) and
+# the DuckDB oracle (RE2) match identical spans.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# Deterministic PII injection: the synthetic corpus contains no contact
+# info, so decorate each document with derived identifiers (and an SSN on
+# every third doc) — the scrub then has real spans to find and the counts
+# are document-dependent instead of uniformly zero.
+_PII_DECORATE_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH decorated AS (
+      SELECT doc_id, {_PII_DECORATE_SQL} AS text FROM documents
+    ), scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
+             len(regexp_extract_all(text, '{_PII_SSN}')) AS n_ssn,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_SSN}', '<SSN>', 'g') AS redacted
+      FROM decorated
+    )
+    SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+           CAST(n_ips AS INTEGER) AS n_ips, CAST(n_ssn AS INTEGER) AS n_ssn,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM scrubbed
+    """,
+    tags=("text", "pii", "scalar"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance pass every training corpus needs
+    before release: count and mask emails / IPv4 literals / SSNs. Pure
+    Column regex expressions (Java side, whole-stage codegen): a narrow
+    per-row projection with zero shuffles, so at 100 TB it costs exactly
+    one scan and parallelizes embarrassingly. Output carries md5 of the
+    redacted text (portable value-hash) rather than the text itself."""
+    d = load(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from host 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    (1000 + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4, "<IP>",
+        ),
+        _PII_SSN, "<SSN>",
+    )
+    return decorated.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_SSN), F.lit(0))).alias("n_ssn"),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )

@@ -16,10 +16,15 @@ from pyspark.sql import functions as F
 
 from . import fixtures
 from .enrich import join_eni
-from .functions import round_half_up
+from .functions import fdiv_sql, round_half_up
 from .operators.registry import load, query
 from .pipeline import decorate_lines, enrich_flow_logs
 from .parse import parse_lines
+from .streaming.transform_state import (
+    CUSUM_H_MILLI,
+    CUSUM_K_MILLI,
+    cusum_drift_batch,
+)
 
 # Fixture constants shared by the Spark expressions and the DuckDB oracle SQL.
 _ENI_IDS = [e[0] for e in fixtures.ENIS] + ["eni-miss0001", "eni-miss0002"]
@@ -914,3 +919,132 @@ def flowlog_cidr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return level("p16", 16, ".0.0/16").unionAll(level("p24", 24, ".0/24"))
+
+
+# ---------------------------------------------------------------------------
+# Stateful / graph incident-response analytics over the same synthesized
+# flow stream: CUSUM drift (an inherently order-dependent fold a windowed
+# aggregate cannot express) and 2-hop blast radius (frontier BFS).
+# ---------------------------------------------------------------------------
+
+_CUSUM_SEQ_LIMIT = 1200  # bounds oracle recursion depth to ~seq_limit/6 steps
+_NEW_MEAN = f"(c.mean_milli + {fdiv_sql('s.v - c.mean_milli', 'c.n + 1')})"
+_CUSUM_KEY_SQL = (
+    f"(['{_ENI_IDS[0]}','{_ENI_IDS[1]}','{_ENI_IDS[2]}','{_ENI_IDS[3]}',"
+    f"'{_ENI_IDS[4]}','{_ENI_IDS[5]}'])[CAST(user_id % 6 + 1 AS INTEGER)]"
+)
+
+CUSUM_ORACLE = f"""
+WITH RECURSIVE src AS (
+  SELECT {_CUSUM_KEY_SQL} AS key,
+         row_number() OVER (PARTITION BY user_id % 6 ORDER BY event_id) AS rn,
+         (40 + (event_id * 97) % 100000) * 1000 AS v
+  FROM events WHERE event_id < {_CUSUM_SEQ_LIMIT}
+), counts AS (
+  SELECT key, max(rn) AS n_rows FROM src GROUP BY key
+), cusum AS (
+  SELECT key, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS mean_milli, CAST(0 AS BIGINT) AS cpos,
+         CAST(0 AS BIGINT) AS cneg
+  FROM counts
+  UNION ALL
+  SELECT c.key, c.rn + 1, c.n + 1,
+         {_NEW_MEAN},
+         greatest(0, c.cpos + s.v - {_NEW_MEAN} - {CUSUM_K_MILLI}),
+         greatest(0, c.cneg + {_NEW_MEAN} - s.v - {CUSUM_K_MILLI})
+  FROM cusum c JOIN src s ON s.key = c.key AND s.rn = c.rn + 1
+)
+SELECT c.key, c.n, c.mean_milli,
+       c.cpos AS cusum_pos_milli, c.cneg AS cusum_neg_milli,
+       CAST(CASE WHEN c.cpos > {CUSUM_H_MILLI} OR c.cneg > {CUSUM_H_MILLI}
+                 THEN 1 ELSE 0 END AS INTEGER) AS alert
+FROM cusum c JOIN counts t ON c.key = t.key AND c.rn = t.n_rows
+"""
+
+
+@query("flowlog_cusum_drift", oracle=CUSUM_ORACLE, tags=("flowlog", "stateful", "security"))
+def flowlog_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-interface CUSUM change-point statistics over the first
+    ``_CUSUM_SEQ_LIMIT`` events' byte counts (same derivations as
+    ``synth_flow_lines``): the batch twin of the Spark-4 StatefulProcessor
+    operator in ``streaming/transform_state.py``.
+
+    CUSUM is an order-dependent recurrence — the one shape Spark's windowed
+    aggregates cannot express — so the engine runs it as ONE ordered pass
+    per key inside ``applyInPandas`` (a single exchange keyed by interface;
+    per-key state is four integers, so a 100 TB corpus costs one shuffle and
+    O(keys) memory). The oracle replays the identical scaled-integer fold as
+    a DuckDB recursive CTE, which is why the seq limit exists: the CTE
+    advances every key one row per iteration, so recursion depth equals the
+    deepest key's row count."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _CUSUM_SEQ_LIMIT)
+    flows = ev.select(
+        F.col("event_id").alias("seq"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _ENI_IDS]),
+            (F.col("user_id") % 6 + 1).cast("int"),
+        ).alias("interface-id"),
+        (40 + (F.col("event_id") * 97) % 100000).alias("bytes"),
+    )
+    return cusum_drift_batch(flows)
+
+
+# seed on an eid%4==1 slot: PRIVATE index 0 rows are exactly the REJECT
+# rows (eid%4==0), so PRIVATE_IPS[0] never enters the ACCEPT graph
+_BLAST_SEED = fixtures.PRIVATE_IPS[1]  # the "compromised" host
+
+BLAST_RADIUS_ORACLE = f"""
+WITH {_ORACLE_CTES},
+edges AS (
+  SELECT DISTINCT srcaddr, destaddr FROM typed
+  WHERE error_flag = 0 AND action = 'ACCEPT'
+),
+nb AS (
+  SELECT srcaddr AS a, destaddr AS b FROM edges
+  UNION
+  SELECT destaddr, srcaddr FROM edges
+),
+h1 AS (SELECT DISTINCT b AS ip FROM nb WHERE a = '{_BLAST_SEED}'),
+h2 AS (
+  SELECT DISTINCT nb.b AS ip FROM nb JOIN h1 ON nb.a = h1.ip
+),
+hops AS (
+  SELECT ip, 1 AS hop FROM h1
+  UNION ALL
+  SELECT ip, 2 FROM h2
+)
+SELECT ip, CAST(min(hop) AS INTEGER) AS hop
+FROM hops WHERE ip <> '{_BLAST_SEED}' GROUP BY ip
+"""
+
+
+@query("flowlog_blast_radius", oracle=BLAST_RADIUS_ORACLE, tags=("flowlog", "graph", "security"))
+def flowlog_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop blast radius of a compromised host over the undirected ACCEPT
+    graph — the incident-response question "which hosts share a service with
+    the seed?". Frontier-style BFS as two joins: the frontier (hop-1
+    neighbor set) is tiny relative to the edge list, so Spark broadcasts it
+    into each probe; at 100 TB the edge list stays partitioned on ``a`` and
+    only the frontier moves. Deeper traversals iterate the same join (cf.
+    ``ext/graph.py`` pointer-jumping for the unbounded case)."""
+    flows = _valid_parsed(spark, sf_dir).filter(F.col("action") == "ACCEPT")
+    edges = flows.select("srcaddr", "destaddr").distinct()
+    nb = (
+        edges.select(F.col("srcaddr").alias("a"), F.col("destaddr").alias("b"))
+        .union(edges.select(F.col("destaddr").alias("a"), F.col("srcaddr").alias("b")))
+        .distinct()
+    )
+    h1 = nb.filter(F.col("a") == _BLAST_SEED).select(F.col("b").alias("ip")).distinct()
+    h2 = (
+        nb.join(F.broadcast(h1).withColumnRenamed("ip", "a"), "a")
+        .select(F.col("b").alias("ip"))
+        .distinct()
+    )
+    hops = h1.select("ip", F.lit(1).alias("hop")).unionAll(
+        h2.select("ip", F.lit(2).alias("hop"))
+    )
+    return (
+        hops.filter(F.col("ip") != _BLAST_SEED)
+        .groupBy("ip")
+        .agg(F.min("hop").cast("int").alias("hop"))
+    )

@@ -1,1 +1,1 @@
-from .numeric import round_half_up, sql_round  # noqa: F401
+from .numeric import fdiv_sql, round_half_up, sql_round  # noqa: F401

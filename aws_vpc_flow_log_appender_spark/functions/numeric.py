@@ -25,3 +25,14 @@ def sql_round(expr: str, n: int) -> str:
     """The DuckDB twin of :func:`round_half_up` as a SQL fragment."""
     scale = float(10 ** n)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def fdiv_sql(x: str, n: str) -> str:
+    """Python-style FLOOR division as a DuckDB fragment (``n`` > 0).
+
+    DuckDB's ``//`` truncates toward zero on negatives (``-7 // 2 = -3``)
+    where Python floors (``-4``); the exact integer identity
+    ``(x - ((x % n) + n) % n) // n`` floors without any float detour, so
+    scaled-integer recurrences replayed in SQL match the engine's Python
+    kernels bit-for-bit."""
+    return f"((({x}) - (((({x}) % ({n})) + ({n})) % ({n}))) // ({n}))"

@@ -573,3 +573,84 @@ def ts_autocorr(spark, sf_dir):
         "n",
         round_half_up(num / den, 6).alias("autocorr"),
     ).orderBy("lag")
+
+
+# --- EWMA smoothing ----------------------------------------------------------
+# Exponential smoothing is an order-dependent recurrence (like the CUSUM
+# operator in streaming/transform_state.py): s_t = s_{t-1} + (v_t -
+# s_{t-1})/4, seeded with the first observation. The engine state is
+# scaled-integer (milli-units, floor division) so the fold is a pure
+# function of the event sequence; the oracle replays it as a recursive CTE
+# using the same fdiv identity. alpha is fixed at 1/4 so the smoothing
+# factor is an exact integer divisor.
+_EWMA_OUTPUT = "user_id long, n_events long, ewma_milli long, last_milli long, dev_milli long"
+
+
+def _ewma_oracle() -> str:
+    from ..functions import fdiv_sql
+
+    step = f"(c.s + {fdiv_sql('s.v - c.s', '4')})"
+    return f"""
+    WITH RECURSIVE src AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), counts AS (
+      SELECT user_id, max(rn) AS n_rows FROM src GROUP BY user_id
+    ), rec AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+             CAST(0 AS BIGINT) AS s
+      FROM counts
+      UNION ALL
+      SELECT c.user_id, c.rn + 1, c.n + 1,
+             CASE WHEN c.n = 0 THEN s.v ELSE {step} END
+      FROM rec c JOIN src s ON s.user_id = c.user_id AND s.rn = c.rn + 1
+    )
+    SELECT c.user_id, c.n AS n_events, c.s AS ewma_milli,
+           s.v AS last_milli, s.v - c.s AS dev_milli
+    FROM rec c
+    JOIN counts t ON c.user_id = t.user_id AND c.rn = t.n_rows
+    JOIN src s ON s.user_id = c.user_id AND s.rn = c.rn
+    """
+
+
+@query("ts_ewma", oracle=_ewma_oracle(), tags=("timeseries", "stateful"))
+def ts_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (alpha = 1/4, seeded with the first
+    observation) with the final smoothed level and the last observation's
+    deviation from it — the classic smoothing baseline behind anomaly
+    scores. One exchange keyed by user_id, then a single ordered in-memory
+    pass per key inside ``applyInPandas`` (state = one integer); recursion
+    depth in the oracle equals the deepest key's row count, but the Spark
+    side is O(rows) regardless — the same execution shape that handles a
+    100 TB keyspace."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id", kind="mergesort")
+        s = 0
+        n = 0
+        last = 0
+        for v in pdf["v"].astype("int64"):
+            v = int(v)
+            n += 1
+            s = v if n == 1 else s + (v - s) // 4
+            last = v
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "ewma_milli": [s],
+                "last_milli": [last],
+                "dev_milli": [last - s],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(fold, schema=_EWMA_OUTPUT)
