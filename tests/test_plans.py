@@ -300,3 +300,39 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert all(r.rank > 0 for r in rows)
     ranks = [r.pr_rank for r in rows]
     assert ranks == sorted(ranks)
+
+
+def test_pii_scrub_is_narrow(plans):
+    """PII redaction must stay a pure projection: no Exchange at all, and
+    the regexes run inside whole-stage codegen."""
+    p = plans("text_pii_scrub")
+    assert "Exchange" not in p
+    # '*(1)' is the codegen-stage marker in executedPlan().toString()
+    assert "*(1) Project" in p
+
+
+def test_temperature_rates_join_is_broadcast(plans):
+    """The |langs|-row rate table must broadcast onto the corpus scan; the
+    doc-side join must never shuffle on lang."""
+    p = plans("sample_temperature")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_blast_radius_frontier_is_broadcast(plans):
+    """Frontier BFS: the hop-1 neighbor set is broadcast into the edge
+    probe — no cartesian shape, no shuffle of the edge list for the probe."""
+    p = plans("flowlog_blast_radius")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_stateful_folds_shuffle_once_per_key(plans):
+    """CUSUM / EWMA: one exchange keyed by the fold key feeding a single
+    grouped-map pass — the only plan shape whose state stays O(keys)."""
+    for name in ("flowlog_cusum_drift", "ts_ewma"):
+        p = plans(name)
+        assert "FlatMapGroupsInPandas" in p, name
+        exchanges = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(exchanges) == 1, (name, exchanges)
