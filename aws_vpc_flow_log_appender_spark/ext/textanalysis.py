@@ -778,3 +778,61 @@ def text_pii_scrub(spark, sf_dir):
         F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+@query(
+    "text_entropy_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY source, tok
+    ), totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM counts GROUP BY source
+    ), contrib AS (
+      -- quantize each token's -p*ln(p) to micro-nats BEFORE summing so the
+      -- cross-engine sum is an order-immune integer sum (the BM25 trick)
+      SELECT c.source,
+             CAST(floor(-1000000.0 * (CAST(c.c AS DOUBLE) / t.total)
+                        * ln(CAST(c.c AS DOUBLE) / t.total) + 0.5) AS BIGINT)
+               AS h_u
+      FROM counts c JOIN totals t USING (source)
+    )
+    SELECT t.source, t.total AS n_tokens, t.n_types,
+           CAST(sum(co.h_u) AS BIGINT) AS entropy_micro_nats
+    FROM contrib co JOIN totals t USING (source)
+    GROUP BY t.source, t.total, t.n_types
+    """,
+    tags=("text", "quality", "agg"),
+)
+def text_entropy_by_source(spark, sf_dir):
+    """Unigram Shannon entropy per source — the corpus-diversity signal
+    curation pipelines watch (a collapsing entropy means a source went
+    template-heavy or got polluted). Token counting is one shuffle keyed by
+    (source, token) with map-side partial aggregation; the per-source
+    totals (|sources| rows) broadcast back onto the counts; each token's
+    -p*ln(p) is quantized to integer micro-nats BEFORE the final sum so
+    accumulation order — which Spark and DuckDB never agree on for floats —
+    cannot move the result."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    contrib = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.floor(-1000000.0 * p * F.log(p) + 0.5).cast("long").alias("h_u"),
+    )
+    return contrib.groupBy("source", "n_tokens", "n_types").agg(
+        F.sum("h_u").cast("long").alias("entropy_micro_nats")
+    )

@@ -22,8 +22,9 @@ Capability gate: the StatefulProcessor wire protocol needs the protobuf
 package in the Python workers. When it is absent (as in this container),
 ``cusum_drift_stream`` raises NotImplementedError at plan time — same
 guard discipline as the boto3/es-hadoop/PIL gates — while the BATCH twin
-``cusum_drift_batch`` (applyInPandas over the identical kernel) always
-works and is pytest-verified against a from-scratch Python reference.
+``cusum_drift_batch`` (a partition-fold mapInPandas over the identical
+kernel) always works and is pytest-verified against a from-scratch Python
+reference.
 """
 
 from __future__ import annotations
@@ -144,21 +145,41 @@ def cusum_drift_stream(flows: DataFrame, key_col: str = "`interface-id`") -> Dat
 
 
 def cusum_drift_batch(flows: DataFrame, key_col: str = "`interface-id`") -> DataFrame:
-    """Batch twin: one CUSUM fold per key over the full seq-ordered history
-    (applyInPandas grouped map — no streaming-state wire protocol needed).
-    Emits the final state per key; per-key work is a single ordered pass, so
-    the shuffle is one exchange keyed by ``key`` and the kernel is the SAME
-    ``_cusum_fold`` the streaming processor uses."""
+    """Batch twin: one CUSUM fold per key over the full seq-ordered history,
+    emitting the final state per key with the SAME ``_cusum_fold`` kernel
+    the streaming processor uses.
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq", kind="mergesort")
-        state = _cusum_fold(pdf["bytes_milli"].astype("int64"), (0, 0, 0, 0))
-        return _state_row(str(pdf["key"].iloc[0]), state)
+    Shape: explicit hash repartition on key + sort within partitions + one
+    ``mapInPandas`` pass per partition, walking contiguous key runs.
+    Deliberately not ``groupBy().applyInPandas``: the grouped-map form pays
+    a pandas-DataFrame + Python call per key (milliseconds each — ruinous
+    at real interface cardinality) and lets AQE coalesce the small shuffle
+    into a single serial worker. Here the only per-key cost is the kernel
+    call itself, parallelism is pinned by the explicit partition count, and
+    state never exceeds three integers per in-flight key."""
+    prepared = _prepared(flows, key_col)
+    n_parts = int(flows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+    def fold_partition(batches) -> "pd.DataFrame":
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:  # keys << partitions leaves empty tasks
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        keys = pdf["key"].to_numpy()
+        vals = pdf["bytes_milli"].to_numpy()
+        frames = []
+        start = 0
+        for i in range(1, len(pdf) + 1):
+            if i == len(pdf) or keys[i] != keys[start]:
+                state = _cusum_fold(vals[start:i], (0, 0, 0, 0))
+                frames.append(_state_row(str(keys[start]), state))
+                start = i
+        yield pd.concat(frames, ignore_index=True)
 
     return (
-        _prepared(flows, key_col)
-        .groupBy("key")
-        .applyInPandas(fold, schema=CUSUM_OUTPUT)
+        prepared.repartition(n_parts, "key")
+        .sortWithinPartitions("key", "seq")
+        .mapInPandas(fold_partition, schema=CUSUM_OUTPUT)
     )
 
 

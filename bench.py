@@ -42,6 +42,8 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "graph_pagerank",
     "text_bm25_search",
+    "ts_ewma",
+    "text_entropy_by_source",
 ]
 
 

@@ -330,9 +330,12 @@ def test_blast_radius_frontier_is_broadcast(plans):
 
 def test_stateful_folds_shuffle_once_per_key(plans):
     """CUSUM / EWMA: one exchange keyed by the fold key feeding a single
-    grouped-map pass — the only plan shape whose state stays O(keys)."""
+    partition-fold MapInPandas pass (NOT per-group FlatMapGroupsInPandas,
+    which pays a Python round-trip per key and lets AQE serialize the whole
+    keyspace through one worker)."""
     for name in ("flowlog_cusum_drift", "ts_ewma"):
         p = plans(name)
-        assert "FlatMapGroupsInPandas" in p, name
+        assert "MapInPandas" in p, name
+        assert "FlatMapGroupsInPandas" not in p, name
         exchanges = [l for l in p.splitlines() if "Exchange hashpartitioning" in l]
         assert len(exchanges) == 1, (name, exchanges)
