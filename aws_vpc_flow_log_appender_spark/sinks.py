@@ -52,3 +52,68 @@ def compact(spark, path: str, partition_cols: list[str],
     write_partitioned(
         df, path + "__compacted", partition_cols, files_per_partition
     )
+
+
+# --- multi-dimensional clustering (z-order) ---------------------------------
+
+ZORDER_BITS = 8  # 256 quantile buckets per dimension
+
+
+def _quantile_bucket(value_expr: str, boundaries_col: str):
+    """0..255 bucket of ``value_expr`` given a sorted 255-boundary array:
+    bucket = #boundaries <= value. Quantile (not linear) bucketing, so
+    skewed columns still spread across the full bucket range."""
+    return F.size(
+        F.filter(F.col(boundaries_col), lambda b: b <= F.expr(value_expr))
+    ).cast("long")
+
+
+def zorder_by(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Stable sort key interleaving the bits of each column's quantile rank
+    (Morton / z-order curve). Rows close on the curve are close in EVERY
+    listed dimension, so after a range-partitioned write each file's
+    parquet min/max footer covers a small box of the space and a filter on
+    ANY single z-ordered column prunes most row groups — the data-skipping
+    property a single-column sort only gives to its leading column.
+
+    Quantile buckets come from one ``percentile_approx`` aggregate (a
+    1-row broadcast — no global sort, no driver collect), so the whole
+    clustering adds one tiny agg + one range exchange to the write. Spark
+    has no built-in multi-dimensional clustering; this is the standard
+    lakehouse OPTIMIZE ZORDER BY technique expressed as a plain column."""
+    fracs = [i / 256.0 for i in range(1, 256)]
+    frac_arr = "array(" + ", ".join(f"{x}D" for x in fracs) + ")"
+    bounds = df.select(
+        *[
+            F.expr(
+                f"percentile_approx(CAST({c} AS DOUBLE), {frac_arr}, 10000)"
+            ).alias(f"__b_{c}")
+            for c in cols
+        ]
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for ci, c in enumerate(cols):
+        bucket = _quantile_bucket(f"CAST({c} AS DOUBLE)", f"__b_{c}")
+        # interleave: bit i of column ci lands at position i*n + ci
+        for i in range(ZORDER_BITS):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + ci))
+    return bucketed.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   num_files: int, mode: str = "overwrite") -> None:
+    """Parquet write clustered on the z-order curve of ``cols``:
+    range-partition by the z-value into ``num_files`` tasks (sampled range
+    boundaries — no skew pileup), sort within each, drop the key. Each
+    output file then owns a contiguous curve segment, i.e. a tight
+    min/max box in every clustered dimension."""
+    staged = (
+        zorder_by(df, cols)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    staged.write.mode(mode).parquet(path)
