@@ -215,6 +215,40 @@ def main() -> int:
         )
     finally:
         shutil.rmtree(etmp, ignore_errors=True)
+
+    # 6) stateful partition-fold at scale: ts_ewma must produce exactly one
+    # row per (replicated) user and stay wall-clock-linear — the shape that
+    # regressed 9x under groupBy().applyInPandas (per-key Python round-trip
+    # + AQE coalescing to one worker; see PLANS.md) must not creep back.
+    from aws_vpc_flow_log_appender_spark.operators.timeseries import ts_ewma
+
+    base_users = events.select("user_id").distinct().count()
+    f_events = (
+        events.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("user_id", F.col("user_id") + F.col("__copy") * F.lit(10 ** 10))
+        .withColumn("event_id", F.col("event_id") * mult + F.col("__copy"))
+        .drop("__copy")
+    )
+    ftmp = tempfile.mkdtemp(prefix="scale_ewma_")
+    try:
+        f_events.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).write.mode("overwrite").parquet(f"{ftmp}/events.parquet")
+        t0 = time.perf_counter()
+        n_states = ts_ewma(spark, ftmp).count()
+        t_fold = time.perf_counter() - t0
+        if n_states != base_users * mult:
+            print(
+                f"FAIL ewma fold scaling: {n_states} state rows != "
+                f"{base_users}x{mult}"
+            )
+            ok = False
+        print(
+            f"scale_smoke ewma mult={mult}: {n_states:,} per-user states in "
+            f"{t_fold:.1f}s ({'OK' if ok else 'FAIL'})"
+        )
+    finally:
+        shutil.rmtree(ftmp, ignore_errors=True)
     return 0 if ok else 1
 
 
