@@ -275,3 +275,55 @@ def sample_temperature(spark, sf_dir):
         .groupBy("lang", "n_docs", "rate_ppm")
         .agg(F.sum("sel").cast("long").alias("n_sampled"))
     )
+
+
+MAX_EPOCHS = 4  # repetition cap — past ~4 epochs repetition hurts quality
+
+
+@query(
+    "sample_mix_epochs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_tokens,
+           least({MAX_EPOCHS},
+                 greatest(1, (SELECT max(n_tokens) FROM tok) // n_tokens))
+             AS epochs,
+           n_tokens * least({MAX_EPOCHS},
+                 greatest(1, (SELECT max(n_tokens) FROM tok) // n_tokens))
+             AS effective_tokens
+    FROM tok
+    """,
+    tags=("sampling", "mixture"),
+)
+def sample_mix_epochs(spark, sf_dir):
+    """Data-mixture epoch planner: repeat each source up to the largest
+    source's token budget, capped at MAX_EPOCHS — the standard recipe for
+    upweighting small high-quality sources in a training mix. All integer
+    arithmetic (token counts, floor-division epochs), so the plan is
+    reproducible to the byte. One partial-aggregated shuffle keyed by
+    source; the 1-row max broadcasts — token-counting 100 TB is the scan,
+    the planning math is free."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    tok = d.groupBy("source").agg(F.sum(n_tok).cast("long").alias("n_tokens"))
+    mx = tok.agg(F.max("n_tokens").alias("max_tokens"))
+    epochs = F.least(
+        F.lit(MAX_EPOCHS),
+        F.greatest(F.lit(1), F.floor(F.col("max_tokens") / F.col("n_tokens"))),
+    ).cast("long")
+    return (
+        tok.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n_tokens",
+            epochs.alias("epochs"),
+            (F.col("n_tokens") * epochs).alias("effective_tokens"),
+        )
+    )

@@ -836,3 +836,74 @@ def text_entropy_by_source(spark, sf_dir):
     return contrib.groupBy("source", "n_tokens", "n_types").agg(
         F.sum("h_u").cast("long").alias("entropy_micro_nats")
     )
+
+
+REPEAT_SHINGLE = 5  # tokens per cross-doc repeat shingle
+
+
+@query(
+    "text_cross_doc_repeats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents WHERE len(string_split(text, ' ')) >= {REPEAT_SHINGLE}),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(l[i+1:i+{REPEAT_SHINGLE}], ' ') AS shingle
+           FROM tok, unnest(generate_series(0, len(l) - {REPEAT_SHINGLE})) AS t(i)),
+    freq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+             FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           floor((sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                  / (count(*) + 0.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS repeat_ratio
+    FROM sh s JOIN freq f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "substring"),
+)
+def text_cross_doc_repeats(spark, sf_dir):
+    """Substring-level cross-document duplication: for each document, the
+    fraction of its distinct 5-token shingles that occur in at least one
+    OTHER document — the signal behind substring-granular corpus dedup
+    (boilerplate headers, license blocks, templated spans that doc-level
+    MinHash/Jaccard cannot see because the containing documents differ).
+    Reference technique: Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (approximated at shingle granularity; the
+    suffix-array formulation is not expressible as a dataflow).
+
+    Scale shape: per-doc DISTINCT shingles (one shuffle), shingle-keyed
+    frequency count (partial-aggregated; hot boilerplate shingles combine
+    map-side), then an equi-join back on shingle and a per-doc aggregate.
+    The frequency table is vocabulary-sized, so nothing here is all-pairs
+    and no stage depends on corpus row count beyond linear scans."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingle = F.array_join(
+        F.slice(F.col("l"), F.col("i") + 1, REPEAT_SHINGLE), " "
+    )
+    sh = (
+        d.filter(n >= REPEAT_SHINGLE)
+        .select(
+            "doc_id",
+            toks.alias("l"),
+            F.explode(F.sequence(F.lit(0), n - REPEAT_SHINGLE)).alias("i"),
+        )
+        .select("doc_id", shingle.alias("shingle"))
+        .distinct()
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    rep = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(rep).cast("long").alias("n_repeated"),
+            round_half_up(
+                F.sum(rep) / F.count("*").cast("double"), 6
+            ).alias("repeat_ratio"),
+        )
+    )

@@ -346,3 +346,70 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, l_extendedprice, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_wt,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total_wt,
+             l_orderkey, l_linenumber
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(total_wt) AS BIGINT) AS total_weight,
+           min(l_extendedprice) AS weighted_median_price
+    FROM cum
+    WHERE 2 * cum_wt >= total_wt
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (lower weighted median: the smallest price at
+    which the cumulative quantity reaches half the group's total) — a
+    capability Spark has no built-in for (percentile_approx is unweighted).
+
+    Determinism: weights are quantized to BIGINT before the running sum so
+    the cumulative is an integer — a float running sum would depend on
+    accumulation order. The qualifying rows form a suffix of the unique
+    (price, orderkey, linenumber) sort, so min(price) over them IS the
+    first qualifying row; no second window needed. One shuffle per group
+    key; the window sorts within partitions only."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("wt"),
+    )
+    order = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wt")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_wt"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("total_wt"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_wt") >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("total_wt").cast("long").alias("total_weight"),
+            F.min("l_extendedprice").alias("weighted_median_price"),
+        )
+    )

@@ -82,3 +82,66 @@ def test_temperature_rates_hit_endpoints(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r["n_docs"])
     rates = [r["rate_ppm"] for r in ordered]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_weighted_median_sits_at_half_mass(spark, sf_dir):
+    from aws_vpc_flow_log_appender_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    rows = {r["l_returnflag"]: r for r in agg_weighted_median(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("wt"),
+    ).collect()
+    import collections
+    by_flag = collections.defaultdict(list)
+    for r in li:
+        by_flag[r["l_returnflag"]].append((r["l_extendedprice"], r["wt"]))
+    for flag, data in by_flag.items():
+        data.sort()
+        total = sum(w for _, w in data)
+        cum = 0
+        for price, w in data:
+            cum += w
+            if 2 * cum >= total:
+                break
+        assert rows[flag]["weighted_median_price"] == price, flag
+        assert rows[flag]["total_weight"] == total
+
+
+def test_mix_epochs_caps_and_floors(spark, sf_dir):
+    from aws_vpc_flow_log_appender_spark.ext.sampling import (
+        MAX_EPOCHS,
+        sample_mix_epochs,
+    )
+
+    rows = sample_mix_epochs(spark, sf_dir).collect()
+    assert rows
+    biggest = max(rows, key=lambda r: r["n_tokens"])
+    assert biggest["epochs"] == 1, "the anchor source is never repeated"
+    for r in rows:
+        assert 1 <= r["epochs"] <= MAX_EPOCHS
+        assert r["effective_tokens"] == r["n_tokens"] * r["epochs"]
+        # effective budget never exceeds the anchor's (cap aside)
+        if r["epochs"] < MAX_EPOCHS:
+            assert r["effective_tokens"] <= biggest["n_tokens"]
+
+
+def test_cross_doc_repeats_flags_shared_boilerplate(spark, sf_dir):
+    """Two docs sharing a 5-token span must both report repeated shingles;
+    ratio is within [0, 1] everywhere."""
+    from aws_vpc_flow_log_appender_spark.ext.textanalysis import (
+        text_cross_doc_repeats,
+    )
+
+    rows = text_cross_doc_repeats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_repeated"] <= r["n_shingles"]
+        assert 0.0 <= r["repeat_ratio"] <= 1.0
+    # the synthetic corpus draws from a small vocabulary: some cross-doc
+    # repetition must exist, and not every doc is 100% boilerplate
+    assert any(r["n_repeated"] > 0 for r in rows)
+    assert any(r["n_repeated"] < r["n_shingles"] for r in rows)
