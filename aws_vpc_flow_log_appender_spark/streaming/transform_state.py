@@ -190,3 +190,40 @@ def reference_cusum(values_by_key: dict[str, list[int]]) -> dict[str, tuple]:
         key: _cusum_fold([v * 1000 for v in vals], (0, 0, 0, 0))
         for key, vals in values_by_key.items()
     }
+
+
+def cusum_drift_stream_legacy(
+    flows: DataFrame, key_col: str = "`interface-id`"
+) -> DataFrame:
+    """Streaming CUSUM on the applyInPandasWithState API (Spark 3.4+), which
+    needs no protobuf wire protocol — the form that actually RUNS in this
+    container, with cross-batch state carry verified in tests.
+
+    Same ``_cusum_fold`` kernel and scaled-integer state as the
+    transformWithState form; per micro-batch the key's rows are sorted by
+    ``seq`` before folding, so within-batch Arrow chunking cannot reorder
+    the recurrence. (Cross-batch order is the stream's arrival order — the
+    semantics every stateful streaming fold has.) State is four integers
+    per key; pair with GroupStateTimeout / watermark TTL in deployments
+    where keys churn."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        st = tuple(state.get) if state.exists else (0, 0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("seq", kind="mergesort")
+        st = _cusum_fold(pdf["bytes_milli"].astype("int64"), st)
+        state.update(st)
+        yield _state_row(key[0], st)
+
+    return (
+        _prepared(flows, key_col)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUTPUT,
+            stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -109,3 +109,49 @@ def test_cusum_state_carries_across_batches_streaming(spark, tmp_path):
         )
     for key, state in _independent_reference().items():
         assert final[key] == state, (key, final[key], state)
+
+
+def test_cusum_legacy_stream_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState needs no protobuf: the streaming CUSUM must
+    reproduce the independent reference after two file-triggered
+    micro-batches, proving state carry (batch 2 continues batch 1's fold,
+    not a fresh one)."""
+    from aws_vpc_flow_log_appender_spark.streaming.transform_state import (
+        cusum_drift_stream_legacy,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(B1, SCHEMA).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(B2, SCHEMA).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        cusum_drift_stream_legacy(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_legacy_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM cusum_legacy_out").collect()
+
+    # update-mode memory sink appends one row per key per batch; the LAST
+    # row per key is the final state
+    final = {}
+    for r in rows:
+        final[r["key"]] = (
+            r["n"], r["mean_milli"], r["cusum_pos_milli"], r["cusum_neg_milli"],
+        )
+    # eni-a appears in both batches -> must have been emitted twice with
+    # growing n (state carry, not recompute)
+    a_rows = [r["n"] for r in rows if r["key"] == "eni-a"]
+    assert sorted(a_rows) == [3, 6], a_rows
+    for key, state in _independent_reference().items():
+        assert final[key] == state, (key, final[key], state)
