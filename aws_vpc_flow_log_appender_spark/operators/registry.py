@@ -173,9 +173,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # ts arrives either as TIMESTAMP(MICROS) (read natively) or as
+        # INT64 TIMESTAMP(NANOS) (surfaced as bigint via nanosAsLong);
+        # normalize the latter so downstream sees one ts type.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
