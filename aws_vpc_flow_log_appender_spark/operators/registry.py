@@ -38,80 +38,79 @@ class QuerySpec:
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# registration order (round-1 VERDICT.md). Insertion order follows module
-# import order, so without an explicit ordering the generic relational
-# surface fills the window while the flagship pipeline and the whole
-# dedup/similarity/text/ts/set surface go unproven. This list pins the
-# window to the highest-value queries: slots 1-50 are exactly the queries
-# that had no CORRECTNESS_r01.json row (the round-1-proven generics follow,
-# then tpch_q18/q19 rotate in next round, and no-oracle sketches sit at the
-# tail so they never burn a hash-checked slot).
+# registration order. Round 1 proved the generic relational surface, round 2
+# proved the flagship + LLM-pipeline surface (CORRECTNESS_r0{1,2}.json: 96
+# distinct queries green). Round 3 rotates the window per VERDICT_r02 "Next
+# round #2": slots 1-2 are the two round-2 env-drift failures (must re-prove
+# green after the NTZ fix in load()), slots 3-50 are exactly 48
+# never-driver-checked queries — the remaining TPC-H, graphs, sampling,
+# security detectors, text r2 additions, containment/multiprobe, and
+# embedding prep. Everything previously proven follows behind the window;
+# no-oracle sketches sit at the tail so they never burn a hash-checked slot.
+# Still unproven after this round (rotate into round 4's window):
+# events_top_paths, events_transition_probs, agg_mode_deterministic,
+# agg_weighted_median, join_interval_events, dq_profile_columns,
+# skyline_pareto_2d, ts_mad_outliers, ts_weighted_moving_avg,
+# ts_rolling_distinct, ts_interpolate_linear, ts_autocorr, ts_ewma,
+# dedup_embedding_pairs, multimodal_chunk_manifest.
 PRIORITY_ORDER: list[str] = [
-    # flagship flow-log pipeline + domain analytics (reference decorator's
-    # core query, /root/reference/decorator/index.js:243-262)
-    "flowlog_enrich",
-    "flowlog_top_talkers",
-    "flowlog_rejected_by_port",
-    "flowlog_bytes_per_security_group",
-    "flowlog_traffic_by_direction",
-    "flowlog_conversations",
-    "flowlog_byte_anomalies",
-    # ingest round-trip (S1-S4) + JSON envelope scalar family
-    "ingest_cloudwatch_decode",
-    "json_extract",
-    # set ops (SET1 tagged union is the reference's ok/failed merge)
-    "set_union_all_tagged",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_distinct_union",
-    "set_intersect_all",
-    # LLM-pipeline: dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_nn",
-    "dedup_clusters",
-    "corpus_curation_pipeline",
-    # similarity search (oracle-checked members)
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_label_centroids",
-    # text analysis
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_edit_distance",
-    # time-series
-    "ts_tumbling_window",
-    "ts_sliding_window",
+    # round-2 driver failures (TIMESTAMP_NTZ drift) — re-prove first
     "ts_sessionize",
-    "ts_daily_activity",
-    "ts_gap_fill",
-    # window family
-    "window_topk_per_group",
-    "window_running_sum",
     "window_lag_lead",
-    "window_rank_dense_percent",
-    "window_first_last",
-    # streaming (batch-equivalent oracle) + multimodal oracle form
-    "stream_tumbling_window",
-    "multimodal_binary_stats",
-    # remaining unproven scalar/sort surface
-    "sort_limit_topk",
-    "sort_limit_offset",
-    "scalar_try_cast",
-    # unproven TPC-H (3 of 5 fit in the window; q18/q19 rotate in round 3)
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    # ---- slot 51+ from here ----
+    # remaining TPC-H (public spec queries; q18/q19 were slots 51-52 in r2)
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_semi",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # graph analytics over the events-derived interaction graph
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "graph_common_neighbors",
+    # training-data sampling family (ext/sampling.py — all 6)
+    "sample_holdout_split",
+    "sample_split_rates",
+    "sample_stratified",
+    "sample_temperature",
+    "sample_mix_epochs",
+    "text_pack_sequences",
+    # security / flow-log detectors
+    "flowlog_ddos_targets",
+    "flowlog_service_mix",
+    "flowlog_port_scans",
+    "flowlog_incident_feed",
+    "flowlog_beaconing",
+    "flowlog_acl_flip_pairs",
+    "flowlog_chi2_protocol_action",
+    "flowlog_cidr_rollup",
+    "flowlog_cusum_drift",
+    "flowlog_blast_radius",
+    # text analysis round-2 additions
+    "text_bpe_token_count",
+    "text_chunk_windows",
+    "text_repetition_ratio",
+    "text_contamination_check",
+    "text_unigram_logprob",
+    "text_inverted_index",
+    "text_bm25_search",
+    "text_pii_scrub",
+    "text_entropy_by_source",
+    "text_cross_doc_repeats",
+    # dedup / similarity / embedding-prep round-2 additions
+    "dedup_containment",
+    "sim_ivf_multiprobe",
+    "embed_l2_normalize",
+    "embed_quantize_int8",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot.
@@ -173,13 +172,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # ts arrives either as TIMESTAMP(MICROS) (read natively) or as
-        # INT64 TIMESTAMP(NANOS) (surfaced as bigint via nanosAsLong);
-        # normalize the latter so downstream sees one ts type.
-        if dict(df.dtypes).get("ts") == "bigint":
+        # ts arrives as one of THREE physical types depending on the host's
+        # parquet writer: TIMESTAMP(MICROS, adjustedToUTC) -> timestamp
+        # (read natively, nothing to do), INT64 TIMESTAMP(NANOS) -> bigint
+        # (via nanosAsLong; truncate to micros like DuckDB's reader), or
+        # TIMESTAMP(not adjusted) -> timestamp_ntz. Normalize ALL of them to
+        # TIMESTAMP (LTZ) so downstream unix_micros()/withWatermark() — which
+        # reject NTZ — see one type everywhere. The NTZ->LTZ cast is
+        # value-preserving because the session TZ is pinned UTC above, which
+        # also matches DuckDB's UTC-naive epoch semantics.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
