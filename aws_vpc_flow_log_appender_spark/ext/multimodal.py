@@ -65,31 +65,69 @@ def documents_as_media(spark, sf_dir: str) -> DataFrame:
 def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     """mapInPandas decode + feature-extract.
 
-    STUB kernel: a real implementation calls PIL/libav here; this one emits a
-    deterministic per-payload pseudo-feature (byte-histogram moments) so the
-    batch shape, Arrow round-trip, and output schema are exercised for real.
+    Kernel selects the REAL decode path when PIL is importable on the
+    executor: image/* payloads are decoded, resized to a feature_dim-wide
+    grayscale patch, and the row-mean pixel intensities become the feature
+    (status='decoded'). Without PIL — or for non-image mimes, or payloads
+    PIL rejects — it degrades row-wise to the deterministic byte-histogram
+    pseudo-feature (status='stub-decoded' / 'decode-failed-synthetic')
+    instead of failing the batch, so the Spark-side contract (schema, Arrow
+    batching, 1-to-1 shape) is identical in media-lib-free containers and
+    flips to real decode by provisioning PIL. Mirrors resize_image's gate.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         import numpy as np
 
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def synthetic(payload: bytes) -> list[float]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            # deterministic fake "embedding": moments of the byte stream
+            chunks = np.array_split(arr.astype(np.float32), feature_dim)
+            return [float(c.mean()) if len(c) else 0.0 for c in chunks]
+
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
+            mimes = pdf["meta"].map(
+                lambda m: m["mime"] if m is not None else None
+            )
+            feats, statuses = [], []
+            for payload, mime in zip(pdf["payload"], mimes):
                 if payload is None:
                     feats.append(None)
+                    statuses.append("no-payload")
                     continue
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                # deterministic fake "embedding": moments of the byte stream
-                chunks = np.array_split(arr.astype(np.float32), feature_dim)
-                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+                if have_pil and mime and mime.startswith("image/"):
+                    try:  # pragma: no cover - real decode path
+                        img = Image.open(io.BytesIO(payload)).convert("L")
+                        px = np.asarray(
+                            img.resize((feature_dim, feature_dim)),
+                            dtype=np.float32,
+                        )
+                        feats.append([float(v) for v in px.mean(axis=1)])
+                        statuses.append("decoded")
+                        continue
+                    except Exception:  # noqa: BLE001 - corrupt/fake payload
+                        feats.append(synthetic(bytes(payload)))
+                        statuses.append("decode-failed-synthetic")
+                        continue
+                feats.append(synthetic(bytes(payload)))
+                statuses.append("stub-decoded")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 # meta is nullable in MEDIA_SCHEMA — guard row-wise
-                "mime": pdf["meta"].map(lambda m: m["mime"] if m is not None else None),
-                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"] if m is not None else None),
+                "mime": mimes,
+                "n_bytes": pdf["meta"].map(
+                    lambda m: m["n_bytes"] if m is not None else None
+                ),
                 "feature": feats,
-                "status": ["stub-decoded"] * len(pdf),
+                "status": statuses,
             })
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)

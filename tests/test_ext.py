@@ -54,7 +54,14 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     media = multimodal.documents_as_media(spark, sf_dir)
     feats = multimodal.decode_and_featurize(media)
     rows = feats.collect()
-    assert all(r["status"] == "stub-decoded" for r in rows)
+    try:
+        import PIL  # noqa: F401
+        # with PIL, image/* payloads attempt real decode; the utf-8 fixture
+        # bytes are not valid images so they fall back row-wise
+        ok = {"stub-decoded", "decoded", "decode-failed-synthetic"}
+        assert all(r["status"] in ok for r in rows)
+    except ImportError:
+        assert all(r["status"] == "stub-decoded" for r in rows)
     assert all(len(r["feature"]) == 8 for r in rows if r["feature"] is not None)
     n_media = media.count()
     assert len(rows) == n_media
