@@ -1,14 +1,16 @@
 """Classic TPC-H queries adapted to the driver tables' column subset.
 
-Coverage: 18 of the 22 (Q1 lives in aggregates.py as ``agg_pricing_summary``).
+Coverage: all 22 (Q1 lives in aggregates.py as ``agg_pricing_summary``).
 Q3/Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q18/Q19 keep their canonical shapes; Q4, Q9,
 Q16, Q17, Q21 and Q22 keep the canonical *query shape* (EXISTS semi-join,
 profit-by-nation-year, distinct-supplier counts, correlated per-part average,
 double-correlated waiting-supplier, rich-customers anti-join) with predicates
 adapted to the columns that exist (no commitdate/receiptdate/partsupp/
-c_phone here). Q2, Q11, Q12 and Q20 remain out of scope — their defining
-columns (partsupp.*, l_shipmode, l_commitdate/receiptdate, ps_availqty) are
-absent entirely.
+c_phone here). Q2, Q11, Q12 and Q20 — whose defining columns (partsupp.*,
+l_shipmode, l_commitdate/receiptdate, ps_availqty) are absent entirely —
+keep their canonical shapes with lineitem's (l_partkey, l_suppkey) pairs as
+the part-supplier relationship (the same stand-in Q16 uses); see the section
+comment above their definitions.
 """
 
 from __future__ import annotations
@@ -753,4 +755,239 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             round_half_up(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q12 / Q20 — the four queries whose defining columns (partsupp,
+# l_shipmode, l_commitdate/receiptdate, ps_availqty) are absent from the
+# driver tables. Adapted with lineitem's (l_partkey, l_suppkey) pairs as the
+# part-supplier relationship (the same stand-in Q16 already uses): supplycost
+# := min unit price ever shipped, availability := shipped quantity. Each
+# keeps its canonical query SHAPE — correlated min (Q2), value-share vs a
+# scalar subquery (Q11), lateness-split conditional counts (Q12), nested
+# aggregate dominance semi-join (Q20).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT ps.l_partkey AS partkey, ps.supplycost,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT floor(e.s_acctbal * 100.0 + 0.5) / 100.0 AS s_acctbal,
+           e.s_name, e.n_name AS nation, p.p_partkey,
+           floor(e.supplycost * 10000.0 + 0.5) / 10000.0 AS supplycost
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+      AND e.supplycost = (SELECT min(e2.supplycost) FROM eligible e2
+                          WHERE e2.partkey = e.partkey)
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "correlated-subquery", "join"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: cheapest EUROPE supplier per qualifying part. The
+    correlated `= (SELECT min ...)` compiles to a min-over-partkey window on
+    the region-filtered candidates; equality filters on the UNROUNDED double
+    (identical on both engines — same inputs, order-independent min) so ties
+    keep every cheapest supplier, exactly like the spec query. All dims
+    broadcast; the only shuffle is the (partkey, suppkey) cost aggregate."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "supplycost", "s_name", "s_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    wmin = F.min("supplycost").over(W.partitionBy("partkey"))
+    return (
+        eligible.join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .withColumn("min_cost", wmin)
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            round_half_up(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "nation",
+            "p_partkey",
+            round_half_up(F.col("supplycost"), 4).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           floor(value * 100.0 + 0.5) / 100.0 AS part_value
+    FROM ps
+    WHERE floor(value * 100.0 + 0.5) / 100.0
+          > (SELECT floor(avg(value) * 3.0 * 100.0 + 0.5) / 100.0 FROM ps)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "agg"),
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape: parts representing a significant share of one nation's
+    supplied value, thresholded by a scalar subquery over the same
+    aggregate. The per-part value aggregates once and is reused for both
+    the rows and the global threshold (self-referential CTE -> cached-plan
+    reuse); the 1-row threshold broadcasts via crossJoin. Both sides of the
+    > compare at 2dp so the cut is engine-independent (the z-score-boundary
+    lesson from ts_mad_outliers)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+    )
+    threshold = ps.agg(
+        round_half_up(F.avg("value") * F.lit(3.0), 2).alias("threshold")
+    )
+    return (
+        ps.crossJoin(F.broadcast(threshold))
+        .filter(round_half_up(F.col("value"), 2) > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            round_half_up(F.col("value"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def tpch_q12_late_shipment_priority(spark, sf_dir):
+    """Q12 shape: late shipments split by order priority, with l_returnflag
+    standing in for the absent l_shipmode and ship-after-90-days for the
+    absent commit/receipt lateness predicate. The year filter prunes the
+    fact scan; the lateness predicate is a join residual; counts are
+    integer-exact on both engines."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM shipped sh
+    JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+    JOIN part p       ON p.p_partkey = sh.l_partkey
+    JOIN supplier s   ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n     ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%' AND sh.qty > 0.5 * pt.total_qty
+    ORDER BY s_name
+    """,
+    tags=("tpch", "nested-agg", "semi-join"),
+)
+def tpch_q20_dominant_supplier(spark, sf_dir):
+    """Q20 shape: suppliers who dominate the supply of a part family —
+    shipped quantity standing in for ps_availqty, `> half of the part's
+    total shipped` for the spec's `availqty > half of qty ordered`. The
+    nested aggregate (per-pair qty, then per-part total) reuses one shuffle
+    keyed by l_partkey; quantities are integral doubles so the dominance
+    comparison is exact on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part_total = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        shipped.join(part_total, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_name")
     )
