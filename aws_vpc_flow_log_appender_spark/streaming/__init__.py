@@ -1,3 +1,7 @@
+from .dedup import (  # noqa: F401
+    dedup_exact_within_watermark,
+    dedup_simhash_within_watermark,
+)
 from .flowlog import stream_decorate  # noqa: F401
 from .joins import stream_stream_interval_join  # noqa: F401
 from .stateful import (  # noqa: F401

@@ -1,0 +1,104 @@
+"""Streaming deduplication — the ingestion-side twin of ext/dedup.py.
+
+A streaming corpus pipeline can't run batch global dedup (state would grow
+with the whole stream); the scalable contract is "drop duplicates arriving
+within an event-time horizon". Spark 4's ``dropDuplicatesWithinWatermark``
+implements exactly that: state per key is kept only until the watermark
+passes the key's last-seen event time plus the delay, so state is
+(horizon x duplicate-key arrival rate), independent of stream length —
+the same bounded-state argument as the windowed aggregates in windows.py.
+
+Two keying strategies, mirroring the batch family:
+ - exact:   key = md5(payload) — byte-identical duplicates;
+ - near:    key = 64-bit SimHash bucket (batch twin ext/dedup.py:270) —
+   near-identical duplicates collapse to the same key; banding is NOT
+   needed here because streaming dedup only equi-matches keys, it never
+   joins candidate pairs.
+
+Contrast with ``stateful.dedup_first_occurrence_stream``: that operator is
+exactly-once-by-recordId with UNBOUNDED state (reference retry-model parity,
+ingestor/index.js:137-140, where the key space is the delivery id and must
+never expire); these operators dedup by CONTENT with watermark-bounded
+state — the right contract when the key space grows with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact_within_watermark(docs: DataFrame, ts_col: str = "ts",
+                                 text_col: str = "text",
+                                 delay: str = "10 minutes") -> DataFrame:
+    """Keep the first arrival of each exact payload within the watermark
+    horizon; re-arrivals inside the horizon are dropped, and state for a
+    hash is evicted once the watermark passes its event time + delay.
+
+    The content hash is computed JVM-side (one md5 per row, no Python);
+    adding it BEFORE the watermark keeps the plan a single stateful
+    operator over (key, event-time)."""
+    keyed = docs.withColumn("__content_key", F.md5(F.encode(text_col, "utf-8")))
+    return (
+        keyed.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["__content_key"])
+        .drop("__content_key")
+    )
+
+
+def dedup_simhash_within_watermark(docs: DataFrame, ts_col: str = "ts",
+                                   text_col: str = "text",
+                                   delay: str = "10 minutes",
+                                   key_bits: int = 64) -> DataFrame:
+    """Near-dup streaming dedup: documents whose SimHash key collides within
+    the horizon collapse to the first arrival. Same sign-sum sketch family
+    as the batch dedup_simhash (ext/dedup.py:270) but computed per-row with
+    F.aggregate over the word array (xxhash64 bit votes) instead of
+    explode+groupBy — a streaming plan must not put an aggregation before
+    the stateful dedup operator, and the per-row fold keeps it one
+    codegen'd projection.
+
+    What equi-key matching can and cannot catch: with the full 64-bit key
+    (default) only token-multiset-equivalent docs collide (reorderings,
+    whitespace/framing variants — the bulk of scrape-time duplicates);
+    docs differing by a few tokens land in Hamming-NEAR keys, which a
+    streaming key-equality operator cannot match — that recall belongs to
+    the batch banded pair join (dedup_simhash_pairs). ``key_bits < 64``
+    keys on the top SimHash bits instead: aggressive small-edit collapse
+    at the cost of some false merges (prefix bits each flip independently
+    with low probability under small edits)."""
+    if not 1 <= key_bits <= 64:
+        raise ValueError(f"key_bits must be in [1, 64], got {key_bits}")
+    words = F.expr(
+        f"filter(split({text_col}, ' '), w -> length(w) > 0)"
+    )
+    # per-bit majority vote of xxhash64(word) sign contributions, folded
+    # into one BIGINT key — all Column expressions, codegen-friendly.
+    # (closure factory, NOT `lambda acc, w, i=i`: F.aggregate dispatches on
+    # the lambda's arity, and a 3-parameter lambda gets a Column passed
+    # into the defaulted parameter)
+    def _bit_vote(i: int):
+        def fold(acc, w):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fold
+
+    bit_sum = [
+        F.aggregate(words, F.lit(0).cast("long"), _bit_vote(i))
+        for i in range(64)
+    ]
+    simhash = None
+    for i, s in enumerate(bit_sum):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    if key_bits < 64:
+        simhash = F.shiftright(simhash, 64 - key_bits)
+    keyed = docs.withColumn("__simhash_key", simhash)
+    return (
+        keyed.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["__simhash_key"])
+        .drop("__simhash_key")
+    )

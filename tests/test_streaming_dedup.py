@@ -1,0 +1,130 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark): first-arrival-kept
+semantics within the horizon, bounded state, and near-dup key collapse."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_vpc_flow_log_appender_spark.streaming.dedup import (
+    dedup_exact_within_watermark,
+    dedup_simhash_within_watermark,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_docs(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _run(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    spark.catalog.dropTempView(name)
+    return rows
+
+
+def test_exact_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, BASE + 0 * m, "alpha beta gamma"),
+        (2, BASE + 1 * m, "alpha beta gamma"),   # dup inside horizon -> drop
+        (3, BASE + 2 * m, "something different"),
+        (4, BASE + 3 * m, "alpha beta gamma"),   # still inside -> drop
+    ]
+    src = str(tmp_path / "src")
+    _mk_docs(spark, rows, src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    got = _run(
+        spark, dedup_exact_within_watermark(stream, delay="10 minutes"),
+        "sdedup_exact",
+    )
+    assert sorted(r["doc_id"] for r in got) == [1, 3]
+    # payload column survives untouched; helper key column is dropped
+    assert set(got[0].asDict()) == {"doc_id", "ts", "text"}
+
+
+def test_exact_dedup_readmits_after_horizon(spark, tmp_path):
+    """A duplicate arriving after the watermark evicted its key's state is
+    kept again — the documented horizon semantics (state is bounded, so
+    cross-horizon dedup is explicitly out of contract)."""
+    import time
+
+    h = dt.timedelta(hours=1)
+    m = dt.timedelta(minutes=1)
+    src = str(tmp_path / "src2")
+    # the watermark a batch runs with comes from the PREVIOUS batch, and
+    # state eviction needs a batch to run under the advanced watermark —
+    # hence two clock-advancing batches between original and re-arrival
+    _mk_docs(spark, [(1, BASE, "dup text here")], src + "/f1")
+    time.sleep(1.1)
+    _mk_docs(spark, [(2, BASE + 3 * h, "advance the clock")], src + "/f2")
+    time.sleep(1.1)
+    _mk_docs(spark, [(3, BASE + 3 * h + 1 * m, "advance again")], src + "/f3")
+    time.sleep(1.1)
+    # same payload, 3h later — key state evicted (10 min delay long passed)
+    _mk_docs(spark, [(4, BASE + 3 * h + 2 * m, "dup text here")], src + "/f4")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    got = _run(
+        spark, dedup_exact_within_watermark(stream, delay="10 minutes"),
+        "sdedup_readmit",
+    )
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3, 4]
+
+
+def test_simhash_dedup_collapses_multiset_equivalents(spark, tmp_path):
+    """Full-key (64-bit) streaming simhash dedup collapses token-multiset
+    equivalents — reordered words, extra whitespace — while keeping
+    genuinely different docs. (Small-EDIT collapse is the batch banded
+    pair join's job; key equality can't see Hamming-near keys.)"""
+    m = dt.timedelta(minutes=1)
+    words = [f"word{i}" for i in range(200)]
+    base_text = " ".join(words)
+    reordered = "  ".join(reversed(words))  # same multiset, order+whitespace
+    distinct = " ".join(f"other{i}" for i in range(200))
+    rows = [
+        (1, BASE + 0 * m, base_text),
+        (2, BASE + 1 * m, reordered),       # same simhash key -> drop
+        (3, BASE + 2 * m, distinct),
+    ]
+    src = str(tmp_path / "src3")
+    _mk_docs(spark, rows, src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    got = _run(
+        spark, dedup_simhash_within_watermark(stream, delay="10 minutes"),
+        "sdedup_near",
+    )
+    kept = sorted(r["doc_id"] for r in got)
+    assert kept == [1, 3], kept
+
+
+def test_simhash_stream_plan_is_single_projection(spark, tmp_path):
+    """The 64-bit fold must stay one codegen'd projection feeding the
+    stateful dedup — no aggregation/exchange before the watermark."""
+    src = str(tmp_path / "src4")
+    _mk_docs(spark, [(1, BASE, "a b c")], src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    dd = dedup_simhash_within_watermark(stream)
+    plan = dd._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" not in plan
+    assert "DeduplicateWithinWatermark" in plan
