@@ -967,24 +967,31 @@ def tpch_q12_late_shipment_priority(spark, sf_dir):
 def tpch_q20_dominant_supplier(spark, sf_dir):
     """Q20 shape: suppliers who dominate the supply of a part family —
     shipped quantity standing in for ps_availqty, `> half of the part's
-    total shipped` for the spec's `availqty > half of qty ordered`. The
-    nested aggregate (per-pair qty, then per-part total) reuses one shuffle
-    keyed by l_partkey; quantities are integral doubles so the dominance
-    comparison is exact on both engines."""
+    total shipped` for the spec's `availqty > half of qty ordered`.
+
+    The part total comes from a partkey WINDOW over the already-aggregated
+    (partkey, suppkey) pairs, not a second groupBy+join: the DataFrame API
+    doesn't share subplans, so the join formulation scans and shuffles
+    lineitem twice, while the window re-exchanges only the pair-sized
+    aggregate. Quantities are integral doubles, so the dominance comparison
+    is exact on both engines."""
+    from pyspark.sql import Window as W
+
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("qty")
     )
-    part_total = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
-        shipped.join(part_total, "l_partkey")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(W.partitionBy("l_partkey"))
+        )
         .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))

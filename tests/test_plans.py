@@ -372,3 +372,24 @@ def test_interpolate_carry_windows_are_chunk_partitioned(plans):
         first = s.split(",")[0].strip()
         if "ASC" in first or "DESC" in first:  # no partition cols -> ORDER BY first
             assert first.startswith("chunk#"), f"unpartitioned spine window: {s}"
+
+
+def test_q20_single_fact_scan(plans):
+    """Q20's part total must come from the partkey window over the
+    aggregated pairs — the groupBy+join formulation scans and shuffles
+    lineitem twice (the DataFrame API doesn't share subplans)."""
+    p = plans("tpch_q20_dominant_supplier")
+    fact_scans = [
+        l for l in p.splitlines()
+        if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(fact_scans) == 1, f"{len(fact_scans)} lineitem scans"
+
+
+def test_q2_min_cost_is_broadcast_star(plans):
+    """Q2: every dim broadcast, one fact aggregate shuffle, correlated min
+    as a partkey window, LIMIT via TakeOrderedAndProject (no global sort)."""
+    p = plans("tpch_q2_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
