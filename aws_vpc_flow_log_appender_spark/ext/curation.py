@@ -69,55 +69,10 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "n_chars")
 
 
-def _minhash_pairs_for(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH candidate pairs over an arbitrary documents-shaped frame
-    (the registered dedup_minhash_lsh reads the full table; the pipeline needs
-    it over the gated subset)."""
-    sh = (
-        docs.withColumn("words", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(F.expr(dedup_mod._SPARK_SHINGLES))).alias("sh"),
-        )
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("sh")), "utf-8"))
-            ).alias(f"m{j}")
-            for j in range(dedup_mod.N_MINHASH)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.encode(
-                                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")),
-                                "utf-8",
-                            )
-                        ).alias("band_sig"),
-                    )
-                    for b in range(dedup_mod.N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_sig")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+"""MinHash-LSH candidate pairs over an arbitrary documents-shaped frame:
+the shared implementation in dedup.py (the registered dedup_minhash_lsh
+reads the full table; the pipeline runs it over the gated subset)."""
+_minhash_pairs_for = dedup_mod._minhash_pairs_for
 
 
 @query(

@@ -36,13 +36,17 @@ _SQL_SHINGLES = """
 """
 
 
-def _shingled(spark, sf_dir):
-    """(doc_id, sh) — distinct 3-word shingles per document."""
-    d = load(spark, sf_dir, "documents")
+def _shingled_for(docs):
+    """(doc_id, sh) — distinct 3-word shingles per documents-shaped frame."""
     return (
-        d.withColumn("words", F.split("text", " "))
+        docs.withColumn("words", F.split("text", " "))
         .select("doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("sh"))
     )
+
+
+def _shingled(spark, sf_dir):
+    """(doc_id, sh) — distinct 3-word shingles per document."""
+    return _shingled_for(load(spark, sf_dir, "documents"))
 
 
 _SQL_SHINGLED = f"""
@@ -74,19 +78,42 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-def _minhash_sig(spark, sf_dir):
-    sh = _shingled(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("sh")), "utf-8"))).alias(f"m{j}")
-            for j in range(N_MINHASH)
-        ]
+def _minhash_exprs():
+    """The 8 per-shingle hash Columns: disjoint 8-hex-char (32-bit) windows
+    of TWO md5s instead of 8 separate md5s — md5 dominates signature cost
+    (profiled 3.45 s -> windows cost ~2 md5s not 8 at sf0.1), and md5's
+    mixing makes disjoint windows independent, so this is the standard
+    truncated-hash MinHash family. 32 bits keeps spurious min-equality
+    between unrelated docs at ~n_shingles^2/2^32 (negligible), where 16-bit
+    windows of a single md5 would produce ~percent-level false band
+    collisions. min over 8-char hex strings is lexicographic = numeric."""
+    h1 = F.md5(F.encode("sh", "utf-8"))
+    h2 = F.md5(F.encode(F.concat(F.lit("x:"), F.col("sh")), "utf-8"))
+    return [
+        F.substring(h1 if j < 4 else h2, 1 + 8 * (j % 4), 8).alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
+def _minhash_sig_for(docs):
+    """(doc_id, m0..m7) signatures for a documents-shaped frame."""
+    sh = _shingled_for(docs)
+    hs = _minhash_exprs()
+    return sh.select("doc_id", *hs).groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(N_MINHASH)]
     )
+
+
+def _minhash_sig(spark, sf_dir):
+    return _minhash_sig_for(load(spark, sf_dir, "documents"))
 
 
 _SQL_MINHASH_SIG = f"""
     SELECT doc_id,
-           {", ".join(f"min(md5('{j}:' || sh)) AS m{j}" for j in range(N_MINHASH))}
+           {", ".join(
+               f"min(substring(md5({'sh' if j < 4 else chr(39) + 'x:' + chr(39) + ' || sh'}), {1 + 8 * (j % 4)}, 8)) AS m{j}"
+               for j in range(N_MINHASH)
+           )}
     FROM shingled GROUP BY doc_id
 """
 
@@ -96,6 +123,45 @@ _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, md5(m{2 * b} || m{2 * b + 1}) AS band_sig FROM sig"
     for b in range(N_BANDS)
 )
+
+
+def _minhash_bands_for(docs):
+    """(doc_id, band_id, band_sig) LSH bands for a documents-shaped frame
+    (shared by dedup_minhash_lsh and the curation pipeline)."""
+    sig = _minhash_sig_for(docs)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.encode(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")), "utf-8")
+                        ).alias("band_sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+
+
+def _minhash_pairs_for(docs):
+    """Distinct candidate pairs sharing >= 1 LSH band."""
+    bands = _minhash_bands_for(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 @query(
@@ -114,35 +180,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH near-dup candidates: shingle -> 8 minhashes ->
     4 bands of 2 -> pairs sharing >= 1 band. The pair join is keyed on
     (band_id, band_sig) so only same-bucket docs ever meet."""
-    sig = _minhash_sig(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.encode(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")), "utf-8")
-                        ).alias("band_sig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _minhash_pairs_for(load(spark, sf_dir, "documents"))
 
 
 @query(
