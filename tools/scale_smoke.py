@@ -147,6 +147,38 @@ def main() -> int:
             f"{'ALL OK' if ok else 'FAILURES'}"
         )
 
+        # 3b) minhash-LSH at scale: the windowed (2-md5) signature scheme's
+        # band buckets must stay non-degenerate as the corpus grows — the
+        # property that keeps the (band_id, band_sig) pair join keyed by
+        # duplicate density. Perturbed copies of one base doc are true
+        # near-dups, so the candidate count growing ~mult^2 per base doc is
+        # the OUTPUT being quadratic, not the join degenerating.
+        from aws_vpc_flow_log_appender_spark.ext.dedup import (
+            _minhash_bands_for,
+        )
+
+        t0 = time.perf_counter()
+        mh_bands = _minhash_bands_for(spark.read.parquet(f"{tmpdir}/documents.parquet"))
+        mh_occ = (
+            mh_bands.groupBy("band_id", "band_sig")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("max_bucket"), F.count("*").alias("n_buckets"))
+            .collect()[0]
+        )
+        t_mh = time.perf_counter() - t0
+        if mh_occ["max_bucket"] > n_docs * 0.5:
+            print(
+                f"FAIL minhash banding degenerate: max bucket "
+                f"{mh_occ['max_bucket']} of {n_docs} docs"
+            )
+            ok = False
+        print(
+            f"scale_smoke minhash mult={mult}: hottest (band,sig) bucket "
+            f"{mh_occ['max_bucket']} ({mh_occ['max_bucket'] / n_docs:.1%} of "
+            f"corpus, {mh_occ['n_buckets']:,} occupied buckets) in {t_mh:.1f}s; "
+            f"{'OK' if ok else 'FAILURES'}"
+        )
+
         # 4) contamination probe at scale: the benchmark side stays tiny
         # (src0 of the BASE corpus) while the probe side grows with the
         # corpus — the broadcast join must hold and per-doc ratios must be
