@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.registry import query
+from ..functions import round_half_up
+from ..operators.registry import load, query
 from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG, _SQL_SHINGLED, dedup_minhash_lsh
 
 
@@ -111,3 +112,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id = smallest doc_id in the component (the canonical keep)."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     return connected_components(pairs)
+
+
+@query(
+    "sample_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE shingled AS ({_SQL_SHINGLED}),
+    sig AS ({_SQL_MINHASH_SIG}),
+    bands AS ({_SQL_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           floor((1.0 / coalesce(s.cluster_size, 1)) * 1000000.0 + 0.5) / 1000000.0
+             AS sample_weight
+    FROM documents d
+    LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+    """,
+    tags=("sampling", "dedup", "graph", "iterative"),
+)
+def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights: every document weighted 1/|its
+    near-dup cluster| (singletons weight 1) — the D4/SemDeDup-style
+    alternative to hard dedup, where repeated content is downweighted
+    instead of dropped so an epoch sees each CONTENT unit once in
+    expectation. Composes the LSH candidate graph + connected components
+    with a cluster-size aggregate and a broadcastable left join back onto
+    the corpus (cluster table is docs-with-duplicates-sized, not
+    corpus-sized)."""
+    d = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    member = clusters.join(F.broadcast(sizes), "cluster_id")
+    return (
+        d.join(F.broadcast(member), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            round_half_up(
+                F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+            ).alias("sample_weight"),
+        )
+    )

@@ -344,6 +344,40 @@ def sim_rp_lsh_topk(spark, sf_dir):
 
 
 @query(
+    "sim_range_search",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE cos_sim >= 0.2
+    """,
+    tags=("similarity", "range"),
+)
+def sim_range_search(spark, sf_dir):
+    """Radius (threshold) similarity search: ALL neighbors with cosine >=
+    threshold, not a fixed top-k — the retrieval contract dedup gating and
+    recall-sensitive RAG filters need (top-k misses qualifying neighbors
+    past k; radius search returns exactly the qualifying set). Same
+    broadcast-queries shape as sim_bruteforce_topk but with a narrow filter
+    instead of a rank window: no shuffle at all after the scan — at 100 TB
+    the scan cost dominates and the same IVF cell pruning as sim_ivf_topk
+    composes in front unchanged. The threshold compares ROUNDED cosine on
+    both engines so the >= cut is boundary-stable."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+@query(
     "sim_label_centroids",
     oracle="""
     SELECT label, pos,
