@@ -52,8 +52,8 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 # agg_weighted_median, join_interval_events, dq_profile_columns,
 # skyline_pareto_2d, ts_mad_outliers, ts_weighted_moving_avg,
 # ts_rolling_distinct, ts_interpolate_linear, ts_autocorr, ts_ewma,
-# dedup_embedding_pairs, multimodal_chunk_manifest, and the round-3 TPC-H
-# completions tpch_q2/q11/q12/q20.
+# dedup_embedding_pairs, multimodal_chunk_manifest, and the round-3
+# additions tpch_q2/q11/q12/q20, sim_range_search, sample_dedup_weights.
 PRIORITY_ORDER: list[str] = [
     # round-2 driver failures (TIMESTAMP_NTZ drift) — re-prove first
     "ts_sessionize",
