@@ -113,19 +113,23 @@ def ts_sessionize(spark, sf_dir):
     """Batch sessionization: 30-minute inactivity gap -> new session, via
     lag + cumulative-sum (one shuffle on user_id; the streaming twin uses
     session_window in streaming/). duration_s uses integer microsecond math
-    (1800000000 us = 30 min) so both engines agree exactly."""
+    (1800000000 us = 30 min) so both engines agree exactly. t_us is
+    projected BEFORE either window and both windows order by the projected
+    (t_us, event_id) ATTRIBUTE — ordering by the unix_micros(ts) expression
+    inline makes Spark mint a separate attribute per window and re-sort
+    between lag and cumsum; over the shared column the second Window reuses
+    the first one's sort."""
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    t_us = F.unix_micros("ts")
-    gaps = e.select(
+    base = e.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    prev = F.lag("t_us").over(w)
+    gaps = base.select(
         "user_id",
         "event_id",
-        t_us.alias("t_us"),
-        F.when(
-            (t_us - F.lag(t_us).over(w) > 1_800_000_000)
-            | F.lag(t_us).over(w).isNull(),
-            1,
-        )
+        "t_us",
+        F.when((F.col("t_us") - prev > 1_800_000_000) | prev.isNull(), 1)
         .otherwise(0)
         .alias("is_new_session"),
     )

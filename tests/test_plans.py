@@ -393,3 +393,14 @@ def test_q2_min_cost_is_broadcast_star(plans):
     assert p.count("BroadcastHashJoin") >= 4
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
+
+
+def test_sessionize_shares_one_sort(plans):
+    """ts_sessionize's lag and cumsum windows must share one sort: both
+    order by the PROJECTED (t_us, event_id) attribute — ordering by the
+    unix_micros(ts) expression inline mints a separate attribute per window
+    and inserts a second sort between them."""
+    p = plans("ts_sessionize")
+    sorts = [l for l in p.splitlines() if "- Sort " in l]
+    assert len(sorts) == 1, sorts
+    assert p.count("Exchange hashpartitioning") == 1
