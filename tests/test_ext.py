@@ -243,3 +243,21 @@ def test_simhash_hot_bucket_rebanding_preserves_output(spark):
               for r in _simhash_pairs(sig, hot_cap=100).collect()}
     assert len(direct) >= 150  # the planted partners all qualify
     assert capped == direct
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Semantic guard for the windowed (2-md5) MinHash family: on the
+    deterministic fixture, every candidate pair whose EXACT 3-shingle
+    Jaccard is >= 0.8 must be produced by the banded LSH (4 bands of 2:
+    P(detect | J=0.8) = 1-(1-0.64)^4 = 0.983 per pair — with the fixed
+    corpus and fixed hashes this is a deterministic property, not a
+    flake), and no pair with Jaccard < 0.2 may surface (band collisions
+    of unrelated docs would mean the windows are correlated/too narrow)."""
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    high = {p for p, j in jac.items() if j >= 0.8}
+    assert high, "fixture lost its high-similarity pairs"
+    assert high <= lsh, f"missed near-dups: {sorted(high - lsh)[:5]}"
+    low_hits = {p for p, j in jac.items() if j < 0.2} & lsh
+    assert not low_hits, f"low-similarity band collisions: {sorted(low_hits)[:5]}"
