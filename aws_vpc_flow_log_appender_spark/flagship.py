@@ -67,7 +67,14 @@ def synth_flow_lines(events: DataFrame) -> DataFrame:
         F.when(eid % 10 == 0, "NODATA").when(eid % 10 == 1, "SKIPDATA").otherwise("OK"),
     )
     malformed = F.concat(F.lit("MALFORMED "), eid.cast("string"))
-    return events.select(
+    # The parse stage downstream is CPU-bound (validity regex + sha2 recordId
+    # + split per line) but a small events.parquet arrives as ONE input split,
+    # so without this the whole pipeline inherits single-task parallelism
+    # (profiled: every flagship stage ran (0+1)/1 at sf0.1). A real ingest
+    # source (Kinesis shards / many log files) arrives pre-partitioned; the
+    # synthetic stand-in must match that shape. Round-robin repartition —
+    # there is no key; the lines are independent.
+    return events.repartition(events.sparkSession.sparkContext.defaultParallelism).select(
         F.when(F.col("event_type") == "error", malformed).otherwise(line).alias("value")
     )
 
