@@ -36,10 +36,24 @@ _SQL_SHINGLES = """
 """
 
 
+def _spread_input(docs):
+    """Repartition a small-file input up to cluster parallelism before
+    CPU-heavy per-row work (hashing every shingle/word). The fixture tables
+    are single-split single-row-group parquet, so without this the explode +
+    hash pipelines run as ONE task regardless of cores (profiled: every
+    dedup stage (0+1)/1 at sf0.1); a real many-file corpus arrives
+    pre-partitioned and the guard makes this a no-op there. Round-robin is
+    retry-safe (sortBeforeRepartition) and row-set-preserving."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
 def _shingled_for(docs):
     """(doc_id, sh) — distinct 3-word shingles per documents-shaped frame."""
     return (
-        docs.withColumn("words", F.split("text", " "))
+        _spread_input(docs).withColumn("words", F.split("text", " "))
         .select("doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("sh"))
     )
 
@@ -313,7 +327,7 @@ def dedup_simhash(spark, sf_dir):
     dedup_simhash_pairs. 64 bits keeps band occupancy non-degenerate on
     production-size corpora (a 32-bit fingerprint saturates its 256-value
     bands as n grows, degrading the bucketed pair join toward quadratic)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_input(load(spark, sf_dir, "documents"))
     wh = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).select(
         "doc_id", F.md5(F.encode("w", "utf-8")).alias("h")
     )
@@ -583,17 +597,22 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
                 residual.alias("residual"),
             )
         )
-    bands = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*structs)).alias("x")
-    ).select("doc_id", "simhash", "x.band_id", "x.band_val", "x.residual")
-
+    # materialize ONCE, and BEFORE the sizes aggregate: sizes, small/hot,
+    # and both sides of each self-join all reuse the banded table — with
+    # the checkpoint after the sizes join (the previous placement), the
+    # upstream fingerprint aggregation (64 sums over the exploded words)
+    # executed once per join SIDE during materialization itself; every
+    # consumer now reads the one cached copy. 8 longs per doc row, so the
+    # checkpoint is corpus-row-bounded, not corpus-byte-bounded.
+    bands = (
+        sig.select(
+            "doc_id", "simhash", F.explode(F.array(*structs)).alias("x")
+        )
+        .select("doc_id", "simhash", "x.band_id", "x.band_val", "x.residual")
+        .localCheckpoint(eager=False)
+    )
     sizes = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("__bn"))
-    # materialize ONCE: small/hot and both sides of each self-join reuse the
-    # banded table — without the checkpoint the upstream fingerprint
-    # aggregation (64 sums over the exploded words) re-executes per branch
-    # (~5x, measured 3x wall-clock on the registered query). 8 longs per doc
-    # row, so the checkpoint is corpus-row-bounded, not corpus-byte-bounded.
-    bands = bands.join(sizes, ["band_id", "band_val"]).localCheckpoint(eager=False)
+    bands = bands.join(F.broadcast(sizes), ["band_id", "band_val"])
     small = bands.filter(F.col("__bn") <= hot_cap)
     hot = bands.filter(F.col("__bn") > hot_cap)
     chunk_structs = [
