@@ -36,18 +36,51 @@ _SQL_SHINGLES = """
 """
 
 
+# Below ~8 KiB of source bytes per core the hash work a task would receive is
+# cheaper than its share of the repartition shuffle (A/B'd: at sf0.01 the
+# exchange costs more than single-task hashing; at sf0.1 — 594 KB, ~5k docs —
+# spreading was a profiled 36% win for dedup_minhash_lsh).
+_MIN_SPREAD_BYTES_PER_TASK = 8 << 10
+
+
 def _spread_input(docs):
     """Repartition a small-file input up to cluster parallelism before
     CPU-heavy per-row work (hashing every shingle/word). The fixture tables
     are single-split single-row-group parquet, so without this the explode +
     hash pipelines run as ONE task regardless of cores (profiled: every
-    dedup stage (0+1)/1 at sf0.1); a real many-file corpus arrives
-    pre-partitioned and the guard makes this a no-op there. Round-robin is
-    retry-safe (sortBeforeRepartition) and row-set-preserving."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        return docs.repartition(sc.defaultParallelism)
-    return docs
+    dedup stage (0+1)/1 at sf0.1).
+
+    No-op in two cases, both checked WITHOUT materializing the plan to an
+    RDD (the previous ``docs.rdd.getNumPartitions()`` probe planned the
+    query once per call):
+
+    - the scan is already parallel: enough input files, or few-but-large
+      files that the reader splits by ``files.maxPartitionBytes`` into at
+      least ``defaultParallelism`` partitions — a real many-file corpus
+      arrives pre-partitioned and pays nothing here;
+    - the input is too small for a shuffle to pay for itself (under
+      ``_MIN_SPREAD_BYTES_PER_TASK`` per core, e.g. the sf0.01 oracle runs).
+
+    Round-robin is retry-safe (sortBeforeRepartition) and
+    row-set-preserving."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        raw = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # non-JVM-introspectable plan: keep the old behavior
+        return docs.repartition(par)
+    if size < par * _MIN_SPREAD_BYTES_PER_TASK:
+        return docs
+    try:
+        n_files = len(docs.inputFiles())
+        max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+    except Exception:
+        n_files, max_pb = 0, 128 << 20
+    est_scan_partitions = max(n_files, size // max_pb)
+    if est_scan_partitions >= par:
+        return docs
+    return docs.repartition(par)
 
 
 def _shingled_for(docs):

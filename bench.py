@@ -1,10 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "spread": {name: max-min}, "sf": ...}.
 
 Each query is forced through the noop sink (full materialization, no collect
 to driver, no output IO skew) — the honest distributed-execution cost.
+
+Methodology (VERDICT_r03 "Next round #4"): min of N>=3 trials per query, with
+the per-query spread (max - min over trials) carried in the artifact so a
+noise smear can be read off the JSON instead of re-derived. Trials for one
+query run back-to-back inside one warm JVM; min-of-N strips GC pauses and
+one-off scheduling stalls, which at sf0.1 are the same order as the queries
+themselves.
 """
 
 from __future__ import annotations
@@ -61,16 +68,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
-            best = float("inf")
-            for _ in range(2):  # min-of-2: strips one-off scheduling noise
+            trials: list[float] = []
+            for _ in range(n_trials):
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                trials.append(time.perf_counter() - t0)
+            timings[name] = round(min(trials), 3)
+            spreads[name] = round(max(trials) - min(trials), 3)
         except Exception as exc:  # noqa: BLE001 - one bad query must not kill the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -84,6 +94,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf_val,
     }
     if errors:

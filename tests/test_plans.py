@@ -404,3 +404,59 @@ def test_sessionize_shares_one_sort(plans):
     sorts = [l for l in p.splitlines() if "- Sort " in l]
     assert len(sorts) == 1, sorts
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_spread_input_noop_when_tiny(spark, sf_dir):
+    """Size gate: at sf0.001/sf0.01 the documents scan is far below the
+    per-task byte floor, so _spread_input must NOT insert an Exchange —
+    the shuffle would cost more than single-task hashing saves."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import _spread_input
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = _spread_input(docs)
+    assert out is docs  # identity no-op, no repartition node at all
+
+
+def test_spread_input_noop_when_prepartitioned(spark, tmp_path):
+    """A corpus that already arrives in >= defaultParallelism files (or
+    splits) is left untouched — the scan itself is parallel."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        _MIN_SPREAD_BYTES_PER_TASK,
+        _spread_input,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "prepart")
+    # incompressible text so the SIZE gate passes and the no-op must come
+    # from the file-count branch; written as `par` files
+    spark.range(par * _MIN_SPREAD_BYTES_PER_TASK // 16).selectExpr(
+        "id AS doc_id",
+        "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2))) AS text",
+    ).repartition(par).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = _spread_input(docs)
+    assert out is docs
+
+
+def test_spread_input_spreads_large_single_split(spark, tmp_path):
+    """A single-file input big enough to amortize the shuffle IS spread to
+    cluster parallelism (the sf0.1+ single-split fixture shape)."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        _MIN_SPREAD_BYTES_PER_TASK,
+        _spread_input,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "single")
+    # incompressible text so the on-disk size (what the stats report) clears
+    # the byte floor — repeat('x', n) dictionary-compresses to ~nothing
+    spark.range(par * _MIN_SPREAD_BYTES_PER_TASK // 16).selectExpr(
+        "id AS doc_id",
+        "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2))) AS text",
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = _spread_input(docs)
+    assert out is not docs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan
