@@ -74,6 +74,15 @@ def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     instead of failing the batch, so the Spark-side contract (schema, Arrow
     batching, 1-to-1 shape) is identical in media-lib-free containers and
     flips to real decode by provisioning PIL. Mirrors resize_image's gate.
+
+    ENV-DEPENDENCE GUARD (ADVICE r3): the `feature` and `status` column
+    VALUES vary with whether PIL is installed on the executors. No
+    oracle-backed (hash-checked) query may ever consume them —
+    multimodal_feature_extract is deliberately the registry's only
+    rows-only query, and tests/test_registry_window.py pins that the one
+    oracle-less slot is exactly this query. If you build a new query on
+    top of this function, project feature/status away or keep it
+    rows-only.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -303,16 +303,55 @@ def sim_ivf_multiprobe(spark, sf_dir):
     )
 
 
-@query("sim_rp_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+def _rp_oracle_sql(dim: int = 64, n_bits: int = 6, seed: int = 42) -> str:
+    """Exact DuckDB oracle for sim_rp_lsh_topk: the seeded hyperplanes are
+    just numbers, so they inline as SQL literals and the full sign-sketch →
+    bucket-join → re-rank pipeline becomes SQL-expressible (promoting the
+    query from rows-only to hash-checked, VERDICT_r03 "Next round #6").
+    Replays rp_sketch_udf bit-for-bit: same RandomState(seed).randn(dim,
+    n_bits) planes, same float32→float64 widening, same `> 0` threshold —
+    the only divergence risk is a dot product within float ulp of zero,
+    which the fixed seeded fixtures verifiably avoid (local sweep)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(dim, n_bits)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[:, b])
+        + f"]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    cos = (
+        "floor((list_dot_product(q.qv, c.v)"
+        " / (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(c.v, c.v)))) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored) WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_rp_lsh_topk", oracle=_rp_oracle_sql(), tags=("similarity", "ann", "lsh"))
 def sim_rp_lsh_topk(spark, sf_dir):
     """Random-hyperplane (sign) LSH: 6-bit sketch per vector from seeded
     hyperplanes, candidates = same-sketch-bucket, exact cosine re-rank.
 
     The sketch is computed in a vectorized Pandas UDF (numpy matmul over
     Arrow batches — the sanctioned slow-path) and the rest stays DataFrame
-    ops. No oracle: bucketing is implementation-defined (driver records the
-    rows-only check); recall is validated against sim_bruteforce_topk in
-    tests/test_ext.py.
+    ops. Oracle: the seeded planes inlined as literals (_rp_oracle_sql), so
+    the whole pipeline hash-checks against DuckDB; recall is additionally
+    validated against sim_bruteforce_topk in tests/test_ext.py.
     """
     # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
     sketch = rp_sketch_udf(n_bits=6, seed=42)

@@ -229,26 +229,86 @@ def agg_flowlog_domain(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): sketch-based, constant memory at
-    any scale. No oracle — HLL estimates are engine-specific (driver records
-    the rows-only check); the exact twin is `agg_distinct`."""
+    any scale. The sketch estimate itself is engine-specific, so instead of
+    hashing it the query emits a DETERMINISTIC contract: the exact counts
+    (hash-compared against DuckDB) plus ``within_tol`` booleans asserting the
+    HLL estimate lies within 3x its configured rsd (0.05 -> 15%) of the exact
+    answer — the driver's hash check fails if the sketch ever drifts out of
+    bound. Exact twin: `agg_distinct`."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    rel_bound = 0.15  # 3x default rsd of 0.05
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= rel_bound * F.col("exact_orders")
+        ).alias("orders_within_tol"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= rel_bound * F.col("exact_parts")
+        ).alias("parts_within_tol"),
     )
 
 
-@query("agg_approx_quantiles", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0 AS exact_p50,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p95_within_rank_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_quantiles(spark, sf_dir):
-    """percentile_approx (t-digest-style sketch) — mergeable, single pass.
-    No oracle: approximation differs per engine."""
+    """percentile_approx (Greenwald-Khanna sketch) — mergeable, single pass.
+    The sketch value is engine-specific, so the deterministic contract is:
+    the EXACT interpolated median (hash-compared against DuckDB's
+    quantile_cont) plus booleans asserting each approx percentile lands
+    between the exact quantiles at rank +/- 2% — GK with the default
+    accuracy=10000 guarantees rank error <= n/10000, far inside that band."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("e48"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("e52"),
+        F.expr("percentile(l_extendedprice, 0.93)").alias("e93"),
+        F.expr("percentile(l_extendedprice, 0.97)").alias("e97"),
+    )
+    return agg.select(
+        "l_returnflag",
+        round_half_up(F.col("e50"), 2).alias("exact_p50"),
+        ((F.col("a50") >= F.col("e48")) & (F.col("a50") <= F.col("e52"))).alias(
+            "p50_within_rank_tol"
+        ),
+        ((F.col("a95") >= F.col("e93")) & (F.col("a95") <= F.col("e97"))).alias(
+            "p95_within_rank_tol"
+        ),
     )
 
 

@@ -38,89 +38,94 @@ class QuerySpec:
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# registration order. Round 1 proved the generic relational surface, round 2
-# proved the flagship + LLM-pipeline surface (CORRECTNESS_r0{1,2}.json: 96
-# distinct queries green). Round 3 rotates the window per VERDICT_r02 "Next
-# round #2": slots 1-2 are the two round-2 env-drift failures (must re-prove
-# green after the NTZ fix in load()), slots 3-50 are exactly 48
-# never-driver-checked queries — the remaining TPC-H, graphs, sampling,
-# security detectors, text r2 additions, containment/multiprobe, and
-# embedding prep. Everything previously proven follows behind the window;
-# no-oracle sketches sit at the tail so they never burn a hash-checked slot.
-# Still unproven after this round (rotate into round 4's window):
-# events_top_paths, events_transition_probs, agg_mode_deterministic,
-# agg_weighted_median, join_interval_events, dq_profile_columns,
-# skyline_pareto_2d, ts_mad_outliers, ts_weighted_moving_avg,
-# ts_rolling_distinct, ts_interpolate_linear, ts_autocorr, ts_ewma,
-# dedup_embedding_pairs, multimodal_chunk_manifest, and the round-3
-# additions tpch_q2/q11/q12/q20, sim_range_search, sample_dedup_weights.
+# registration order. Rounds 1-3 proved 146 distinct queries
+# (CORRECTNESS_r0{1,2,3}.json; r3's window was 50/50 green). Round 4 closes
+# the rotation per VERDICT_r03 "Next round #2":
+#  - slots 1-24: every never-driver-proven oracle-backed query — the
+#    timeseries tail, r3 TPC-H additions, events/agg/join/dq/skyline
+#    singles, and the three promoted-from-rows-only contracts
+#    (agg_approx_distinct/quantiles bounded-error booleans, sim_rp_lsh_topk
+#    literal-plane oracle) — after this round cumulative driver proof covers
+#    all 170 oracle-backed queries;
+#  - slots 25-31: the dedup family + curation capstone, all changed since
+#    their green rows (r3 minhash 2-md5 rewrite, r4 size-gated
+#    _spread_input) — the driver re-witnesses the changed code;
+#  - slots 32-49: re-witness of the oldest (r1) proofs across the
+#    relational core (joins of every how=, rollup/cube/pivot/grouping sets,
+#    window frames, subqueries, recursive CTE) — their last green row
+#    predates two rounds of shared-helper churn;
+#  - slot 50: multimodal_feature_extract, the one genuinely rows-only query
+#    (its features/status are env-dependent by design — PIL presence), takes
+#    the final slot for its first driver row; the weaker rows-only check is
+#    deliberate and documented.
 PRIORITY_ORDER: list[str] = [
-    # round-2 driver failures (TIMESTAMP_NTZ drift) — re-prove first
-    "ts_sessionize",
-    "window_lag_lead",
-    # remaining TPC-H (public spec queries; q18/q19 were slots 51-52 in r2)
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_semi",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # graph analytics over the events-derived interaction graph
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "graph_common_neighbors",
-    # training-data sampling family (ext/sampling.py — all 6)
-    "sample_holdout_split",
-    "sample_split_rates",
-    "sample_stratified",
-    "sample_temperature",
-    "sample_mix_epochs",
-    "text_pack_sequences",
-    # security / flow-log detectors
-    "flowlog_ddos_targets",
-    "flowlog_service_mix",
-    "flowlog_port_scans",
-    "flowlog_incident_feed",
-    "flowlog_beaconing",
-    "flowlog_acl_flip_pairs",
-    "flowlog_chi2_protocol_action",
-    "flowlog_cidr_rollup",
-    "flowlog_cusum_drift",
-    "flowlog_blast_radius",
-    # text analysis round-2 additions
-    "text_bpe_token_count",
-    "text_chunk_windows",
-    "text_repetition_ratio",
-    "text_contamination_check",
-    "text_unigram_logprob",
-    "text_inverted_index",
-    "text_bm25_search",
-    "text_pii_scrub",
-    "text_entropy_by_source",
-    "text_cross_doc_repeats",
-    # dedup / similarity / embedding-prep round-2 additions
-    "dedup_containment",
-    "sim_ivf_multiprobe",
-    "embed_l2_normalize",
-    "embed_quantize_int8",
-]
-
-# Rows-only checks (no oracle) must never occupy a hash-checked slot.
-NO_ORACLE_TAIL: list[str] = [
+    # never-driver-proven: timeseries tail
+    "ts_ewma",
+    "ts_mad_outliers",
+    "ts_weighted_moving_avg",
+    "ts_rolling_distinct",
+    "ts_interpolate_linear",
+    "ts_autocorr",
+    # never-driver-proven: round-3 TPC-H additions
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q20_dominant_supplier",
+    # never-driver-proven: events / agg / join / dq / skyline singles
+    "events_top_paths",
+    "events_transition_probs",
+    "agg_mode_deterministic",
+    "agg_weighted_median",
+    "join_interval_events",
+    "dq_profile_columns",
+    "skyline_pareto_2d",
+    # never-driver-proven: dedup/similarity/multimodal/sampling singles
+    "dedup_embedding_pairs",
+    "multimodal_chunk_manifest",
+    "sim_range_search",
+    "sample_dedup_weights",
+    # promoted from rows-only to oracle-backed this round (VERDICT_r03 #6)
     "agg_approx_distinct",
     "agg_approx_quantiles",
-    "multimodal_feature_extract",
     "sim_rp_lsh_topk",
+    # changed since their green rows: dedup family + capstone (r4
+    # size-gated _spread_input; r3 2-md5 minhash rewrite) and the
+    # r4-rewritten executor-side streaming sink
+    "stream_tumbling_window",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "corpus_curation_pipeline",
+    # oldest proofs (r1): relational core re-witness
+    "scan_filter_project",
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_asof_event_order",
+    "join_range_bands",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_grouping_sets",
+    "window_range_frame",
+    "grouped_map_rank",
+    "recursive_cte_month_spine",
+    # rows-only by design (env-dependent features): final slot, first row
+    "multimodal_feature_extract",
 ]
+
+# Rows-only checks (no oracle) must never occupy a hash-checked slot —
+# except the deliberate final-slot placement above. After the round-4
+# promotions only multimodal_feature_extract remains oracle-less; it holds
+# slot 50, so the tail mechanism is empty.
+NO_ORACLE_TAIL: list[str] = []
 
 
 def ordered_registry() -> dict[str, QuerySpec]:

@@ -37,8 +37,22 @@ def dedup_exact_within_watermark(docs: DataFrame, ts_col: str = "ts",
 
     The content hash is computed JVM-side (one md5 per row, no Python);
     adding it BEFORE the watermark keeps the plan a single stateful
-    operator over (key, event-time)."""
-    keyed = docs.withColumn("__content_key", F.md5(F.encode(text_col, "utf-8")))
+    operator over (key, event-time).
+
+    NULL payloads get a unique per-row fallback key: md5(NULL) is NULL and
+    ``dropDuplicatesWithinWatermark`` treats NULL keys as equal, so without
+    the guard every null-text document in the horizon would silently
+    collapse to one survivor. A fresh uuid per row means null-text rows are
+    never deduped against each other (uuid's per-retry nondeterminism is
+    harmless here — every value is unique, so the operator drops nothing
+    either way)."""
+    keyed = docs.withColumn(
+        "__content_key",
+        F.coalesce(
+            F.md5(F.encode(text_col, "utf-8")),
+            F.concat(F.lit("null-text:"), F.uuid()),
+        ),
+    )
     return (
         keyed.withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["__content_key"])
@@ -96,7 +110,17 @@ def dedup_simhash_within_watermark(docs: DataFrame, ts_col: str = "ts",
         simhash = term if simhash is None else simhash.bitwiseXOR(term)
     if key_bits < 64:
         simhash = F.shiftright(simhash, 64 - key_bits)
-    keyed = docs.withColumn("__simhash_key", simhash)
+    # NULL-payload guard (same rationale as dedup_exact_within_watermark),
+    # keyed on the text column itself: the per-bit votes are NULL for NULL
+    # text but `when(s > 0).otherwise(0)` swallows that NULL into bit 0, so
+    # the folded key would be 0 (NOT NULL) and every null-text doc would
+    # collapse with each other — give them unique pass-through keys instead.
+    keyed = docs.withColumn(
+        "__simhash_key",
+        F.when(
+            F.col(text_col).isNull(), F.concat(F.lit("null-text:"), F.uuid())
+        ).otherwise(simhash.cast("string")),
+    )
     return (
         keyed.withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["__simhash_key"])

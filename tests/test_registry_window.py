@@ -15,22 +15,27 @@ def test_priority_names_unique():
     assert len(PRIORITY_ORDER) == len(set(PRIORITY_ORDER))
 
 
-def test_window_is_fully_oracle_backed():
+def test_window_is_oracle_backed_except_final_slot():
+    """Slots 1-49 must hash-check; slot 50 is deliberately the one
+    rows-only-by-design query (multimodal_feature_extract, env-dependent
+    features) so it gets a driver row without burning a hash slot."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = list(qs)
     assert len(names) >= WINDOW
-    for n in names[:WINDOW]:
+    for n in names[: WINDOW - 1]:
         assert n in oracles, f"window slot holds rows-only query {n}"
 
 
-def test_no_oracle_queries_sit_at_the_tail():
+def test_no_oracle_queries_sit_at_the_tail_or_final_slot():
     names = list(entry.queries())
     oracles = entry.oracle_sql()
-    tail = names[-len(NO_ORACLE_TAIL):]
-    assert set(tail) == set(NO_ORACLE_TAIL)
-    # and they are exactly the registered queries without oracles
-    assert {n for n in names if n not in oracles} == set(NO_ORACLE_TAIL)
+    no_oracle = {n for n in names if n not in oracles}
+    allowed = set(NO_ORACLE_TAIL) | {names[WINDOW - 1]}
+    assert no_oracle <= allowed, no_oracle - allowed
+    if NO_ORACLE_TAIL:
+        tail = names[-len(NO_ORACLE_TAIL):]
+        assert set(tail) == set(NO_ORACLE_TAIL)
 
 
 def test_every_priority_name_is_registered():

@@ -128,3 +128,25 @@ def test_simhash_stream_plan_is_single_projection(spark, tmp_path):
     plan = dd._jdf.queryExecution().analyzed().toString()
     assert "Aggregate" not in plan
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_null_text_rows_all_pass_through(spark, tmp_path):
+    """NULL payloads must NOT collapse: md5(NULL)/fold-over-split(NULL) are
+    NULL, and NULL keys compare equal in the dedup state store — the guard
+    gives each null-text row a unique fallback key (ADVICE r3)."""
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, BASE + 0 * m, None),
+        (2, BASE + 1 * m, None),
+        (3, BASE + 2 * m, "real text"),
+        (4, BASE + 3 * m, None),
+    ]
+    for fn, name in (
+        (dedup_exact_within_watermark, "sdedup_null_exact"),
+        (dedup_simhash_within_watermark, "sdedup_null_simhash"),
+    ):
+        src = str(tmp_path / name)
+        _mk_docs(spark, rows, src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        got = _run(spark, fn(stream, delay="10 minutes"), name)
+        assert sorted(r["doc_id"] for r in got) == [1, 2, 3, 4]
