@@ -333,6 +333,39 @@ _SQL_SIMHASH_VAL = " + ".join(
     ]
 )
 
+# Spark-SQL twins of the DuckDB fragments above (shiftright() instead of >>;
+# bigint literal for the sign weight). Generating SQL text instead of stacking
+# 64 Column objects keeps driver-side query construction to one py4j call.
+_SPARK_SQL_SIMHASH_BITS = ", ".join(
+    f"sum(2 * (shiftright({c}, {sh}) & 1) - 1) AS s{j}"
+    for j, (c, sh) in enumerate(_SIMHASH_POS, 1)
+)
+_SPARK_SQL_SIMHASH_VAL = " + ".join(
+    ["(CASE WHEN s1 > 0 THEN CAST(-9223372036854775808 AS BIGINT)"
+     " ELSE CAST(0 AS BIGINT) END)"]
+    + [
+        f"(CASE WHEN s{j} > 0 THEN CAST({2 ** (SIMHASH_BITS - j)} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(2, SIMHASH_BITS + 1)
+    ]
+)
+
+_sql_over_seq = 0
+
+
+def _sql_over(df, tag: str, sql: str):
+    """Run a Spark-SQL string over ``df`` registered under a unique temp view.
+
+    The ``{v}`` placeholder in ``sql`` is replaced with the view name.
+    spark.sql() binds the view eagerly at call time, so re-registering the
+    name later never retargets a previously returned DataFrame; the counter
+    only guards against a caller holding an identically named view."""
+    global _sql_over_seq
+    _sql_over_seq += 1
+    view = f"__sg_{tag}_{_sql_over_seq}"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql.replace("{v}", view))
+
 
 @query(
     "dedup_simhash",
@@ -359,34 +392,28 @@ def dedup_simhash(spark, sf_dir):
     few bits — Hamming-ball lookups go via the 8-bit band index in
     dedup_simhash_pairs. 64 bits keeps band occupancy non-degenerate on
     production-size corpora (a 32-bit fingerprint saturates its 256-value
-    bands as n grows, degrading the bucketed pair join toward quadratic)."""
+    bands as n grows, degrading the bucketed pair join toward quadratic).
+
+    Built as one Spark-SQL string rather than 64 stacked Column aggregates:
+    the plan is identical, but driver-side construction drops from ~1.2 s to
+    ~0.2 s per call — composing the 64-wide expression tree through the
+    Column API costs hundreds of py4j round trips, while a single sql()
+    parses JVM-side in one (measured; see PLANS.md round-4 notes)."""
     d = _spread_input(load(spark, sf_dir, "documents"))
-    wh = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).select(
-        "doc_id", F.md5(F.encode("w", "utf-8")).alias("h")
-    )
-    chunks = wh.select(
-        "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("c0"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("c1"),
-    )
-    bits = chunks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                2 * F.shiftright(F.col(c), sh).bitwiseAND(F.lit(1)) - 1
-            ).alias(f"s{j}")
-            for j, (c, sh) in enumerate(_SIMHASH_POS, 1)
-        ]
-    )
-    simhash = sum(
-        (
-            F.when(F.col(f"s{j}") > 0, F.lit(2 ** (SIMHASH_BITS - j))).otherwise(
-                F.lit(0)
-            ).cast("long")
-            for j in range(2, SIMHASH_BITS + 1)
-        ),
-        F.when(F.col("s1") > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0)).cast("long"),
-    )
-    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+    return _sql_over(d, "simhash_docs", f"""
+      WITH wh AS (
+        SELECT doc_id, md5(encode(w, 'utf-8')) AS h
+        FROM {{v}} LATERAL VIEW explode(split(text, ' ')) t AS w
+      ),
+      chunks AS (
+        SELECT doc_id,
+               cast(conv(substring(h, 1, 8), 16, 10) AS bigint) AS c0,
+               cast(conv(substring(h, 9, 8), 16, 10) AS bigint) AS c1
+        FROM wh
+      ),
+      bits AS (SELECT doc_id, {_SPARK_SQL_SIMHASH_BITS} FROM chunks GROUP BY doc_id)
+      SELECT doc_id, CAST({_SPARK_SQL_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+    """)
 
 
 @query(
@@ -611,24 +638,17 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
     tests/test_ext.py on a corpus where the cap engages), so the DuckDB
     oracle keeps the simple formulation."""
     m56 = (1 << 56) - 1
-    structs = []
+    band_structs = []
     for b in range(8):
         low = (1 << (8 * b)) - 1
         # delete byte b: low bytes stay, bytes above shift down 8 —
         # shiftrightunsigned because simhash is signed (arithmetic shift
         # would smear the sign bit into the residual)
-        residual = (
-            F.col("simhash").bitwiseAND(F.lit(low))
-            .bitwiseOR(
-                F.shiftrightunsigned("simhash", 8).bitwiseAND(F.lit(m56 ^ low))
-            )
-        )
-        structs.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.expr(f"shiftright(simhash, {b * 8}) & 255").alias("band_val"),
-                residual.alias("residual"),
-            )
+        band_structs.append(
+            f"named_struct('band_id', {b},"
+            f" 'band_val', shiftright(simhash, {b * 8}) & 255,"
+            f" 'residual', (simhash & {low}) |"
+            f" (shiftrightunsigned(simhash, 8) & {m56 ^ low}))"
         )
     # materialize ONCE, and BEFORE the sizes aggregate: sizes, small/hot,
     # and both sides of each self-join all reuse the banded table — with
@@ -637,52 +657,49 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
     # executed once per join SIDE during materialization itself; every
     # consumer now reads the one cached copy. 8 longs per doc row, so the
     # checkpoint is corpus-row-bounded, not corpus-byte-bounded.
-    bands = (
-        sig.select(
-            "doc_id", "simhash", F.explode(F.array(*structs)).alias("x")
-        )
-        .select("doc_id", "simhash", "x.band_id", "x.band_val", "x.residual")
-        .localCheckpoint(eager=False)
-    )
-    sizes = bands.groupBy("band_id", "band_val").agg(F.count("*").alias("__bn"))
-    bands = bands.join(F.broadcast(sizes), ["band_id", "band_val"])
-    small = bands.filter(F.col("__bn") <= hot_cap)
-    hot = bands.filter(F.col("__bn") > hot_cap)
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk_id"),
-            F.expr(f"shiftright(residual, {c * 7}) & 127").alias("chunk_val"),
-        )
+    # Both halves are single SQL strings (not Column chains) — driver-side
+    # construction cost, see dedup_simhash's docstring.
+    bands = _sql_over(sig, "simhash_sig", f"""
+      SELECT doc_id, simhash, x.band_id, x.band_val, x.residual
+      FROM {{v}} LATERAL VIEW explode(array({", ".join(band_structs)})) t AS x
+    """).localCheckpoint(eager=False)
+    chunk_structs = ", ".join(
+        f"named_struct('chunk_id', {c},"
+        f" 'chunk_val', shiftright(residual, {c * 7}) & 127)"
         for c in range(8)
-    ]
-    hot_chunks = hot.select(
-        "doc_id", "simhash", "band_id", "band_val",
-        F.explode(F.array(*chunk_structs)).alias("c"),
-    ).select("doc_id", "simhash", "band_id", "band_val", "c.chunk_id", "c.chunk_val")
-
-    def pair(df, extra_keys):
-        a, b = df.alias("a"), df.alias("b")
-        cond = (
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-        for k in extra_keys:
-            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        hamming = F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-        ).cast("int")
-        return a.join(b, cond).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-    return (
-        pair(small, [])
-        .unionByName(pair(hot_chunks, ["chunk_id", "chunk_val"]))
-        .filter(F.col("hamming") <= 7)
-        .distinct()
     )
+    return _sql_over(bands, "simhash_bands", f"""
+      WITH sizes AS (
+        SELECT band_id, band_val, count(*) AS __bn
+        FROM {{v}} GROUP BY band_id, band_val
+      ),
+      sized AS (
+        SELECT /*+ BROADCAST(sizes) */ b.doc_id, b.simhash, b.band_id,
+               b.band_val, b.residual, sizes.__bn
+        FROM {{v}} b JOIN sizes USING (band_id, band_val)
+      ),
+      small AS (SELECT * FROM sized WHERE __bn <= {hot_cap}),
+      hot_chunks AS (
+        SELECT doc_id, simhash, band_id, band_val, c.chunk_id, c.chunk_val
+        FROM (SELECT * FROM sized WHERE __bn > {hot_cap})
+        LATERAL VIEW explode(array({chunk_structs})) t AS c
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM small a JOIN small b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM hot_chunks a JOIN hot_chunks b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+      )
+      SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+    """)
 
 
 @query(

@@ -23,16 +23,67 @@ from ..operators.registry import load, query
 from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG, _SQL_SHINGLED, dedup_minhash_lsh
 
 
-def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+# Candidate graphs at or below this edge count are solved with a driver-side
+# union-find instead of the distributed loop: 2^20 edges of two longs is
+# ~16 MiB on the driver — far under any realistic driver heap — and the
+# union-find runs in milliseconds where each distributed round costs two
+# shuffles plus a checkpoint materialization. Above the cap (real 100 TB
+# corpora, where near-dup pairs can reach billions) the pointer-jumping loop
+# takes over unchanged. The count() that picks the path reads the already
+# checkpointed edge set, so the probe is one cheap job, not a recompute.
+SMALL_GRAPH_EDGE_CAP = 1 << 20
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact min-label components for a subcritical edge set, on the driver.
+
+    Path-halving union-find over the collected symmetric edges, then each
+    root's label is the minimum member id (identical labeling to the
+    distributed fixpoint and the recursive-CTE oracle)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in label or node < label[r]:
+            label[r] = node
+    rows = [(node, label[find(node)]) for node in parent]
+    return sym.sparkSession.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 64,
+    small_edge_cap: int = SMALL_GRAPH_EDGE_CAP,
+) -> DataFrame:
     """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id = min id in
     component). Nodes = every endpoint.
 
-    Each round does neighbor-min propagation PLUS pointer jumping
-    (comp <- comp(comp)), so convergence is O(log diameter) rounds, not
-    O(diameter) — a 1M-node chain needs ~20 rounds, not 1M. The loop runs to
-    a verified fixpoint; exhausting ``max_iter`` without convergence raises
-    instead of silently returning partial labels (which would disagree with
-    the exact transitive-closure oracle).
+    Subcritical graphs (<= ``small_edge_cap`` symmetric edges) short-circuit
+    to a driver union-find — see SMALL_GRAPH_EDGE_CAP. Larger graphs run the
+    distributed loop: each round does neighbor-min propagation PLUS pointer
+    jumping (comp <- comp(comp)), so convergence is O(log diameter) rounds,
+    not O(diameter) — a 1M-node chain needs ~20 rounds, not 1M. The loop
+    runs to a verified fixpoint; exhausting ``max_iter`` without convergence
+    raises instead of silently returning partial labels (which would
+    disagree with the exact transitive-closure oracle).
     """
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -40,6 +91,8 @@ def connected_components(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if sym.count() <= small_edge_cap:
+        return _driver_union_find(sym)
     nodes = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))

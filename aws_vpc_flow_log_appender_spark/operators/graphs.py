@@ -174,8 +174,15 @@ def graph_pagerank(spark, sf_dir):
     """PageRank (d=0.85, 5 iterations) over the directed communication
     graph — the canonical iterative DataFrame algorithm: each round is one
     shuffle (contributions keyed by dst) plus a broadcastable node-table
-    join, with localCheckpoint() cutting lineage so the plan stays O(1) per
-    round (same discipline as ext/graph.connected_components).
+    join. The FIXED 5 rounds are left unrolled in one lazy plan (exactly the
+    shape of the chained-CTE oracle): a ~15-join tree is trivial for
+    Catalyst, the whole computation is a single job with full pipeline
+    parallelism, and no round blocks on an eager checkpoint
+    materialization. Per-round lineage cutting (the
+    ext/graph.connected_components discipline) only pays when the round
+    count is unbounded/convergence-driven; for a constant round count it
+    cost ~0.3 s of serial materialization per round (measured at sf0.1).
+    The edge/node tables stay checkpointed — they are read 5 times.
 
     All ranks are scaled integers (x 1e12) with floor division per
     contribution, so the per-dst sum is ORDER-INDEPENDENT — bit-identical
@@ -217,7 +224,6 @@ def graph_pagerank(spark, sf_dir):
                     "rank"
                 ),
             )
-            .localCheckpoint()
         )
     w = W.orderBy(F.desc("rank"), F.asc("node"))
     return (
