@@ -38,35 +38,36 @@ _DSTPORTS = [22, 80, 443, 6379]
 def synth_flow_lines(events: DataFrame) -> DataFrame:
     """events rows -> one deterministic flow-log v2 line per event (column
     ``value``), mixing public/private sources, ENI hits/misses, inbound/
-    outbound destinations, and malformed lines."""
-    eid, uid = F.col("event_id"), F.col("user_id")
-    eni = F.element_at(F.array(*[F.lit(x) for x in _ENI_IDS]), (uid % 6 + 1).cast("int"))
-    pub = F.element_at(F.array(*[F.lit(x) for x in _PUBLIC]), (eid % 5 + 1).cast("int"))
-    priv = F.element_at(F.array(*[F.lit(x) for x in _PRIVATE]), (eid % 4 + 1).cast("int"))
-    src = F.when(F.col("event_type").isin("click", "view"), pub).otherwise(priv)
-    dst = F.when(
-        uid % 3 == 0,
-        F.element_at(F.array(*[F.lit(x) for x in _ENI_PRIMARY]), (uid % 6 + 1).cast("int")),
-    ).otherwise(F.lit("172.31.16.99"))
-    start = F.unix_timestamp("ts")
-    line = F.concat_ws(
-        " ",
-        F.lit("2"),
-        F.lit("123456789010"),
-        eni,
-        src,
-        dst,
-        (1024 + eid % 60000).cast("string"),
-        F.element_at(F.array(*[F.lit(p) for p in _DSTPORTS]), (uid % 4 + 1).cast("int")).cast("string"),
-        F.when(eid % 2 == 0, 6).otherwise(17).cast("string"),
-        (1 + eid % 500).cast("string"),
-        (40 + (eid * 97) % 100000).cast("string"),
-        start.cast("string"),
-        (start + 60).cast("string"),
-        F.when(eid % 4 == 0, "REJECT").otherwise("ACCEPT"),
-        F.when(eid % 10 == 0, "NODATA").when(eid % 10 == 1, "SKIPDATA").otherwise("OK"),
-    )
-    malformed = F.concat(F.lit("MALFORMED "), eid.cast("string"))
+    outbound destinations, and malformed lines.
+
+    The whole line is ONE selectExpr string: identical plan to the previous
+    Column-API composition (verified), but the ~60 array-literal/when py4j
+    round trips collapse into a single call (~0.2 s of driver time per
+    invocation at any scale)."""
+    def arr(values, quote=True):
+        items = ", ".join(f"'{v}'" if quote else str(v) for v in values)
+        return f"array({items})"
+
+    line = f"""concat_ws(' ',
+      '2', '123456789010',
+      element_at({arr(_ENI_IDS)}, CAST(user_id % 6 + 1 AS INT)),
+      CASE WHEN event_type IN ('click', 'view')
+           THEN element_at({arr(_PUBLIC)}, CAST(event_id % 5 + 1 AS INT))
+           ELSE element_at({arr(_PRIVATE)}, CAST(event_id % 4 + 1 AS INT)) END,
+      CASE WHEN user_id % 3 = 0
+           THEN element_at({arr(_ENI_PRIMARY)}, CAST(user_id % 6 + 1 AS INT))
+           ELSE '172.31.16.99' END,
+      CAST(1024 + event_id % 60000 AS STRING),
+      CAST(element_at({arr(_DSTPORTS, quote=False)}, CAST(user_id % 4 + 1 AS INT)) AS STRING),
+      CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS STRING),
+      CAST(1 + event_id % 500 AS STRING),
+      CAST(40 + (event_id * 97) % 100000 AS STRING),
+      CAST(unix_timestamp(ts) AS STRING),
+      CAST(unix_timestamp(ts) + 60 AS STRING),
+      CASE WHEN event_id % 4 = 0 THEN 'REJECT' ELSE 'ACCEPT' END,
+      CASE WHEN event_id % 10 = 0 THEN 'NODATA'
+           WHEN event_id % 10 = 1 THEN 'SKIPDATA' ELSE 'OK' END)"""
+    malformed = "concat('MALFORMED ', CAST(event_id AS STRING))"
     # The parse stage downstream is CPU-bound (validity regex + sha2 recordId
     # + split per line) but a small events.parquet arrives as ONE input split,
     # so without this the whole pipeline inherits single-task parallelism
@@ -74,8 +75,10 @@ def synth_flow_lines(events: DataFrame) -> DataFrame:
     # source (Kinesis shards / many log files) arrives pre-partitioned; the
     # synthetic stand-in must match that shape. Round-robin repartition —
     # there is no key; the lines are independent.
-    return events.repartition(events.sparkSession.sparkContext.defaultParallelism).select(
-        F.when(F.col("event_type") == "error", malformed).otherwise(line).alias("value")
+    return events.repartition(
+        events.sparkSession.sparkContext.defaultParallelism
+    ).selectExpr(
+        f"CASE WHEN event_type = 'error' THEN {malformed} ELSE {line} END AS value"
     )
 
 
