@@ -432,30 +432,43 @@ def text_contamination_check(spark, sf_dir):
     Scale shape: the benchmark shingle set is DISTINCT-ed and broadcast (eval
     sets are tiny next to the corpus), so the probe is a map-side hash join
     over the exploded corpus shingles — one corpus scan, one shuffle for the
-    per-doc DISTINCT, no all-pairs anything. Docs shorter than one shingle
+    per-doc DISTINCT, no all-pairs anything. The benchmark side is built
+    from its OWN scan with ``source = BENCHMARK_SOURCE`` pushed down to
+    parquet — deriving it by filtering the corpus shingle table would
+    re-execute the full-corpus explode+distinct a second time (no plan
+    reuse across the broadcast boundary; caching the shingle table instead
+    would pin a corpus-sized intermediate). Docs shorter than one shingle
     are excluded on both engines (Spark's sequence() would descend on a
     negative stop; DuckDB's generate_series would return empty)."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    shingle = F.array_join(
-        F.slice(F.col("l"), F.col("i") + 1, CONTAM_SHINGLE), " "
-    )
-    sh = (
-        d.filter(n >= CONTAM_SHINGLE)
-        .select(
-            "doc_id",
-            "source",
-            toks.alias("l"),
-            F.explode(F.sequence(F.lit(0), n - CONTAM_SHINGLE)).alias("i"),
+    from .dedup import _spread_input
+
+    def shingles(docs, cols):
+        toks = F.split("text", " ")
+        n = F.size(toks)
+        shingle = F.array_join(
+            F.slice(F.col("l"), F.col("i") + 1, CONTAM_SHINGLE), " "
         )
-        .select("doc_id", "source", shingle.alias("shingle"))
-        .distinct()
+        return (
+            docs.filter(n >= CONTAM_SHINGLE)
+            .select(
+                *cols,
+                toks.alias("l"),
+                F.explode(F.sequence(F.lit(0), n - CONTAM_SHINGLE)).alias("i"),
+            )
+            .select(*cols, shingle.alias("shingle"))
+            .distinct()
+        )
+
+    sh = shingles(
+        _spread_input(load(spark, sf_dir, "documents")), ["doc_id", "source"]
     )
     bench = (
-        sh.filter(F.col("source") == BENCHMARK_SOURCE)
-        .select("shingle")
-        .distinct()
+        shingles(
+            load(spark, sf_dir, "documents").filter(
+                F.col("source") == BENCHMARK_SOURCE
+            ),
+            [],
+        )
         .withColumn("hit", F.lit(1))
     )
     return (
