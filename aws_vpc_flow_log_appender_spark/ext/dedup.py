@@ -195,8 +195,14 @@ def _minhash_bands_for(docs):
 
 
 def _minhash_pairs_for(docs):
-    """Distinct candidate pairs sharing >= 1 LSH band."""
-    bands = _minhash_bands_for(docs)
+    """Distinct candidate pairs sharing >= 1 LSH band.
+
+    The banded table is checkpointed before the self-join for the same
+    reason as _simhash_pairs: without it the shingle explode + two-md5
+    signature aggregate executes once per join SIDE (no ReuseExchange
+    across AQE stage boundaries). 4 short rows per doc, so the
+    materialization is corpus-row-bounded (A/B'd ~1.5x at sf0.1)."""
+    bands = _minhash_bands_for(docs).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -261,25 +267,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     hash). Intersections computed by a shingle equi-join restricted to
     candidate pairs — never materializes all-pairs."""
     sh = _shingled(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    bucket = sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))).alias("b0")
-    )
-    a = bucket.alias("a")
-    b = bucket.alias("b")
-    cand = a.join(
-        b, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    inter, profile = _shingle_intersections(sh)
+    za = profile.alias("za")
+    zb = profile.alias("zb")
     return (
         inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
         .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
@@ -296,6 +286,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+def _shingle_intersections(sh):
+    """Shared candidate-pair intersection machinery for the Jaccard and
+    containment scorers: (inter, profile) where profile is one checkpointed
+    row per doc (shingle count + min-shingle bucket, computed in a SINGLE
+    aggregate pass) and inter is (doc_a, doc_b, n_common) over bucketed
+    candidates. Folding sizes+bucket into one agg and checkpointing the
+    per-doc profile cuts executions of the corpus-scale shingle derivation
+    from 5 per query (sizes, bucket x2 across the self-join, both
+    intersection sides) to 3 (profile + both intersection sides); the
+    checkpoint is 1 short row per doc, never corpus-byte-bounded."""
+    profile = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.min(
+                F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))
+            ).alias("b0"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = profile.alias("a")
+    b = profile.alias("b")
+    cand = a.join(
+        b, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter, profile
 
 
 _HEX = "0123456789abcdef"
@@ -738,25 +764,9 @@ def dedup_containment(spark, sf_dir):
     dedup_ngram_jaccard (never all-pairs); the score just normalizes by the
     smaller shingle set, and contained_doc names the removal candidate."""
     sh = _shingled(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    bucket = sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))).alias("b0")
-    )
-    a = bucket.alias("a")
-    b = bucket.alias("b")
-    cand = a.join(
-        b, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    inter, profile = _shingle_intersections(sh)
+    za = profile.alias("za")
+    zb = profile.alias("zb")
     return (
         inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
         .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
