@@ -261,3 +261,40 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert high <= lsh, f"missed near-dups: {sorted(high - lsh)[:5]}"
     low_hits = {p for p, j in jac.items() if j < 0.2} & lsh
     assert not low_hits, f"low-similarity band collisions: {sorted(low_hits)[:5]}"
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed pointer-jumping
+    loop must label identically. The fixture-scale sweeps only ever exercise
+    the fast path (candidate graphs are far below SMALL_GRAPH_EDGE_CAP), so
+    this test forces BOTH paths over a graph with a long chain (exercises
+    pointer jumping across rounds), a star, a 2-cycle with a bridge, and
+    isolated-pair components."""
+    from aws_vpc_flow_log_appender_spark.ext.graph import connected_components
+
+    edges = (
+        # chain 1-2-3-4-5-6-7 (min label 1)
+        [(i, i + 1) for i in range(1, 7)]
+        # star centered at 20 (min label 20)
+        + [(20, x) for x in (21, 22, 23, 24)]
+        # cycle 30-31-32-30 bridged to 33
+        + [(30, 31), (31, 32), (32, 30), (32, 33)]
+        # isolated pair
+        + [(40, 41)]
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(df).collect()
+    }
+    distributed = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(df, small_edge_cap=0).collect()
+    }
+    assert fast == distributed
+    expected_clusters = {1: set(range(1, 8)), 20: {20, 21, 22, 23, 24},
+                         30: {30, 31, 32, 33}, 40: {40, 41}}
+    got = {}
+    for node, label in fast:
+        got.setdefault(label, set()).add(node)
+    assert got == expected_clusters
