@@ -383,14 +383,18 @@ def _sql_over(df, tag: str, sql: str):
     """Run a Spark-SQL string over ``df`` registered under a unique temp view.
 
     The ``{v}`` placeholder in ``sql`` is replaced with the view name.
-    spark.sql() binds the view eagerly at call time, so re-registering the
-    name later never retargets a previously returned DataFrame; the counter
-    only guards against a caller holding an identically named view."""
+    spark.sql() binds the view eagerly at call time, so the view is dropped
+    again before returning (verified: the bound DataFrame stays executable)
+    — no catalog entries accumulate across calls; the counter guards
+    against a caller holding an identically named view."""
     global _sql_over_seq
     _sql_over_seq += 1
     view = f"__sg_{tag}_{_sql_over_seq}"
     df.createOrReplaceTempView(view)
-    return df.sparkSession.sql(sql.replace("{v}", view))
+    try:
+        return df.sparkSession.sql(sql.replace("{v}", view))
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
 
 
 @query(
