@@ -74,10 +74,20 @@ def _spread_input(docs):
         return docs
     try:
         n_files = len(docs.inputFiles())
-        max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+        jconf = spark._jsparkSession.sessionState().conf()
+        max_pb = int(jconf.filesMaxPartitionBytes())
+        open_cost = int(jconf.filesOpenCostInBytes())
     except Exception:
-        n_files, max_pb = 0, 128 << 20
-    est_scan_partitions = max(n_files, size // max_pb)
+        n_files, max_pb, open_cost = 0, 128 << 20, 4 << 20
+    # Spark's own split sizing (FilePartition.maxSplitBytes): splits shrink
+    # below maxPartitionBytes when total bytes spread over the cores is
+    # smaller, so few-large-file corpora are ALREADY parallel — estimating
+    # with maxPartitionBytes alone undercounted scan partitions (e.g. 8 x
+    # 200 MB files on 32 cores -> 50 MB splits -> ~32 partitions, not 12)
+    # and re-added a full-corpus shuffle the reader never needed.
+    bytes_per_core = (size + n_files * open_cost) // max(par, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    est_scan_partitions = max(n_files, size // max(max_split, 1))
     if est_scan_partitions >= par:
         return docs
     return docs.repartition(par)
@@ -376,7 +386,12 @@ _SPARK_SQL_SIMHASH_VAL = " + ".join(
     ]
 )
 
-_sql_over_seq = 0
+import itertools as _itertools
+
+# next() on itertools.count is atomic under the GIL, so concurrent query
+# construction from multiple driver threads can never mint the same view
+# name (a bare ``global seq; seq += 1`` is a non-atomic read-modify-write).
+_sql_over_seq = _itertools.count(1)
 
 
 def _sql_over(df, tag: str, sql: str):
@@ -387,9 +402,7 @@ def _sql_over(df, tag: str, sql: str):
     again before returning (verified: the bound DataFrame stays executable)
     — no catalog entries accumulate across calls; the counter guards
     against a caller holding an identically named view."""
-    global _sql_over_seq
-    _sql_over_seq += 1
-    view = f"__sg_{tag}_{_sql_over_seq}"
+    view = f"__sg_{tag}_{next(_sql_over_seq)}"
     df.createOrReplaceTempView(view)
     try:
         return df.sparkSession.sql(sql.replace("{v}", view))

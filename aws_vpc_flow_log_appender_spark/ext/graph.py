@@ -24,14 +24,17 @@ from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG, _SQL_SHINGLED, dedup_minhash_ls
 
 
 # Candidate graphs at or below this edge count are solved with a driver-side
-# union-find instead of the distributed loop: 2^20 edges of two longs is
-# ~16 MiB on the driver — far under any realistic driver heap — and the
-# union-find runs in milliseconds where each distributed round costs two
-# shuffles plus a checkpoint materialization. Above the cap (real 100 TB
-# corpora, where near-dup pairs can reach billions) the pointer-jumping loop
-# takes over unchanged. The count() that picks the path reads the already
-# checkpointed edge set, so the probe is one cheap job, not a recompute.
-SMALL_GRAPH_EDGE_CAP = 1 << 20
+# union-find instead of the distributed loop. Sizing is by PYTHON cost, not
+# raw longs: collect() materializes one Row object per edge (~200 B each)
+# plus parent/label dicts up to 2 entries per edge, so 2^18 edges is
+# ~50-100 MB of driver heap and a sub-second collect — comfortably safe,
+# where a 2^20 cap would already flirt with several hundred MB. Above the
+# cap (real 100 TB corpora, where near-dup pairs can reach billions) the
+# pointer-jumping loop takes over unchanged; at 2^18+ edges its per-round
+# shuffle overhead is well amortized anyway. The count() that picks the
+# path reads the already checkpointed edge set, so the probe is one cheap
+# job, not a recompute.
+SMALL_GRAPH_EDGE_CAP = 1 << 18
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:

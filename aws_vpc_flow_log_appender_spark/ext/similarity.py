@@ -303,24 +303,46 @@ def sim_ivf_multiprobe(spark, sf_dir):
     )
 
 
+def _rp_planes(dim: int = 64, n_bits: int = 6, seed: int = 42):
+    """The seeded hyperplanes shared by the Spark query and its oracle."""
+    import numpy as np
+
+    return np.random.RandomState(seed).randn(dim, n_bits)
+
+
+def _rp_bucket_sql(array_expr: str, one_based: bool, dim: int = 64,
+                   n_bits: int = 6, seed: int = 42) -> str:
+    """The 6-bit sign-sketch bucket as an EXPLICIT left-associated sum of
+    products — the same SQL text (modulo indexing base) runs on Spark and
+    DuckDB, so both engines execute the identical IEEE operation sequence
+    and a plane dot product within ulp of zero cannot flip its sign on one
+    engine only. This is deliberately NOT list_dot_product/numpy-matmul for
+    the oracle-checked query: BLAS blocking and engine-internal fold order
+    are host-dependent, and the determinism contract must not hinge on
+    them. repr(float) literals round-trip to the same double in both
+    parsers."""
+    planes = _rp_planes(dim, n_bits, seed)
+    base = 1 if one_based else 0
+    terms = []
+    for b in range(n_bits):
+        dot = " + ".join(
+            f"{array_expr}[{i + base}] * {float(planes[i, b])!r}"
+            for i in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def _rp_oracle_sql(dim: int = 64, n_bits: int = 6, seed: int = 42) -> str:
     """Exact DuckDB oracle for sim_rp_lsh_topk: the seeded hyperplanes are
     just numbers, so they inline as SQL literals and the full sign-sketch →
     bucket-join → re-rank pipeline becomes SQL-expressible (promoting the
     query from rows-only to hash-checked, VERDICT_r03 "Next round #6").
-    Replays rp_sketch_udf bit-for-bit: same RandomState(seed).randn(dim,
-    n_bits) planes, same float32→float64 widening, same `> 0` threshold —
-    the only divergence risk is a dot product within float ulp of zero,
-    which the fixed seeded fixtures verifiably avoid (local sweep)."""
-    import numpy as np
-
-    planes = np.random.RandomState(seed).randn(dim, n_bits)
-    bucket = " + ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(float(x)) for x in planes[:, b])
-        + f"]) > 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(n_bits)
-    )
+    The bucket arithmetic is the shared explicit-fold fragment
+    (_rp_bucket_sql), so sign decisions are bit-identical with Spark by
+    construction, not by fixture luck."""
+    bucket = _rp_bucket_sql("v", one_based=True, dim=dim, n_bits=n_bits,
+                            seed=seed)
     cos = (
         "floor((list_dot_product(q.qv, c.v)"
         " / (sqrt(list_dot_product(q.qv, q.qv))"
@@ -347,15 +369,24 @@ def sim_rp_lsh_topk(spark, sf_dir):
     """Random-hyperplane (sign) LSH: 6-bit sketch per vector from seeded
     hyperplanes, candidates = same-sketch-bucket, exact cosine re-rank.
 
-    The sketch is computed in a vectorized Pandas UDF (numpy matmul over
-    Arrow batches — the sanctioned slow-path) and the rest stays DataFrame
-    ops. Oracle: the seeded planes inlined as literals (_rp_oracle_sql), so
-    the whole pipeline hash-checks against DuckDB; recall is additionally
-    validated against sim_bruteforce_topk in tests/test_ext.py.
+    The oracle-checked sketch is an explicit left-associated fold shared
+    textually with the DuckDB oracle (_rp_bucket_sql) — NOT the numpy-matmul
+    Pandas UDF, whose BLAS summation order is host-dependent and could flip
+    a near-zero plane dot product's sign on one engine only (rp_sketch_udf
+    remains the throughput path for hot-cell sub-bucketing, where buckets
+    are an internal candidate key and never hash-compared). Recall is
+    additionally validated against sim_bruteforce_topk in tests/test_ext.py.
     """
-    # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF
-    sketch = rp_sketch_udf(n_bits=6, seed=42)
-    e = load(spark, sf_dir, "embeddings").withColumn("bucket", sketch("embedding"))
+    # 2^6 buckets: occupancy ~n/64 keeps candidates non-empty at small SF.
+    # The double-cast array binds once to a named column so the generated
+    # 384-term expression indexes it instead of re-casting per term.
+    bucket = _rp_bucket_sql("__v", one_based=False)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("__v", F.col("embedding").cast("array<double>"))
+        .withColumn("bucket", F.expr(bucket))
+        .drop("__v")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("q_bucket"),

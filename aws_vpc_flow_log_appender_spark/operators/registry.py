@@ -154,7 +154,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
     return deco
 
 
-# Scan-plan memo: (applicationId, sf_dir, table) -> DataFrame. A DataFrame is
+# Scan-plan memo: session -> {(sf_dir, table) -> DataFrame}. A DataFrame is
 # an immutable lazy plan, so handing the same scan object to every query is
 # the catalog-table behavior users get from spark.table() — and it skips the
 # ~150 ms of file listing + parquet footer schema inference that
@@ -162,9 +162,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # queries touch 1-5 tables each). The file index inside the cached plan is a
 # snapshot; the fixture tables are immutable, and a caller that mutates a
 # directory can clear the memo (load_cache_clear) the same way they would
-# REFRESH TABLE a catalog entry. Keyed by applicationId so plans never leak
-# across stopped sessions (a dead session's plans are unusable anyway).
-_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# REFRESH TABLE a catalog entry. The outer map is a WeakKeyDictionary on
+# the SparkSession itself: stopped/garbage-collected sessions drop their
+# plans automatically (no unbounded growth in session-cycling processes),
+# and two sessions sharing one SparkContext (newSession(), same
+# applicationId) never receive a DataFrame bound to the OTHER session's
+# catalog and conf.
+import weakref
+
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_cache_clear() -> None:
@@ -191,12 +199,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _SCAN_CACHE.get(key)
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
     df = _read_table(spark, sf_dir, name)
-    _SCAN_CACHE[key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 

@@ -32,9 +32,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    qs[qlist[0]](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm at the smallest available sibling SF so hosts without the default
+    # fixture layout still run; fall back to the trial dir itself
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    qs[qlist[0]](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     out: dict[str, list[float]] = {}
     for name in qlist:
