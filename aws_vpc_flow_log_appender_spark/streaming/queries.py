@@ -148,3 +148,104 @@ def stream_tumbling_window_to_files(spark: SparkSession, source_path: str,
         raise TimeoutError(
             f"stream_tumbling_window_to_files did not finish in {timeout_s}s"
         )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    marked AS (
+      SELECT user_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT CAST(min(us) // 1000000 AS BIGINT) AS session_start,
+             CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+             user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value,
+             max(us) + 1800000000 AS end_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT session_start, session_end, user_id, n_events, total_value
+    FROM agg
+    WHERE end_us <= (SELECT max(us) FROM t) - 3600000000
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SESSION windows (the built-in session_window
+    operator, not the batch lag/cumsum formulation of ts_sessionize), run as
+    a real watermark + append stream to completion and oracle-checked.
+
+    Append mode is the production shape for session windows — complete mode
+    is not supported for them — so the oracle MODELS THE WATERMARK
+    HOLDBACK: it keeps exactly the sessions whose end (last event + 30 min
+    gap) is at or before the final watermark (max event time - 1 h).
+    Emission-at-boundary is ``<=`` (pinned empirically: a session ending
+    exactly AT the watermark is flushed; tests/test_streaming.py). The gap
+    arithmetic runs in exact integer microseconds on the oracle side
+    because the fixture timestamps carry sub-second components; Spark's
+    session merge (next event strictly inside last+gap) is the same
+    predicate. The sink is the executor-side foreachBatch parquet pattern
+    of stream_tumbling_window, but APPEND per epoch — append mode emits
+    each finalized session exactly once, so accumulated files ARE the
+    result (an overwrite would drop sessions finalized in earlier epochs).
+    State scale: one (user, open-session) row per key, evicted at the
+    watermark — bounded by session horizon x active keys, never corpus
+    size."""
+    import shutil
+
+    events = load(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_sess_src_")
+    out_dir = tempfile.mkdtemp(prefix="stream_sess_out_")
+    try:
+        events.write.mode("overwrite").parquet(staging)
+
+        stream = spark.readStream.schema(events.schema).parquet(staging)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                round_half_up(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.unix_timestamp(F.col("session_window.start")).alias(
+                    "session_start"
+                ),
+                F.unix_timestamp(F.col("session_window.end")).alias(
+                    "session_end"
+                ),
+                "user_id",
+                "n_events",
+                "total_value",
+            )
+        )
+
+        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(write_epoch)
+            .queryName(f"stream_session_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_session_window did not finish in 300s")
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -271,3 +271,44 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert exp_pairs, "fixture has no qualifying pairs"
     assert got_pairs == exp_pairs
+
+
+def test_session_window_watermark_boundary_emits_at_equality(spark, tmp_path):
+    """Pins the emission boundary stream_session_window's oracle models: a
+    session whose end (last event + gap) lands EXACTLY on the final
+    watermark (max event time - delay) IS flushed in append mode — the
+    oracle's holdback predicate is therefore `session_end <= watermark`,
+    not strict less-than. If a Spark upgrade flips this to strict
+    comparison, this test fails before the driver's hash gate does."""
+    import uuid as _uuid
+
+    rows = [(1, 1000), (2, 6400)]  # u1 session end=2800; watermark=6400-3600=2800
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    staging = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(df.schema).parquet(staging)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("session_window.end").alias("end"), "user_id", "n"
+        )
+    )
+
+    def write_epoch(d, _e):
+        d.write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .queryName(f"sess_boundary_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r.end, r.user_id, r.n) for r in spark.read.parquet(out).collect()}
+    assert got == {(2800, 1, 1)}  # flushed at equality; user 2 still held back
