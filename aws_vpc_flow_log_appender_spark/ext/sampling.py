@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import round_half_up
 from ..operators.registry import load, query
 
 # train fraction 0.9 expressed as an integer threshold over the first 32
@@ -326,4 +327,57 @@ def sample_mix_epochs(spark, sf_dir):
             epochs.alias("epochs"),
             (F.col("n_tokens") * epochs).alias("effective_tokens"),
         )
+    )
+
+
+RESERVOIR_K = 100
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, sample_key, rank FROM (
+      SELECT doc_id, lang, n_chars, sample_key,
+             CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               floor((ln(({_hash32_sql('doc_id', 'ares')} + 1) / 4294967296.0)
+                      / n_chars) * 1000000.0 + 0.5) / 1000000.0 AS sample_key
+        FROM documents WHERE n_chars > 0
+      )
+    ) WHERE rank <= {RESERVOIR_K}
+    """,
+    tags=("sampling", "weighted", "reservoir"),
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each doc draws key = ln(u)/w with weight w = n_chars
+    and u derived from a salted content hash instead of an RNG, and the
+    global top-K keys are the sample. Hash-derived u makes the draw
+    REPRODUCIBLE — the same corpus yields the same sample on any engine,
+    any partitioning, any retry — which is what a training-mix pipeline
+    needs from 'random' subsetting (Spark's rand() is neither retry- nor
+    engine-stable). u = (hash32+1)/2^32 is an exact dyadic double, so both
+    engines see bit-identical u; ln() may differ in the last ulp across
+    libms, so the key is rounded to 1e-6 BEFORE ranking (house discipline)
+    with doc_id as the tiebreak. Plan shape: narrow projection + global
+    top-K (WindowGroupLimit: per-partition top-K then merge of K x
+    partitions rows) — one scan, no full sort, at any corpus size."""
+    u = (hash32(F.col("doc_id"), "ares") + 1).cast("double") / F.lit(
+        float(2 ** 32)
+    )
+    key = round_half_up(F.log(u) / F.col("n_chars").cast("double"), 6)
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select("doc_id", "lang", "n_chars", "sample_key", "rank")
     )
