@@ -249,3 +249,76 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "stream_latest_per_key",
+    oracle="""
+    SELECT user_id, last_event_id, last_ts_us, last_value FROM (
+      SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+             floor(value * 10000.0 + 0.5) / 10000.0 AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "stateful", "cdc"),
+)
+def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming upsert materialization: the latest event per key,
+    maintained as a running stateful aggregate over the stream and
+    oracle-checked against the batch answer on the same input — the
+    change-capture view every serving table derives from an event stream.
+
+    The state is one struct per key (max of (event-time, event_id) with the
+    id as a DETERMINISTIC tiebreak for duplicate timestamps — max_by would
+    pick an arbitrary row), so complete mode's full re-emission is
+    keyspace-bounded, not stream-bounded: exactly the footprint a real
+    upsert materialization keeps anyway. Event time is compared in exact
+    integer microseconds (the fixture carries sub-second components);
+    foreachBatch overwrite is the idempotent complete-mode sink, as in
+    stream_tumbling_window."""
+    import shutil
+
+    events = load(spark, sf_dir, "events")
+    staging = tempfile.mkdtemp(prefix="stream_cdc_src_")
+    out_dir = tempfile.mkdtemp(prefix="stream_cdc_out_")
+    try:
+        events.write.mode("overwrite").parquet(staging)
+
+        stream = spark.readStream.schema(events.schema).parquet(staging)
+        agg = (
+            stream.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("v"),
+                    )
+                ).alias("last")
+            )
+            .select(
+                "user_id",
+                F.col("last.eid").alias("last_event_id"),
+                F.col("last.us").alias("last_ts_us"),
+                round_half_up(F.col("last.v"), 4).alias("last_value"),
+            )
+        )
+
+        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
+            df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_epoch)
+            .queryName(f"stream_cdc_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_latest_per_key did not finish in 300s")
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
