@@ -88,9 +88,13 @@ PRIORITY_ORDER: list[str] = [
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "sim_rp_lsh_topk",
-    # changed since their green rows: dedup family + capstone (r4
-    # size-gated _spread_input; r3 2-md5 minhash rewrite) and the
-    # r4-rewritten executor-side streaming sink
+    # changed since their green rows: dedup family + capstone (r4 SQL-string
+    # rewrites, shared shingle profile, CC fast path, size-gated
+    # _spread_input; r3 2-md5 minhash rewrite), the r4-rewritten
+    # executor-side streaming sink, the unrolled pagerank, the
+    # pushdown-probed contamination check, and the selectExpr-synthesized
+    # flagship (flowlog_enrich witnesses the shared synth+parse+enrich path
+    # for the whole flowlog family)
     "stream_tumbling_window",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -99,21 +103,24 @@ PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "corpus_curation_pipeline",
-    # oldest proofs (r1): relational core re-witness
+    "graph_pagerank",
+    "flowlog_enrich",
+    "text_contamination_check",
+    # round-4 session additions, never driver-proven
+    "sample_weighted_reservoir",
+    "stream_session_window",
+    "stream_latest_per_key",
+    # oldest proofs (r1): relational core re-witness (the dropped
+    # single-join-how and cube/grouping-set slots are unchanged since r1
+    # and share their code path with the retained join/rollup witnesses)
     "scan_filter_project",
     "agg_pricing_summary",
     "join_multiway_star",
     "join_inner_broadcast",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
     "join_asof_event_order",
     "join_range_bands",
     "agg_rollup",
-    "agg_cube",
     "agg_pivot",
-    "agg_grouping_sets",
     "window_range_frame",
     "grouped_map_rank",
     "recursive_cte_month_spine",
