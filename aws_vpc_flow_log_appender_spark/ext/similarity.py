@@ -582,3 +582,73 @@ def embed_quantize_int8(spark, sf_dir):
             ).alias("q_checksum"),
         )
     )
+
+
+KNN_GRAPH_K = 3
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH knn AS (
+      SELECT vec_id, nn_id, cos_sim, rank FROM (
+        SELECT q.vec_id, c.vec_id AS nn_id,
+               {_SQL_COS} AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+      ) WHERE rank <= {KNN_GRAPH_K}
+    )
+    SELECT a.vec_id, a.nn_id, a.cos_sim, a.rank,
+           CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_mutual
+    FROM knn a LEFT JOIN knn b
+      ON b.vec_id = a.nn_id AND b.nn_id = a.vec_id
+    """,
+    tags=("similarity", "ann", "graph"),
+)
+def sim_knn_graph(spark, sf_dir):
+    """k-NN graph construction (k = 3) with mutuality marking — the backbone
+    step of graph-based ANN indexes (NN-descent seeding, HNSW layers) and
+    density clustering, where mutual-kNN edges are the high-precision
+    subgraph. Candidates come from the IVF cell (label = coarse-quantizer
+    cell, hot cells sub-bucketed via with_capped_cell in the nn-dedup twin),
+    so edge generation is per-cell, never global all-pairs; mutuality is a
+    self-join of the kNN edge list on reversed endpoints — edge-list-sized,
+    not corpus-sized. The edge list is checkpointed once so the mutuality
+    probe does not re-run the per-cell scoring for its second side."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        _cos("a.embedding", "b.embedding").alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .localCheckpoint(eager=False)
+    )
+    rev = knn.select(
+        F.col("vec_id").alias("r_vec"), F.col("nn_id").alias("r_nn")
+    )
+    return (
+        knn.join(
+            rev,
+            (F.col("r_vec") == F.col("nn_id")) & (F.col("r_nn") == F.col("vec_id")),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "nn_id",
+            "cos_sim",
+            "rank",
+            F.when(F.col("r_vec").isNotNull(), 1).otherwise(0).alias("is_mutual"),
+        )
+    )
