@@ -150,3 +150,110 @@ def skyline_pareto_2d(spark, sf_dir):
             F.col("p_size").alias("size"),
         )
     )
+
+
+# The expectation suite: (name, oracle-SQL producing n_checked/n_violations).
+# Referential checks count orphan foreign keys via NOT EXISTS; range/null
+# checks count in-row violations. Each branch is a tiny aggregate; the
+# report is their union — the Great-Expectations-shaped contract gate an
+# ingestion pipeline runs before promoting a drop.
+_EXPECTATIONS_SQL = [
+    ("lineitem.orderkey_references_orders", """
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """),
+    ("orders.custkey_references_customer", """
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """),
+    ("lineitem.quantity_in_1_to_50", """
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN l_quantity IS NULL
+                               OR l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem
+    """),
+    ("lineitem.discount_in_0_to_0.1", """
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN l_discount IS NULL
+                               OR l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem
+    """),
+    ("orders.orderdate_not_null", """
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM orders
+    """),
+    ("documents.text_not_empty", """
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM documents
+    """),
+]
+
+
+@query(
+    "dq_expectations",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{name}' AS expectation, n_checked, n_violations,
+            CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+            FROM ({sql})"""
+        for name, sql in _EXPECTATIONS_SQL
+    ),
+    tags=("dq", "expectations", "join"),
+)
+def dq_expectations(spark, sf_dir):
+    """Expectation-suite validation (the Great-Expectations contract shape):
+    referential-integrity checks (orphan foreign keys via left-join null
+    probes — at scale these are the only shuffling branches, keyed on the
+    FK), range bounds, and null/empty rules, emitted as one report row per
+    expectation with a pass flag. Each branch is a single aggregate over
+    one scan; the report union is rows = |suite|, so running the suite on
+    a 100 TB drop costs the scans, not the report. A violation COUNT
+    (rather than a bare boolean) is what lets a pipeline set tolerance
+    thresholds downstream."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    d = load(spark, sf_dir, "documents")
+
+    def report(name, n_checked_col, violation_col, frame):
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(violation_col.cast("int")).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(name).alias("expectation"),
+            "n_checked",
+            "n_violations",
+            F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("pass"),
+        )
+
+    lo = l.join(o, l.l_orderkey == o.o_orderkey, "left")
+    oc = o.join(c, o.o_custkey == c.c_custkey, "left")
+    branches = [
+        report("lineitem.orderkey_references_orders", "l_orderkey",
+               F.col("o_orderkey").isNull(), lo),
+        report("orders.custkey_references_customer", "o_custkey",
+               F.col("c_custkey").isNull(), oc),
+        report("lineitem.quantity_in_1_to_50", "l_quantity",
+               F.col("l_quantity").isNull()
+               | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), l),
+        report("lineitem.discount_in_0_to_0.1", "l_discount",
+               F.col("l_discount").isNull()
+               | (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), l),
+        report("orders.orderdate_not_null", "o_orderdate",
+               F.col("o_orderdate").isNull(), o),
+        report("documents.text_not_empty", "text",
+               F.col("text").isNull() | (F.length("text") == 0), d),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
