@@ -110,6 +110,8 @@ PRIORITY_ORDER: list[str] = [
     "sample_weighted_reservoir",
     "stream_session_window",
     "stream_latest_per_key",
+    "sim_knn_graph",
+    "dq_expectations",
     # oldest proofs (r1): relational core re-witness (the dropped
     # single-join-how and cube/grouping-set slots are unchanged since r1
     # and share their code path with the retained join/rollup witnesses)
@@ -121,9 +123,7 @@ PRIORITY_ORDER: list[str] = [
     "join_range_bands",
     "agg_rollup",
     "agg_pivot",
-    "window_range_frame",
     "grouped_map_rank",
-    "recursive_cte_month_spine",
     # rows-only by design (env-dependent features): final slot, first row
     "multimodal_feature_extract",
 ]
