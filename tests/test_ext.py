@@ -298,3 +298,51 @@ def test_connected_components_paths_agree(spark):
     for node, label in fast:
         got.setdefault(label, set()).add(node)
     assert got == expected_clusters
+
+
+def test_dq_expectations_catch_injected_violations(spark, sf_dir, tmp_path):
+    """The expectation suite must actually trip: corrupt a copy of the
+    fixture tables (orphan lineitem FK, out-of-range discount, empty text)
+    and check the exact violation counts and pass flags flip."""
+    from aws_vpc_flow_log_appender_spark.operators.profiling import dq_expectations
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    corrupt = str(tmp_path / "corrupt")
+    for t in ["orders", "customer", "documents", "lineitem"]:
+        df = load(spark, sf_dir, t)
+        if t == "lineitem":
+            df = df.withColumn(
+                "l_orderkey",
+                F.when(F.col("l_linenumber") == 1, F.lit(-999)).otherwise(
+                    F.col("l_orderkey")
+                ),
+            ).withColumn(
+                "l_discount",
+                F.when(F.col("l_linenumber") == 2, F.lit(0.9)).otherwise(
+                    F.col("l_discount")
+                ),
+            )
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 100 == 0, F.lit("")).otherwise(
+                    F.col("text")
+                ),
+            )
+        df.write.mode("overwrite").parquet(f"{corrupt}/{t}.parquet")
+
+    report = {r["expectation"]: r for r in dq_expectations(spark, corrupt).collect()}
+    li = load(spark, corrupt, "lineitem")
+    n_orphans = li.filter(F.col("l_orderkey") == -999).count()
+    n_bad_disc = li.filter(F.col("l_discount") == 0.9).count()
+    n_empty = load(spark, corrupt, "documents").filter(F.length("text") == 0).count()
+    assert n_orphans > 0 and n_bad_disc > 0 and n_empty > 0  # injection worked
+    r = report["lineitem.orderkey_references_orders"]
+    assert (r["n_violations"], r["pass"]) == (n_orphans, 0)
+    r = report["lineitem.discount_in_0_to_0.1"]
+    assert (r["n_violations"], r["pass"]) == (n_bad_disc, 0)
+    r = report["documents.text_not_empty"]
+    assert (r["n_violations"], r["pass"]) == (n_empty, 0)
+    # untouched expectations still pass
+    assert report["orders.custkey_references_customer"]["pass"] == 1
+    assert report["orders.orderdate_not_null"]["pass"] == 1
