@@ -722,3 +722,98 @@ def ts_ewma(spark, sf_dir):
         .sortWithinPartitions("user_id", "event_id")
         .mapInPandas(fold_partition, schema=_EWMA_OUTPUT)
     )
+
+
+_HOLT_OUTPUT = (
+    "user_id long, n_events long, level_milli long, trend_milli long,"
+    " forecast_next_milli long"
+)
+
+
+def _holt_oracle() -> str:
+    from ..functions import fdiv_sql
+
+    # alpha = beta = 1/4, all in scaled-integer milli space with Python-floor
+    # division so the SQL replay matches the partition-fold bit-for-bit
+    lvl = f"(c.l + {fdiv_sql('s.v - (c.l + c.b)', '4')} + c.b)"
+    trd = f"(c.b + {fdiv_sql('(#L - c.l) - c.b', '4')})"
+    return f"""
+    WITH RECURSIVE src AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), counts AS (
+      SELECT user_id, max(rn) AS n_rows FROM src GROUP BY user_id
+    ), rec AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS n,
+             CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM counts
+      UNION ALL
+      SELECT c.user_id, c.rn + 1, c.n + 1,
+             CASE WHEN c.n = 0 THEN s.v ELSE {lvl} END,
+             CASE WHEN c.n = 0 THEN CAST(0 AS BIGINT)
+                  ELSE {trd.replace('#L', lvl)} END
+      FROM rec c JOIN src s ON s.user_id = c.user_id AND s.rn = c.rn + 1
+    )
+    SELECT c.user_id, c.n AS n_events, c.l AS level_milli, c.b AS trend_milli,
+           c.l + c.b AS forecast_next_milli
+    FROM rec c
+    JOIN counts t ON c.user_id = t.user_id AND c.rn = t.n_rows
+    """
+
+
+@query("ts_holt_trend", oracle=_holt_oracle(), tags=("timeseries", "stateful"))
+def ts_holt_trend(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (alpha = beta = 1/4,
+    level seeded with the first observation, trend with 0) and the one-step
+    forecast level + trend — the forecasting baseline one rung above
+    ts_ewma, with the same execution shape: one hash repartition on
+    user_id, sort within partitions, a single mapInPandas fold carrying two
+    integers of state per key (see ts_ewma's docstring for why this beats
+    applyInPandas per-group dispatch). All arithmetic is scaled-integer
+    milli with Python-floor division, replayed exactly by the
+    recursive-CTE oracle via fdiv_sql."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def fold_partition(batches):
+        pdfs = [bt for bt in batches if len(bt)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = {"user_id": [], "n_events": [], "level_milli": [],
+               "trend_milli": [], "forecast_next_milli": []}
+        uid_prev = None
+        l = b = n = 0
+        def emit():
+            out["user_id"].append(uid_prev); out["n_events"].append(n)
+            out["level_milli"].append(l); out["trend_milli"].append(b)
+            out["forecast_next_milli"].append(l + b)
+        for uid, v in zip(pdf["user_id"].to_numpy(), pdf["v"].to_numpy()):
+            if uid != uid_prev:
+                if uid_prev is not None:
+                    emit()
+                uid_prev, l, b, n = uid, 0, 0, 0
+            v = int(v)
+            n += 1
+            if n == 1:
+                l, b = v, 0
+            else:
+                l_prev = l
+                l = l_prev + (v - (l_prev + b)) // 4 + b
+                b = b + ((l - l_prev) - b) // 4
+        emit()
+        yield pd.DataFrame(out)
+
+    return (
+        ev.repartition(n_parts, "user_id")
+        .sortWithinPartitions("user_id", "event_id")
+        .mapInPandas(fold_partition, schema=_HOLT_OUTPUT)
+    )
