@@ -40,20 +40,25 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # registration order. Rounds 1-3 proved 146 distinct queries
 # (CORRECTNESS_r0{1,2,3}.json; r3's window was 50/50 green). Round 4 closes
-# the rotation per VERDICT_r03 "Next round #2":
+# the rotation per VERDICT_r03 "Next round #2" and then folds in this
+# round's churn:
 #  - slots 1-24: every never-driver-proven oracle-backed query — the
 #    timeseries tail, r3 TPC-H additions, events/agg/join/dq/skyline
 #    singles, and the three promoted-from-rows-only contracts
 #    (agg_approx_distinct/quantiles bounded-error booleans, sim_rp_lsh_topk
 #    literal-plane oracle) — after this round cumulative driver proof covers
-#    all 170 oracle-backed queries;
-#  - slots 25-31: the dedup family + curation capstone, all changed since
-#    their green rows (r3 minhash 2-md5 rewrite, r4 size-gated
-#    _spread_input) — the driver re-witnesses the changed code;
-#  - slots 32-49: re-witness of the oldest (r1) proofs across the
-#    relational core (joins of every how=, rollup/cube/pivot/grouping sets,
-#    window frames, subqueries, recursive CTE) — their last green row
-#    predates two rounds of shared-helper churn;
+#    every pre-round-4 oracle-backed query;
+#  - slots 25-35: everything whose implementation changed this round (the
+#    dedup family + capstone after the SQL-string/shingle-profile/CC-fast-
+#    path rewrites, the executor-side streaming sink, unrolled pagerank,
+#    pushdown-probed contamination check, and flowlog_enrich as the witness
+#    for the selectExpr-synthesized flagship path);
+#  - slots 36-41: the six queries ADDED this round, so each gets a driver
+#    row immediately;
+#  - slots 42-49: re-witness of the oldest (r1) proofs across the
+#    relational core; the dropped single-join-how / cube / grouping-set /
+#    pivot / window-frame / recursive-CTE slots are unchanged since r1 and
+#    share code paths with the retained witnesses;
 #  - slot 50: multimodal_feature_extract, the one genuinely rows-only query
 #    (its features/status are env-dependent by design — PIL presence), takes
 #    the final slot for its first driver row; the weaker rows-only check is
