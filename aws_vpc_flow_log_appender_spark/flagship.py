@@ -220,6 +220,13 @@ def flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed, fixtures.eni_dim_df(spark), fixtures.geo_dim_flat_df(spark),
         geo_dim_is_disjoint=True,
     )
+    return enrich_oracle_projection(enriched)
+
+
+def enrich_oracle_projection(enriched: DataFrame) -> DataFrame:
+    """Flatten the enriched frame to the oracle-safe columns FLAGSHIP_ORACLE
+    compares (shared by the batch flagship and its streaming twin — a
+    drifted copy would let batch and stream silently diverge)."""
     err = F.col("error")
     return enriched.select(
         # parse_lines already derived recordId = sha2(line); re-hashing here

@@ -118,6 +118,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_knn_graph",
     "dq_expectations",
     "ts_holt_trend",
+    "stream_flowlog_enrich",
     # oldest proofs (r1): relational core re-witness (the dropped
     # single-join-how and cube/grouping-set slots are unchanged since r1
     # and share their code path with the retained join/rollup witnesses)
@@ -128,7 +129,6 @@ PRIORITY_ORDER: list[str] = [
     "join_asof_event_order",
     "join_range_bands",
     "agg_rollup",
-    "grouped_map_rank",
     # rows-only by design (env-dependent features): final slot, first row
     "multimodal_feature_extract",
 ]

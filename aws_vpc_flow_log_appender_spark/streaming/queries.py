@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round_half_up
-from ..operators.registry import load, query
+from ..operators.registry import QUERY_REGISTRY, load, query
 
 
 @query(
@@ -322,3 +322,72 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "stream_flowlog_enrich",
+    # oracle assigned below: FLAGSHIP_ORACLE verbatim — batch and stream
+    # share one contract (import deferred to module bottom; flagship's own
+    # import chain pulls in the streaming package __init__)
+    oracle=None,
+    tags=("streaming", "flagship", "pipeline"),
+)
+def stream_flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FLAGSHIP AS A STREAM: the reference decorator's full pipeline
+    (synthesized lines -> parse -> ENI broadcast join -> direction -> geo
+    prefix-bucketed range join) consumed as a Structured Streaming source
+    and hash-checked against the SAME DuckDB oracle as the batch
+    flowlog_enrich — the strongest batch/stream equivalence claim the
+    engine makes: not a window aggregate, the entire enrichment pipeline.
+
+    Every stage is stateless projection + stream-static broadcast join, so
+    append mode needs no watermark and the result set is exactly the batch
+    answer (the nondeterministic processing-time @timestamp is excluded by
+    the shared oracle projection). Sink: foreachBatch parquet APPEND per
+    epoch (each input row is enriched exactly once in append mode);
+    executor-side, nothing lands on the driver."""
+    import shutil
+
+    from ..fixtures import eni_dim_df, geo_dim_flat_df
+    from ..flagship import enrich_oracle_projection, synth_flow_lines
+    from ..parse import parse_lines
+    from ..pipeline import enrich_flow_logs
+
+    lines = synth_flow_lines(load(spark, sf_dir, "events"))
+    staging = tempfile.mkdtemp(prefix="stream_fl_src_")
+    out_dir = tempfile.mkdtemp(prefix="stream_fl_out_")
+    try:
+        lines.write.mode("overwrite").parquet(staging)
+
+        stream = spark.readStream.schema(lines.schema).parquet(staging)
+        parsed = parse_lines(stream)
+        enriched = enrich_flow_logs(
+            parsed, eni_dim_df(spark), geo_dim_flat_df(spark),
+            geo_dim_is_disjoint=True,
+        )
+        out = enrich_oracle_projection(enriched)
+
+        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(write_epoch)
+            .queryName(f"stream_flowlog_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_flowlog_enrich did not finish in 300s")
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# The streaming flagship shares the batch flagship's oracle VERBATIM — one
+# contract, two execution modes. Imported at module bottom because flagship's
+# import chain loads the streaming package __init__ (transform_state).
+from ..flagship import FLAGSHIP_ORACLE as _FLAGSHIP_ORACLE  # noqa: E402
+
+QUERY_REGISTRY["stream_flowlog_enrich"].oracle = _FLAGSHIP_ORACLE
