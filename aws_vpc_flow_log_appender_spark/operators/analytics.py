@@ -216,3 +216,82 @@ def events_transition_probs(spark, sf_dir):
             F.col("n") / F.sum("n").over(row_w).cast("double"), 6
         ).alias("p"),
     )
+
+
+@query(
+    "events_markov_perplexity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (SELECT user_id, cur, nxt FROM seq WHERE nxt IS NOT NULL),
+    counts AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY cur, nxt
+    ),
+    model AS (
+      SELECT cur, nxt,
+             CAST(floor(-ln(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+      FROM counts
+    )
+    SELECT t.user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(m.nll_micro) AS BIGINT) AS total_nll_micro,
+           CAST({fd} AS BIGINT) AS avg_nll_micro
+    FROM trans t JOIN model m ON m.cur = t.cur AND m.nxt = t.nxt
+    GROUP BY t.user_id
+    """.replace("{fd}", "((sum(m.nll_micro) - (((sum(m.nll_micro) % count(*))"
+                " + count(*)) % count(*))) // count(*))"),
+    tags=("analytics", "sequence", "markov", "scoring"),
+)
+def events_markov_perplexity(spark, sf_dir):
+    """Sequence scoring under the corpus's own first-order Markov model —
+    the language-model-evaluation shape applied to event streams: each
+    user's journey gets a total and average negative log-likelihood, the
+    anomalous-session score behind behavioral outlier triage (a high avg
+    NLL user takes transitions the corpus rarely takes).
+
+    Determinism discipline: each transition's -ln P(next|cur) is rounded to
+    INTEGER micro-nats BEFORE summing, so the per-user totals are integer
+    sums — order-independent across partitionings and engines, where a
+    double sum of 100+ terms could differ in the last ulp by accumulation
+    order. The average uses the shared Python-floor division identity. The
+    model table is |event_types|^2 rows and broadcast onto the transition
+    stream; the only corpus-scale shuffles are the sequence window (keyed
+    by user) and the per-user aggregate."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = trans.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    row_w = W.partitionBy("cur")
+    model = counts.select(
+        "cur",
+        "nxt",
+        F.floor(
+            -F.log(F.col("n") / F.sum("n").over(row_w).cast("double"))
+            * 1000000.0
+            + 0.5
+        ).cast("long").alias("nll_micro"),
+    )
+    total = F.sum("nll_micro")
+    n_tr = F.count(F.lit(1))
+    # Python-floor division of the (non-negative) total by the count
+    avg = F.floor(total / n_tr).cast("long")
+    return (
+        trans.join(F.broadcast(model), ["cur", "nxt"])
+        .groupBy("user_id")
+        .agg(
+            n_tr.alias("n_transitions"),
+            total.cast("long").alias("total_nll_micro"),
+            avg.alias("avg_nll_micro"),
+        )
+    )
