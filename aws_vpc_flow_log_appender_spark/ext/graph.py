@@ -42,7 +42,20 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 
     Path-halving union-find over the collected symmetric edges, then each
     root's label is the minimum member id (identical labeling to the
-    distributed fixpoint and the recursive-CTE oracle)."""
+    distributed fixpoint and the recursive-CTE oracle).
+
+    The output schema is DERIVED from the edge columns' types rather than
+    hardcoded to long (ADVICE r4): a caller with int or string node ids must
+    get the same (doc_id, cluster_id) schema from this path as from the
+    distributed loop — which inherits the input types — or the
+    SMALL_GRAPH_EDGE_CAP threshold becomes a silent behavioral fork."""
+    from pyspark.sql import types as T
+
+    id_type = sym.schema[0].dataType
+    out_schema = T.StructType([
+        T.StructField("doc_id", id_type, False),
+        T.StructField("cluster_id", id_type, False),
+    ])
     parent: dict = {}
 
     def find(x):
@@ -66,9 +79,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
         if r not in label or node < label[r]:
             label[r] = node
     rows = [(node, label[find(node)]) for node in parent]
-    return sym.sparkSession.createDataFrame(
-        rows, "doc_id long, cluster_id long"
-    )
+    return sym.sparkSession.createDataFrame(rows, out_schema)
 
 
 def connected_components(

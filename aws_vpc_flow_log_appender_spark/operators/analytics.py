@@ -284,14 +284,19 @@ def events_markov_perplexity(spark, sf_dir):
     )
     total = F.sum("nll_micro")
     n_tr = F.count(F.lit(1))
-    # Python-floor division of the (non-negative) total by the count
-    avg = F.floor(total / n_tr).cast("long")
+    # EXACT integer division of the (non-negative) total by the count —
+    # `div` is Spark's integral division, mirroring the oracle's
+    # floor-division identity bit-for-bit. floor(total / n) on doubles
+    # (the r4 form) can round across an integer boundary once per-user
+    # totals exceed ~2^52 micro-nats, which the engine's 100 TB scale
+    # target makes reachable (ADVICE r4).
+    avg = F.expr("sum(nll_micro) div count(1)")
     return (
         trans.join(F.broadcast(model), ["cur", "nxt"])
         .groupBy("user_id")
         .agg(
             n_tr.alias("n_transitions"),
             total.cast("long").alias("total_nll_micro"),
-            avg.alias("avg_nll_micro"),
+            avg.cast("long").alias("avg_nll_micro"),
         )
     )

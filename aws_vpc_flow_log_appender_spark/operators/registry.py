@@ -38,105 +38,87 @@ class QuerySpec:
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# registration order. Rounds 1-3 proved 146 distinct queries
-# (CORRECTNESS_r0{1,2,3}.json; r3's window was 50/50 green). Round 4 closes
-# the rotation per VERDICT_r03 "Next round #2" and then folds in this
-# round's churn:
-#  - slots 1-24: every never-driver-proven oracle-backed query — the
-#    timeseries tail, r3 TPC-H additions, events/agg/join/dq/skyline
-#    singles, and the three promoted-from-rows-only contracts
-#    (agg_approx_distinct/quantiles bounded-error booleans, sim_rp_lsh_topk
-#    literal-plane oracle) — after this round cumulative driver proof covers
-#    every pre-round-4 oracle-backed query;
-#  - slots 25-35: everything whose implementation changed this round (the
-#    dedup family + capstone after the SQL-string/shingle-profile/CC-fast-
-#    path rewrites, the executor-side streaming sink, unrolled pagerank,
-#    pushdown-probed contamination check, and flowlog_enrich as the witness
-#    for the selectExpr-synthesized flagship path);
-#  - slots 36-41: the six queries ADDED this round, so each gets a driver
-#    row immediately;
-#  - slots 42-49: re-witness of the oldest (r1) proofs across the
-#    relational core; the dropped single-join-how / cube / grouping-set /
-#    pivot / window-frame / recursive-CTE slots are unchanged since r1 and
-#    share code paths with the retained witnesses;
-#  - slot 50: multimodal_feature_extract, the one genuinely rows-only query
-#    (its features/status are env-dependent by design — PIL presence), takes
-#    the final slot for its first driver row; the weaker rows-only check is
-#    deliberate and documented.
+# registration order. Rounds 1-4 proved 177 of 179 registered queries
+# hash-green (CORRECTNESS_r0{1..4}.json; r4's window executed 50/50 clean).
+# Round 5 closes the last two proof gaps and refreshes the oldest evidence
+# (VERDICT_r04 "Next round" #1/#2/#6):
+#  - slots 1-2: the two queries with no hash-green driver row anywhere —
+#    events_markov_perplexity (landed post-window in r4, and its average
+#    now uses exact integer `div`, so the re-run also witnesses that fix)
+#    and multimodal_feature_extract (promoted this round from rows-only to
+#    a deterministic oracle contract: in-kernel payload md5 + feature_ok
+#    self-check; the env-dependent feature/status values stay unhashed).
+#    Green rows here = cumulative driver proof 179/179, zero no_oracle.
+#  - slots 3-9: everything whose code path changed this round — the four
+#    stream_* queries (foreachBatch read-back now schema-explicit and
+#    durable, ADVICE r4), and the connected-components consumers
+#    dedup_clusters / sample_dedup_weights / corpus_curation_pipeline
+#    (driver union-find now derives its output schema from the edge types
+#    instead of hardcoding long, ADVICE r4).
+#  - slots 10-50: re-witness of ALL 41 remaining round-1 proofs — the
+#    relational/scalar/agg/window core whose evidence is four rounds old.
+#    After this round no green row is older than r2.
 PRIORITY_ORDER: list[str] = [
-    # never-driver-proven: timeseries tail
-    "ts_ewma",
-    "ts_mad_outliers",
-    "ts_weighted_moving_avg",
-    "ts_rolling_distinct",
-    "ts_interpolate_linear",
-    "ts_autocorr",
-    # never-driver-proven: round-3 TPC-H additions
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q20_dominant_supplier",
-    # never-driver-proven: events / agg / join / dq / skyline singles
-    "events_top_paths",
-    "events_transition_probs",
-    "agg_mode_deterministic",
-    "agg_weighted_median",
-    "join_interval_events",
-    "dq_profile_columns",
-    "skyline_pareto_2d",
-    # never-driver-proven: dedup/similarity/multimodal/sampling singles
-    "dedup_embedding_pairs",
-    "multimodal_chunk_manifest",
-    "sim_range_search",
-    "sample_dedup_weights",
-    # promoted from rows-only to oracle-backed this round (VERDICT_r03 #6)
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "sim_rp_lsh_topk",
-    # changed since their green rows: dedup family + capstone (r4 SQL-string
-    # rewrites, shared shingle profile, CC fast path, size-gated
-    # _spread_input; r3 2-md5 minhash rewrite), the r4-rewritten
-    # executor-side streaming sink, the unrolled pagerank, the
-    # pushdown-probed contamination check, and the selectExpr-synthesized
-    # flagship (flowlog_enrich witnesses the shared synth+parse+enrich path
-    # for the whole flowlog family)
+    # never-hash-proven (VERDICT_r04 #1 and #2)
+    "events_markov_perplexity",
+    "multimodal_feature_extract",
+    # changed this round: streaming read-back fix (ADVICE r4)
     "stream_tumbling_window",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "corpus_curation_pipeline",
-    "graph_pagerank",
-    "flowlog_enrich",
-    "text_contamination_check",
-    # round-4 session additions, never driver-proven
-    "sample_weighted_reservoir",
     "stream_session_window",
     "stream_latest_per_key",
-    "sim_knn_graph",
-    "dq_expectations",
-    "ts_holt_trend",
     "stream_flowlog_enrich",
-    # oldest proofs (r1): relational core re-witness (the dropped
-    # single-join-how and cube/grouping-set slots are unchanged since r1
-    # and share their code path with the retained join/rollup witnesses)
-    "scan_filter_project",
-    "agg_pricing_summary",
-    "join_multiway_star",
-    "join_inner_broadcast",
-    "join_asof_event_order",
-    "join_range_bands",
-    "agg_rollup",
-    # rows-only by design (env-dependent features): final slot, first row
-    "multimodal_feature_extract",
+    # changed this round: union-find schema derivation (ADVICE r4)
+    "dedup_clusters",
+    "sample_dedup_weights",
+    "corpus_curation_pipeline",
+    # oldest proofs (r1, rounds stale): full relational-core re-witness
+    "agg_bitwise",
+    "agg_cube",
+    "agg_distinct",
+    "agg_exact_percentiles",
+    "agg_filtered_count_if",
+    "agg_flowlog_domain",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_min_max_by",
+    "agg_pivot",
+    "agg_regression",
+    "agg_stats",
+    "array_collect_sorted",
+    "array_explode_wordcount",
+    "correlated_scalar_subquery",
+    "date_arithmetic",
+    "dedup_latest_per_key",
+    "funnel_signup_click_purchase",
+    "grouped_map_rank",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_null_safe_eq",
+    "join_q3_shipping_priority",
+    "join_right_outer",
+    "join_semi",
+    "lateral_top_nations",
+    "map_funcs",
+    "recursive_cte_month_spine",
+    "regexp_extract_all_join",
+    "retention_cohorts",
+    "scalar_conditional",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_regex_encoding",
+    "scalar_string_funcs",
+    "subquery_scalar_and_in",
+    "unpivot_stack",
+    "window_range_frame",
 ]
 
-# Rows-only checks (no oracle) must never occupy a hash-checked slot —
-# except the deliberate final-slot placement above. After the round-4
-# promotions only multimodal_feature_extract remains oracle-less; it holds
-# slot 50, so the tail mechanism is empty.
+# Rows-only checks (no oracle) must never occupy a hash-checked slot. As of
+# round 5 every registered query is oracle-backed (multimodal_feature_extract
+# was the last holdout), so the tail mechanism is empty — and
+# tests/test_registry_window.py now pins that it STAYS empty.
 NO_ORACLE_TAIL: list[str] = []
 
 
@@ -174,22 +156,47 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # queries touch 1-5 tables each). The file index inside the cached plan is a
 # snapshot; the fixture tables are immutable, and a caller that mutates a
 # directory can clear the memo (load_cache_clear) the same way they would
-# REFRESH TABLE a catalog entry. The outer map is a WeakKeyDictionary on
-# the SparkSession itself: stopped/garbage-collected sessions drop their
-# plans automatically (no unbounded growth in session-cycling processes),
-# and two sessions sharing one SparkContext (newSession(), same
-# applicationId) never receive a DataFrame bound to the OTHER session's
-# catalog and conf.
+# REFRESH TABLE a catalog entry.
+#
+# LIFETIME (ADVICE r4 fix): the r4 WeakKeyDictionary-on-the-session never
+# actually evicted — the cached DataFrames hold a strong reference back to
+# their session (df.sparkSession), so each entry's values pinned its own
+# key alive and the promised weak cleanup could not fire. The memo is now a
+# bounded LRU over sessions: at most _SCAN_CACHE_MAX_SESSIONS sessions'
+# scans are retained, the oldest evicted on overflow, so growth in
+# session-cycling processes is O(1) by construction instead of by a
+# liveness argument. Entries are keyed by id(session) with a weakref
+# liveness probe guarding against id reuse after collection; two sessions
+# sharing one SparkContext (newSession(), same applicationId) still never
+# receive a DataFrame bound to the other session's catalog and conf.
 import weakref
+from collections import OrderedDict
 
-_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+_SCAN_CACHE: "OrderedDict[int, tuple[weakref.ref, dict]]" = OrderedDict()
+_SCAN_CACHE_MAX_SESSIONS = 4
 
 
 def load_cache_clear() -> None:
     """Drop memoized scans (the REFRESH TABLE analog for mutated dirs)."""
     _SCAN_CACHE.clear()
+
+
+def _session_scans(spark: SparkSession) -> dict:
+    """The (sf_dir, table) -> DataFrame memo for one session (bounded LRU)."""
+    dead = [k for k, (ref, _) in _SCAN_CACHE.items() if ref() is None]
+    for k in dead:
+        del _SCAN_CACHE[k]
+    k = id(spark)
+    ent = _SCAN_CACHE.get(k)
+    if ent is not None and ent[0]() is spark:  # liveness: id() can be reused
+        _SCAN_CACHE.move_to_end(k)
+        return ent[1]
+    scans: dict = {}
+    _SCAN_CACHE[k] = (weakref.ref(spark), scans)
+    _SCAN_CACHE.move_to_end(k)
+    while len(_SCAN_CACHE) > _SCAN_CACHE_MAX_SESSIONS:
+        _SCAN_CACHE.popitem(last=False)
+    return scans
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -211,7 +218,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
-    per_session = _SCAN_CACHE.setdefault(spark, {})
+    per_session = _session_scans(spark)
     cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached

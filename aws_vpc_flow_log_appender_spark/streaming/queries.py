@@ -10,6 +10,8 @@ about the streaming engine: batch and stream agree on the same input.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 
@@ -18,6 +20,26 @@ from pyspark.sql import functions as F
 
 from ..functions import round_half_up
 from ..operators.registry import QUERY_REGISTRY, load, query
+
+
+def _read_back(spark: SparkSession, out_dir: str, schema) -> DataFrame:
+    """Post-run read of a foreachBatch parquet sink (ADVICE r4 fix).
+
+    Two failure modes of the old ``read.parquet(...).localCheckpoint()`` +
+    eager-delete pattern are closed here:
+     - EMPTY RESULT: a run whose every row is held back by the watermark
+       leaves zero files, and schema inference raises — the explicit
+       ``schema`` (taken from the streaming projection itself) makes an
+       empty directory an empty DataFrame instead.
+     - RECOMPUTABILITY: ``localCheckpoint`` blocks live in unreplicated
+       executor storage, so deleting the source files on return made the
+       result unrecomputable after any executor loss. The returned plan now
+       recomputes from the sink files themselves; ``out_dir`` (a few KB of
+       aggregates) is kept until process exit instead of being deleted
+       eagerly, which is what makes that recomputation durable.
+    """
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    return spark.read.schema(schema).parquet(out_dir)
 
 
 @query(
@@ -45,13 +67,11 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     order as the batch groupBy's shuffle state on the same input. What
     this shape deliberately avoids (r4, closing VERDICT_r03 weak #2) is
     the old memory-sink + collect(): the sink is now a ``foreachBatch``
-    parquet overwrite on executors, and the result is read back with an
-    eager ``localCheckpoint`` (executor block storage) so no row ever
-    materializes on the driver. The watermark + append + file-sink
+    parquet overwrite on executors, read back via ``_read_back`` (explicit
+    schema, sink files kept as the durable recomputation source) so no row
+    ever materializes on the driver. The watermark + append + file-sink
     production twin is ``stream_tumbling_window_to_files`` below; the
     batch twin is ``ts_tumbling_window``."""
-    import shutil
-
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_src_")
     out_dir = tempfile.mkdtemp(prefix="stream_out_")
@@ -87,13 +107,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()  # a timed-out query would leak AND leave a partial sink
             raise TimeoutError("stream_tumbling_window did not finish in 300s")
-        # eager localCheckpoint materializes partitions to executor storage,
-        # after which both tmp dirs can be freed — repeated invocations must
-        # not accumulate tmp disk, and nothing ever lands on the driver
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        return _read_back(spark, out_dir, agg.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def stream_tumbling_window_to_files(spark: SparkSession, source_path: str,
@@ -204,8 +220,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     State scale: one (user, open-session) row per key, evicted at the
     watermark — bounded by session horizon x active keys, never corpus
     size."""
-    import shutil
-
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_sess_src_")
     out_dir = tempfile.mkdtemp(prefix="stream_sess_out_")
@@ -245,10 +259,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("stream_session_window did not finish in 300s")
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        return _read_back(spark, out_dir, agg.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
@@ -278,8 +291,6 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds (the fixture carries sub-second components);
     foreachBatch overwrite is the idempotent complete-mode sink, as in
     stream_tumbling_window."""
-    import shutil
-
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_cdc_src_")
     out_dir = tempfile.mkdtemp(prefix="stream_cdc_out_")
@@ -318,10 +329,9 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("stream_latest_per_key did not finish in 300s")
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        return _read_back(spark, out_dir, agg.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @query(
@@ -346,8 +356,6 @@ def stream_flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared oracle projection). Sink: foreachBatch parquet APPEND per
     epoch (each input row is enriched exactly once in append mode);
     executor-side, nothing lands on the driver."""
-    import shutil
-
     from ..fixtures import eni_dim_df, geo_dim_flat_df
     from ..flagship import enrich_oracle_projection, synth_flow_lines
     from ..parse import parse_lines
@@ -379,10 +387,9 @@ def stream_flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("stream_flowlog_enrich did not finish in 300s")
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        return _read_back(spark, out_dir, out.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 # The streaming flagship shares the batch flagship's oracle VERBATIM — one

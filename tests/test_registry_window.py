@@ -15,24 +15,26 @@ def test_priority_names_unique():
     assert len(PRIORITY_ORDER) == len(set(PRIORITY_ORDER))
 
 
-def test_window_is_oracle_backed_except_final_slot():
-    """Slots 1-49 must hash-check; slot 50 is deliberately the one
-    rows-only-by-design query (multimodal_feature_extract, env-dependent
-    features) so it gets a driver row without burning a hash slot."""
+def test_window_is_fully_oracle_backed():
+    """Every window slot must hash-check. Round 5 promoted the last
+    rows-only query (multimodal_feature_extract) to a deterministic oracle
+    contract, so a rows-only query in the window is now always a mistake."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = list(qs)
     assert len(names) >= WINDOW
-    for n in names[: WINDOW - 1]:
+    for n in names[:WINDOW]:
         assert n in oracles, f"window slot holds rows-only query {n}"
 
 
-def test_no_oracle_queries_sit_at_the_tail_or_final_slot():
+def test_every_registered_query_has_an_oracle():
+    """179/179 contract-backed (VERDICT_r04 ask #2): any future oracle-less
+    query must be an explicit, justified NO_ORACLE_TAIL entry, never a
+    silent omission."""
     names = list(entry.queries())
     oracles = entry.oracle_sql()
     no_oracle = {n for n in names if n not in oracles}
-    allowed = set(NO_ORACLE_TAIL) | {names[WINDOW - 1]}
-    assert no_oracle <= allowed, no_oracle - allowed
+    assert no_oracle <= set(NO_ORACLE_TAIL), no_oracle - set(NO_ORACLE_TAIL)
     if NO_ORACLE_TAIL:
         tail = names[-len(NO_ORACLE_TAIL):]
         assert set(tail) == set(NO_ORACLE_TAIL)
