@@ -86,6 +86,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 64,
     small_edge_cap: int = SMALL_GRAPH_EDGE_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) undirected edges -> (doc_id, cluster_id = min id in
     component). Nodes = every endpoint.
@@ -98,6 +99,11 @@ def connected_components(
     runs to a verified fixpoint; exhausting ``max_iter`` without convergence
     raises instead of silently returning partial labels (which would
     disagree with the exact transitive-closure oracle).
+
+    ``stats``, when given, is filled with observability for the scale
+    smoke (tools/scale_smoke.py): {"sym_edges", "path", "rounds"} — the
+    symmetric edge count, which execution path ran, and (distributed path)
+    how many propagation rounds the loop took to reach its fixpoint.
     """
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -105,7 +111,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if sym.count() <= small_edge_cap:
+    n_sym = sym.count()
+    if stats is not None:
+        stats["sym_edges"] = n_sym
+    if n_sym <= small_edge_cap:
+        if stats is not None:
+            stats["path"] = "driver_union_find"
+            stats["rounds"] = 0
         return _driver_union_find(sym)
     nodes = (
         sym.select(F.col("src").alias("id")).distinct()
@@ -113,7 +125,9 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh_min = (
             sym.join(nodes, sym.dst == nodes.id)
             .groupBy("src")
@@ -146,6 +160,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["path"] = "distributed_pointer_jumping"
+        stats["rounds"] = rounds
     return nodes.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 

@@ -1,0 +1,236 @@
+"""Multi-epoch streaming incrementality (r5, VERDICT_r04 ask #4).
+
+The registry's stream_* queries consume their staged input in ONE
+availableNow pass, so they prove batch/stream result equivalence but never
+exercise state TRANSITIONS across micro-batches. These tests stage the input
+as N files, force one file per micro-batch (``maxFilesPerTrigger=1``), and
+assert the per-epoch output EVOLUTION:
+
+ - CDC upsert (the stream_latest_per_key shape): each epoch's complete-mode
+   state must equal the batch latest-per-key answer over exactly the prefix
+   of files consumed so far — true upsert (values replaced epoch over
+   epoch), converging to the full batch answer.
+ - watermark late-data drop (the append tumbling-window shape): a row
+   arriving after its window was emitted + evicted in an EARLIER epoch must
+   be DROPPED (no merge, no duplicate emission), every window is emitted
+   exactly once, and trailing windows the final watermark never passed are
+   withheld — correct append semantics, not data loss.
+
+PINNED EMPIRICALLY (the boundary Spark actually implements, verified on
+this engine): a late row whose window state is STILL LIVE — the watermark
+passes the window end in the same batch the row arrives — is MERGED before
+the window flushes; the drop only happens once the window has been emitted
+and its state evicted in a strictly earlier batch. The late-drop fixture
+therefore stages three files so the target window is flushed one full
+epoch before the late row shows up.
+
+File order is pinned via explicit mtimes: FileStreamSource picks files
+oldest-first (modification timestamp, path tiebreak), which the fixture
+makes deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("value", T.DoubleType(), False),
+])
+
+BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (no wall-clock in data)
+
+
+def _write_epoch_file(spark, path: str, epoch: int, n_users: int,
+                      mtime: float) -> None:
+    """One slice: every user gets one event at hour `epoch` with
+    value=epoch, so each later file strictly supersedes the earlier state
+    for EVERY key (the pure-upsert worst case)."""
+    rows = [
+        (epoch * n_users + u, u, epoch, float(epoch))
+        for u in range(n_users)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, h int, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(
+            F.lit(BASE_US) + F.col("h").cast("long") * 3_600_000_000
+        ).alias("ts"),
+        "value",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for name in os.listdir(path):
+        os.utime(os.path.join(path, name), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_latest_per_key_upserts_across_epochs(spark, tmp_path):
+    n_users, n_epochs = 8, 3
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    for e in range(n_epochs):
+        _write_epoch_file(
+            spark, str(src / f"slice_{e}.parquet"), e, n_users,
+            mtime=now - 600 + e * 100,
+        )
+    # parquet dirs as files-in-a-dir source: point the stream at the glob of
+    # part files so each slice dir's single part file is one source file
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/slice_*.parquet")
+    )
+    agg = (
+        stream.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.us").alias("last_ts_us"),
+            F.col("last.v").alias("last_value"),
+        )
+    )
+    epochs: dict[int, list] = {}
+
+    def capture(df, epoch_id: int) -> None:
+        epochs[epoch_id] = df.collect()
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    assert len(epochs) == n_epochs, f"expected {n_epochs} micro-batches"
+    ordered = [epochs[k] for k in sorted(epochs)]
+    # epoch e == batch latest-per-key over files 0..e: every user present,
+    # value == e (PURE upsert: the whole state replaced each epoch)
+    for e, rows in enumerate(ordered):
+        state = {r["user_id"]: r for r in rows}
+        assert len(state) == n_users, f"epoch {e}: missing keys"
+        for u in range(n_users):
+            assert state[u]["last_value"] == float(e), (
+                f"epoch {e}, user {u}: state {state[u]['last_value']} "
+                f"is not the prefix-batch answer {float(e)}"
+            )
+            assert state[u]["last_ts_us"] == BASE_US + e * 3_600_000_000
+    # monotone per-key event time across epochs (upsert never regresses)
+    for u in range(n_users):
+        ts_seq = [
+            {r["user_id"]: r for r in rows}[u]["last_ts_us"]
+            for rows in ordered
+        ]
+        assert ts_seq == sorted(ts_seq)
+
+
+def test_append_window_drops_late_rows_across_epochs(spark, tmp_path):
+    """Three files, one per micro-batch. A: on-time events in hours 0..2.
+    B: one hour-3 event (its processing batch carries watermark 1h30m from
+    A, flushing + evicting the hour-0 window with the on-time count). C:
+    one LATE hour-0 event — its window is now gone, so it must be dropped
+    (no merge, no re-emission) — plus an hour-4 event. Trailing windows
+    behind the final watermark stay withheld."""
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    # hour-ALIGNED base so window starts land exactly on ALIGNED + k*h
+    aligned_us = (BASE_US // 3_600_000_000 + 1) * 3_600_000_000
+
+    def mk(path, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, value double"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.lit(aligned_us) + F.col("us")).alias("ts"),
+            "value",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    h = 3_600_000_000
+    file_a = [
+        (0, 1, 0 * h, 1.0),
+        (1, 2, 0 * h + 60_000_000, 1.0),
+        (2, 1, 1 * h, 1.0),
+        (3, 2, 2 * h, 1.0),
+    ]
+    file_b = [(5, 2, 3 * h, 1.0)]             # flushes + evicts hour-0
+    file_c = [
+        (6, 1, 0 * h + 120_000_000, 100.0),   # LATE: hour-0 already evicted
+        (7, 2, 4 * h, 1.0),
+    ]
+    mk(str(src / "slice_a.parquet"), file_a, now - 600)
+    mk(str(src / "slice_b.parquet"), file_b, now - 500)
+    mk(str(src / "slice_c.parquet"), file_c, now - 400)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/slice_*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(
+            ((F.unix_micros(F.col("window.start")) - aligned_us) / h)
+            .cast("long").alias("win_h"),
+            "n", "v",
+        )
+    )
+    epochs: dict[int, list] = {}
+
+    def capture(df, epoch_id: int) -> None:
+        epochs[epoch_id] = df.collect()
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    by_win: dict[int, dict] = {}
+    for rows in epochs.values():
+        for r in rows:
+            assert r["win_h"] not in by_win, (
+                f"window {r['win_h']} emitted more than once"
+            )
+            by_win[r["win_h"]] = r
+    # hour-0 window: emitted once, ON-TIME count only (2 rows, value 2.0) —
+    # the late 100.0-valued row arrived after eviction and was dropped,
+    # not merged, not re-emitted
+    w0 = by_win.get(0)
+    assert w0 is not None, "hour-0 window never emitted"
+    assert w0["n"] == 2 and w0["v"] == 2.0, (
+        f"late row leaked into finalized window: {w0}"
+    )
+    # the dropped row's value must appear NOWHERE in the output
+    assert all(r["v"] < 100.0 for r in by_win.values())
+    # exact emission set: final watermark is 4h - 30m = 3h30m, so windows
+    # ending at 1h/2h/3h are out, hour-3 (end 4h) and hour-4 are withheld
+    assert set(by_win) == {0, 1, 2}, by_win
+    assert by_win[1]["n"] == 1 and by_win[2]["n"] == 1
+    # multi-epoch actually happened (one file per micro-batch + final flush)
+    assert len(epochs) >= 3

@@ -1,10 +1,14 @@
-"""Scale smoke: multiply the sf0.1 fact tables 10x in-memory (~6M lineitem
-rows) and check that (a) results scale exactly linearly where they should,
-(b) AQE re-specializes the physical plans (the lineitem<->orders join must
-fall back from broadcast to a shuffle join once the build side exceeds the
-broadcast threshold), (c) nothing collapses to a driver-side bottleneck.
+"""Scale smoke: multiply the sf0.1 fact tables 10x/50x in-memory (~6M/30M
+lineitem rows) and check that (a) results scale exactly linearly where they
+should, (b) AQE re-specializes the physical plans (the lineitem<->orders join
+must fall back from broadcast to a shuffle join once the build side exceeds
+the broadcast threshold), (c) nothing collapses to a driver-side bottleneck,
+and — r5, VERDICT_r04 ask #3 — (d) the ITERATIVE family holds: the
+distributed connected-components loop (forced above the union-find
+short-circuit) converges in O(log diameter) rounds and agrees with the exact
+union-find labels, and pagerank's unrolled plan stays sane at scale.
 
-Usage: python tools/scale_smoke.py [multiplier]
+Usage: python tools/scale_smoke.py [multiplier] [json_artifact_out]
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ def main() -> int:
     from aws_vpc_flow_log_appender_spark.session import get_spark
 
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    json_out = sys.argv[2] if len(sys.argv) > 2 else None
+    artifact: dict = {"mult": mult, "sf_dir": SF_DIR}
     spark = get_spark("scale_smoke")
 
     def multiplied(name: str, key_cols: list[str]):
@@ -71,7 +77,11 @@ def main() -> int:
     t_join = time.perf_counter() - t0
     plan = j._jdf.queryExecution().executedPlan().toString()
     fact_fact_broadcast = "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    if fact_fact_broadcast:
+    # only a defect once the build side is unambiguously past the broadcast
+    # threshold (mult >= 10: orders is ~4.5M rows / >100 MB); at small
+    # multipliers AQE broadcasting a still-small orders side is the CORRECT
+    # plan, not a scale failure
+    if fact_fact_broadcast and mult >= 10:
         print("FAIL plan: fact-fact join still broadcast at", mult, "x")
         ok = False
     for flag, n in jrows.items():
@@ -87,6 +97,12 @@ def main() -> int:
         f"fact-fact join strategy: {'shuffle (correct)' if not fact_fact_broadcast else 'broadcast (WRONG)'}; "
         f"{'ALL OK' if ok else 'FAILURES'}"
     )
+    artifact["relational"] = {
+        "lineitem_rows": n_rows,
+        "t_agg_s": round(t_agg, 2),
+        "t_join_s": round(t_join, 2),
+        "fact_fact_join": "shuffle" if not fact_fact_broadcast else "broadcast",
+    }
 
     # 3) dedup at scale: multiply documents (text perturbed per copy so the
     # corpus grows in content, not just dup density) and check the 64-bit
@@ -178,6 +194,104 @@ def main() -> int:
             f"corpus, {mh_occ['n_buckets']:,} occupied buckets) in {t_mh:.1f}s; "
             f"{'OK' if ok else 'FAILURES'}"
         )
+        artifact["lsh"] = {
+            "n_docs": n_docs,
+            "simhash_hottest_bucket": occ["max_bucket"],
+            "simhash_hottest_frac": occ["max_bucket"] / n_docs,
+            "simhash_pairs": n_pairs,
+            "minhash_hottest_bucket": mh_occ["max_bucket"],
+            "minhash_hottest_frac": mh_occ["max_bucket"] / n_docs,
+            "minhash_occupied_buckets": mh_occ["n_buckets"],
+            "t_simhash_s": round(t_sig, 2),
+            "t_pairs_s": round(t_pairs, 2),
+            "t_minhash_s": round(t_mh, 2),
+        }
+
+        # 3c) DISTRIBUTED connected components, forced (r5, VERDICT_r04 #3):
+        # the in-window smokes take the union-find short-circuit, so the
+        # O(log d) pointer-jumping loop that real 100 TB corpora would run
+        # had never been exercised at scale. Force it (small_edge_cap=0)
+        # over the scaled LSH candidate graph, record its round count, and
+        # — the strong check — verify its labels agree EXACTLY with the
+        # driver union-find on the same edge set (forced the other way).
+        from aws_vpc_flow_log_appender_spark.ext.dedup import dedup_minhash_lsh
+        from aws_vpc_flow_log_appender_spark.ext.graph import (
+            SMALL_GRAPH_EDGE_CAP,
+            connected_components,
+        )
+
+        pairs = dedup_minhash_lsh(spark, tmpdir).localCheckpoint()
+        n_pairs_lsh = pairs.count()
+        cc_stats: dict = {}
+        t0 = time.perf_counter()
+        cc_dist = connected_components(
+            pairs, small_edge_cap=0, stats=cc_stats
+        ).localCheckpoint()
+        n_nodes = cc_dist.count()
+        t_cc = time.perf_counter() - t0
+        n_clusters = cc_dist.select("cluster_id").distinct().count()
+        if cc_stats.get("path") != "distributed_pointer_jumping":
+            print("FAIL cc: forced distributed path did not run")
+            ok = False
+        # cross-check vs exact union-find labels where the edge set is
+        # still driver-collectable; at larger mults validate the fixpoint
+        # invariants instead (labels are component minima: every node's
+        # label <= its id, and each label names a node inside the cluster)
+        if cc_stats["sym_edges"] <= SMALL_GRAPH_EDGE_CAP:
+            cc_uf = connected_components(pairs, small_edge_cap=1 << 62)
+            n_disagree = (
+                cc_dist.alias("d")
+                .join(cc_uf.alias("u"), "doc_id")
+                .filter("d.cluster_id != u.cluster_id")
+                .count()
+            )
+            check = f"union-find cross-check: {n_disagree} disagreements"
+            if n_disagree:
+                print("FAIL cc: distributed labels disagree with union-find")
+                ok = False
+        else:
+            bad_min = cc_dist.filter("cluster_id > doc_id").count()
+            ids = cc_dist.select(F.col("doc_id").alias("cluster_id")).distinct()
+            dangling = (
+                cc_dist.select("cluster_id").distinct()
+                .join(ids, "cluster_id", "left_anti").count()
+            )
+            # edge consistency: every candidate edge's endpoints must carry
+            # the SAME label — the defining property of a valid partition
+            la = cc_dist.select(
+                F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+            )
+            lb = cc_dist.select(
+                F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+            )
+            split_edges = (
+                pairs.join(la, "doc_a").join(lb, "doc_b")
+                .filter("ca != cb").count()
+            )
+            check = (
+                f"fixpoint invariants: {bad_min} label>id violations, "
+                f"{dangling} dangling labels, {split_edges} split edges"
+            )
+            if bad_min or dangling or split_edges:
+                print("FAIL cc: fixpoint invariants violated")
+                ok = False
+        print(
+            f"scale_smoke cc mult={mult}: {n_pairs_lsh:,} candidate pairs "
+            f"({cc_stats['sym_edges']:,} sym edges) -> {n_clusters:,} clusters "
+            f"over {n_nodes:,} nodes via {cc_stats['path']} in "
+            f"{cc_stats['rounds']} rounds, {t_cc:.1f}s; {check}; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
+        artifact["connected_components"] = {
+            "candidate_pairs": n_pairs_lsh,
+            "sym_edges": cc_stats["sym_edges"],
+            "path": cc_stats["path"],
+            "rounds": cc_stats["rounds"],
+            "nodes": n_nodes,
+            "clusters": n_clusters,
+            "t_s": round(t_cc, 2),
+            "check": check,
+        }
 
         # 4) contamination probe at scale: the benchmark side stays tiny
         # (src0 of the BASE corpus) while the probe side grows with the
@@ -205,6 +319,11 @@ def main() -> int:
             f"probe join: {'broadcast (correct)' if 'BroadcastHashJoin' in cplan else 'WRONG'}; "
             f"{'ALL OK' if ok else 'FAILURES'}"
         )
+        artifact["contamination"] = {
+            "docs_scored": n_contam,
+            "probe_join": "broadcast" if "BroadcastHashJoin" in cplan else "other",
+            "t_s": round(t_contam, 2),
+        }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
@@ -245,6 +364,44 @@ def main() -> int:
             f"{mevents.count():,} events (support cap {cap:,}) in {t_edges:.1f}s; "
             f"{'ALL OK' if ok else 'FAILURES'}"
         )
+        artifact["graph_saturation"] = {
+            "edges": n_edges, "cap": cap, "t_s": round(t_edges, 2),
+        }
+
+        # 5b) pagerank at scale (r5, VERDICT_r04 #3): the 5-round unrolled
+        # single-plan loop (5 shuffles keyed by dst, edge/node tables
+        # checkpointed once) must stay executable as the event stream grows
+        # — the edge set saturates at the circulant support, so the top-25
+        # must come back dense (pr_rank exactly 1..25), strictly ordered,
+        # with positive integer-scaled ranks.
+        from aws_vpc_flow_log_appender_spark.operators.graphs import (
+            graph_pagerank,
+        )
+
+        t0 = time.perf_counter()
+        pr_rows = graph_pagerank(spark, etmp).collect()  # top-25 by contract
+        t_pr = time.perf_counter() - t0
+        ranks_desc = [r["rank"] for r in pr_rows]
+        pr_ok = (
+            [r["pr_rank"] for r in pr_rows] == list(range(1, len(pr_rows) + 1))
+            and len(pr_rows) == min(25, _N)
+            and ranks_desc == sorted(ranks_desc, reverse=True)
+            and all(x > 0 for x in ranks_desc)
+        )
+        if not pr_ok:
+            print(f"FAIL pagerank top-k malformed at mult={mult}")
+            ok = False
+        print(
+            f"scale_smoke pagerank mult={mult}: top-{len(pr_rows)} in "
+            f"{t_pr:.1f}s, rank range [{min(ranks_desc):,}, "
+            f"{max(ranks_desc):,}]; {'ALL OK' if ok else 'FAILURES'}"
+        )
+        artifact["pagerank"] = {
+            "topk": len(pr_rows),
+            "rank_min": int(min(ranks_desc)),
+            "rank_max": int(max(ranks_desc)),
+            "t_s": round(t_pr, 2),
+        }
     finally:
         shutil.rmtree(etmp, ignore_errors=True)
 
@@ -279,8 +436,19 @@ def main() -> int:
             f"scale_smoke ewma mult={mult}: {n_states:,} per-user states in "
             f"{t_fold:.1f}s ({'OK' if ok else 'FAIL'})"
         )
+        artifact["ewma_fold"] = {
+            "state_rows": n_states, "t_s": round(t_fold, 2),
+        }
     finally:
         shutil.rmtree(ftmp, ignore_errors=True)
+
+    artifact["ok"] = ok
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(artifact, fh, indent=2)
+        print(f"wrote {json_out}")
     return 0 if ok else 1
 
 
