@@ -88,3 +88,34 @@ def test_null_log_event_message_does_not_poison_sink(spark):
     rows = sorted(r["Data"] for r in extract_log_lines(envelopes).collect())
     # JS `undefined + '\n'` parity: no NULL Data rows ever reach the sink
     assert rows == ["real line\n", "undefined\n"]
+
+def test_scan_cache_is_bounded_lru(spark, sf_dir):
+    """ADVICE r4: the scan memo must be BOUNDED over sessions — the old
+    WeakKeyDictionary never evicted because cached DataFrames pin their own
+    session key alive. The LRU keeps at most _SCAN_CACHE_MAX_SESSIONS
+    entries regardless of value->key cycles, evicting oldest-first, and a
+    re-used id() from a dead session never serves another session's plans."""
+    from aws_vpc_flow_log_appender_spark.operators import registry as reg
+
+    reg.load_cache_clear()
+    try:
+        # the real session plus newSession() clones: all distinct cache keys
+        sessions = [spark] + [spark.newSession() for _ in range(reg._SCAN_CACHE_MAX_SESSIONS + 1)]
+        for s in sessions:
+            reg.load(s, sf_dir, "region")
+        assert len(reg._SCAN_CACHE) == reg._SCAN_CACHE_MAX_SESSIONS
+        # oldest (the original session and the first clone) were evicted;
+        # the newest survives and still serves its memoized plan
+        newest = sessions[-1]
+        memo = reg._SCAN_CACHE[id(newest)][1]
+        df_again = reg.load(newest, sf_dir, "region")
+        assert memo[(sf_dir, "region")] is df_again
+        # a cached plan is bound to ITS session, never another's
+        assert df_again.sparkSession is newest
+        # re-loading through an evicted session repopulates (correctness
+        # never depends on the cache) and bumps it to most-recent
+        reg.load(spark, sf_dir, "region")
+        assert id(spark) in reg._SCAN_CACHE
+        assert len(reg._SCAN_CACHE) == reg._SCAN_CACHE_MAX_SESSIONS
+    finally:
+        reg.load_cache_clear()
