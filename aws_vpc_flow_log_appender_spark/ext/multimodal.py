@@ -318,7 +318,8 @@ def multimodal_binary_stats(spark, sf_dir):
                 ELSE 'video/mp4' END AS mime,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS payload_md5,
-           CAST(8 AS INTEGER) AS feature_dim,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(8 AS INTEGER) END AS feature_dim,
            TRUE AS feature_ok
     FROM documents
     """,
@@ -341,7 +342,11 @@ def multimodal_feature_extract(spark, sf_dir):
         "mime",
         "n_bytes",
         "payload_md5",
-        F.size("feature").alias("feature_dim"),
+        # NULL (not legacy -1) on the no-payload path, matching the oracle's
+        # CASE WHEN text IS NULL — the kernel emits feature=None there
+        F.when(
+            F.col("feature").isNotNull(), F.size("feature")
+        ).alias("feature_dim"),
         "feature_ok",
     )
 

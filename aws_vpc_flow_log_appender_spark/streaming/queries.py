@@ -22,6 +22,23 @@ from ..functions import round_half_up
 from ..operators.registry import QUERY_REGISTRY, load, query
 
 
+# Sink dirs retained for returned stream-query results, newest last. Bounded
+# FIFO: the result a _read_back returns recomputes from these files, so the
+# last _SINK_RETAIN results stay durable; older ones are reclaimed (a caller
+# holding a result across that many newer stream-query invocations must
+# persist it). One atexit sweep frees whatever remains at process end.
+_RETAINED_SINKS: list[str] = []
+_SINK_RETAIN = 4
+
+
+def _sweep_sinks(keep: int = 0) -> None:
+    while len(_RETAINED_SINKS) > keep:
+        shutil.rmtree(_RETAINED_SINKS.pop(0), ignore_errors=True)
+
+
+atexit.register(_sweep_sinks)
+
+
 def _read_back(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     """Post-run read of a foreachBatch parquet sink (ADVICE r4 fix).
 
@@ -33,12 +50,18 @@ def _read_back(spark: SparkSession, out_dir: str, schema) -> DataFrame:
        empty directory an empty DataFrame instead.
      - RECOMPUTABILITY: ``localCheckpoint`` blocks live in unreplicated
        executor storage, so deleting the source files on return made the
-       result unrecomputable after any executor loss. The returned plan now
-       recomputes from the sink files themselves; ``out_dir`` (a few KB of
-       aggregates) is kept until process exit instead of being deleted
-       eagerly, which is what makes that recomputation durable.
+       result unrecomputable after any executor loss. The returned plan
+       recomputes from the sink files themselves, which therefore must
+       outlive this call.
+    Retention is BOUNDED (not process-lifetime): sink size tracks the
+    query's output — stream_flowlog_enrich materializes one row per input
+    event, not just aggregates — so unbounded per-invocation retention
+    would re-grow tmp disk in bench loops / session-cycling drivers. The
+    FIFO keeps the newest ``_SINK_RETAIN`` results live and reclaims older
+    ones eagerly.
     """
-    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    _RETAINED_SINKS.append(out_dir)
+    _sweep_sinks(keep=_SINK_RETAIN)
     return spark.read.schema(schema).parquet(out_dir)
 
 

@@ -90,11 +90,18 @@ def main() -> int:
             ok = False
 
     n_rows = li.count()
+    if fact_fact_broadcast:
+        join_label = (
+            "broadcast (WRONG at this size)" if mult >= 10
+            else "broadcast (fits threshold at this size — correct)"
+        )
+    else:
+        join_label = "shuffle (correct)"
     print(
         f"scale_smoke mult={mult}: lineitem={n_rows:,} rows; "
         f"agg {t_agg:.1f}s ({n_rows / t_agg / 1e6:.1f}M rows/s), "
         f"join+agg {t_join:.1f}s; "
-        f"fact-fact join strategy: {'shuffle (correct)' if not fact_fact_broadcast else 'broadcast (WRONG)'}; "
+        f"fact-fact join strategy: {join_label}; "
         f"{'ALL OK' if ok else 'FAILURES'}"
     )
     artifact["relational"] = {
@@ -234,10 +241,13 @@ def main() -> int:
             print("FAIL cc: forced distributed path did not run")
             ok = False
         # cross-check vs exact union-find labels where the edge set is
-        # still driver-collectable; at larger mults validate the fixpoint
-        # invariants instead (labels are component minima: every node's
-        # label <= its id, and each label names a node inside the cluster)
-        if cc_stats["sym_edges"] <= SMALL_GRAPH_EDGE_CAP:
+        # still driver-collectable (4x the query-path cap: a one-off audit
+        # tool can afford a bigger collect than the hot path); at larger
+        # mults validate fixpoint invariants PLUS an over-merge audit,
+        # because the invariants alone are one-sided — a labeling that
+        # fuses two disconnected components satisfies label<=id, no
+        # dangling, and no split edges (code-review r5 finding)
+        if cc_stats["sym_edges"] <= 4 * SMALL_GRAPH_EDGE_CAP:
             cc_uf = connected_components(pairs, small_edge_cap=1 << 62)
             n_disagree = (
                 cc_dist.alias("d")
@@ -268,12 +278,57 @@ def main() -> int:
                 pairs.join(la, "doc_a").join(lb, "doc_b")
                 .filter("ca != cb").count()
             )
+            # OVER-merge audit (the direction the three invariants above
+            # cannot see): each of the K largest clusters must be
+            # internally CONNECTED by the candidate edges — a cluster that
+            # is really two fused components has >1 root under a local
+            # union-find of its own intra-cluster edges. K largest because
+            # over-merge inflates cluster size, so the fused ones would be
+            # at the top; collected data is K * avg-cluster-size rows.
+            audit_k = 50
+            from collections import defaultdict
+
+            top = [
+                r["cluster_id"]
+                for r in cc_dist.groupBy("cluster_id").count()
+                .orderBy(F.desc("count"), F.asc("cluster_id"))
+                .limit(audit_k).collect()
+            ]
+            members = defaultdict(list)
+            for r in cc_dist.filter(F.col("cluster_id").isin(top)).collect():
+                members[r["cluster_id"]].append(r["doc_id"])
+            intra = defaultdict(list)
+            for r in (
+                pairs.join(la, "doc_a").join(lb, "doc_b")
+                .filter(F.col("ca") == F.col("cb"))
+                .filter(F.col("ca").isin(top))
+                .select("ca", "doc_a", "doc_b").collect()
+            ):
+                intra[r["ca"]].append((r["doc_a"], r["doc_b"]))
+            over_merged = 0
+            for c in top:
+                par = {n: n for n in members[c]}
+
+                def find(x):
+                    while par[x] != x:
+                        par[x] = par[par[x]]
+                        x = par[x]
+                    return x
+
+                for a, b in intra[c]:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        par[ra] = rb
+                if len({find(n) for n in members[c]}) != 1:
+                    over_merged += 1
             check = (
                 f"fixpoint invariants: {bad_min} label>id violations, "
-                f"{dangling} dangling labels, {split_edges} split edges"
+                f"{dangling} dangling labels, {split_edges} split edges; "
+                f"over-merge audit: {over_merged}/{len(top)} of the largest "
+                f"clusters internally disconnected"
             )
-            if bad_min or dangling or split_edges:
-                print("FAIL cc: fixpoint invariants violated")
+            if bad_min or dangling or split_edges or over_merged:
+                print("FAIL cc: fixpoint invariants / over-merge audit")
                 ok = False
         print(
             f"scale_smoke cc mult={mult}: {n_pairs_lsh:,} candidate pairs "
@@ -382,24 +437,35 @@ def main() -> int:
         pr_rows = graph_pagerank(spark, etmp).collect()  # top-25 by contract
         t_pr = time.perf_counter() - t0
         ranks_desc = [r["rank"] for r in pr_rows]
+        # NOTE the circulant fixture graph is regular, so all ranks tie —
+        # the order check then verifies the (rank desc, node asc) tiebreak,
+        # not a strict ordering. Empty top-k is a failure, recorded (not a
+        # crash) so the artifact still lands.
         pr_ok = (
-            [r["pr_rank"] for r in pr_rows] == list(range(1, len(pr_rows) + 1))
-            and len(pr_rows) == min(25, _N)
+            len(pr_rows) == min(25, _N)
+            and [r["pr_rank"] for r in pr_rows] == list(range(1, len(pr_rows) + 1))
             and ranks_desc == sorted(ranks_desc, reverse=True)
             and all(x > 0 for x in ranks_desc)
+            and all(
+                pr_rows[i]["node"] < pr_rows[i + 1]["node"]
+                for i in range(len(pr_rows) - 1)
+                if pr_rows[i]["rank"] == pr_rows[i + 1]["rank"]
+            )
         )
         if not pr_ok:
-            print(f"FAIL pagerank top-k malformed at mult={mult}")
+            print(f"FAIL pagerank top-k malformed/empty at mult={mult}")
             ok = False
+        rank_lo = min(ranks_desc) if ranks_desc else 0
+        rank_hi = max(ranks_desc) if ranks_desc else 0
         print(
             f"scale_smoke pagerank mult={mult}: top-{len(pr_rows)} in "
-            f"{t_pr:.1f}s, rank range [{min(ranks_desc):,}, "
-            f"{max(ranks_desc):,}]; {'ALL OK' if ok else 'FAILURES'}"
+            f"{t_pr:.1f}s, rank range [{rank_lo:,}, {rank_hi:,}]; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
         )
         artifact["pagerank"] = {
             "topk": len(pr_rows),
-            "rank_min": int(min(ranks_desc)),
-            "rank_max": int(max(ranks_desc)),
+            "rank_min": int(rank_lo),
+            "rank_max": int(rank_hi),
             "t_s": round(t_pr, 2),
         }
     finally:

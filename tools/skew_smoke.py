@@ -193,7 +193,13 @@ def main() -> int:
             skewed.groupBy("user_id").agg(F.count("*").alias("n"))
             ._jdf.queryExecution().executedPlan().toString()
         )
-        has_partial = "partial_count" in agg_plan or "HashAggregate" in agg_plan
+        # discriminating check: only the partial_* aggregate mode proves
+        # map-side combine — a bare "HashAggregate" substring also matches
+        # the final stage and can never be false (code-review r5 finding)
+        has_partial = "partial_count" in agg_plan
+        if not has_partial:
+            print("FAIL hot-key agg: no partial (map-side) aggregate in plan")
+            ok = False
         if ratio > 3.0:
             print(f"FAIL hot-key agg: skewed/uniform ratio {ratio:.1f}x")
             ok = False
