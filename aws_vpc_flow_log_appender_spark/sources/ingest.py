@@ -99,9 +99,12 @@ def frame_firehose_batches(records: DataFrame, batch_size: int = 500) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# The full S1-S4 ingest chain as a registered query (rows-only check: gzip has
-# no DuckDB twin). CloudWatch envelopes are synthesized from the documents
-# table, then decoded back through the real ingest path.
+# The full S1-S4 ingest chain as a registered query. Gzip itself has no
+# DuckDB twin, so the ORACLE checks the round-trip identity instead: decode
+# (the production path) applied to encode (the synthesis) must reproduce the
+# per-envelope source lines the oracle derives directly from documents.
+# CloudWatch envelopes are synthesized from the documents table, then decoded
+# back through the real ingest path.
 # ---------------------------------------------------------------------------
 
 from ..operators.registry import load, query  # noqa: E402

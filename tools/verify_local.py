@@ -86,17 +86,44 @@ def main() -> int:
         "order) — interim driver-style evidence for queries outside the "
         "driver's 50-entry correctness window",
     )
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="driver rehearsal: bare SparkSession (no engine configs, default "
+        "200 shuffle partitions) — queries must still pass because "
+        "registry.load pins timezone/partitions per call",
+    )
+    ap.add_argument(
+        "--window",
+        type=int,
+        help="only the first N ordered-registry entries (the driver's "
+        "correctness gate checks the first 50)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from aws_vpc_flow_log_appender_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+            .appName("verify_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from aws_vpc_flow_log_appender_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duck_connect(args.sf)
     names = args.names or list(qs)
+    if args.window:
+        names = names[: args.window]
 
     n_pass = n_fail = n_noracle = 0
     report: dict[str, dict] = {}
