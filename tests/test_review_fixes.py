@@ -119,3 +119,28 @@ def test_scan_cache_is_bounded_lru(spark, sf_dir):
         assert len(reg._SCAN_CACHE) == reg._SCAN_CACHE_MAX_SESSIONS
     finally:
         reg.load_cache_clear()
+
+
+def test_stream_sink_retention_is_bounded(spark, tmp_path):
+    """Code-review r5: _read_back must retain only the newest _SINK_RETAIN
+    sink dirs (their results stay recomputable) and reclaim older ones —
+    unbounded per-invocation retention re-grows tmp disk in bench loops."""
+    import os
+
+    from aws_vpc_flow_log_appender_spark.streaming import queries as sq
+
+    sq._sweep_sinks()  # isolate from any earlier stream-query runs
+    dirs = []
+    last_df = None
+    for i in range(sq._SINK_RETAIN + 2):
+        d = str(tmp_path / f"sink_{i}")
+        spark.range(i, i + 3).toDF("v").write.mode("overwrite").parquet(d)
+        dirs.append(d)
+        last_df = sq._read_back(spark, d, "v long")
+    kept = [d for d in dirs if os.path.exists(d)]
+    assert kept == dirs[-sq._SINK_RETAIN:], kept
+    # newest result still recomputes from its retained files
+    assert sorted(r["v"] for r in last_df.collect()) == [
+        sq._SINK_RETAIN + 1, sq._SINK_RETAIN + 2, sq._SINK_RETAIN + 3
+    ]
+    sq._sweep_sinks()
