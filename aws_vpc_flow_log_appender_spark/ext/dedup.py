@@ -801,3 +801,128 @@ def dedup_containment(spark, sf_dir):
             ).otherwise(F.col("doc_b")).alias("contained_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicated-segment scrubbing (r5). text_cross_doc_repeats MEASURES
+# cross-doc repetition over sliding shingles; this operator performs the
+# REMOVAL: documents are partitioned into disjoint fixed-width token
+# segments (the stand-in for "lines" — the fixture corpus has no newlines),
+# any segment whose text occurs in >= 2 distinct documents is dropped from
+# every document, and the scrubbed text ships as a content digest so the
+# transformation itself is hash-checked, not just counted.
+# ---------------------------------------------------------------------------
+
+SEGMENT_TOKENS = 8  # tokens per disjoint segment ("line" width)
+
+
+@query(
+    "dedup_segments_scrub",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, i AS seg_id,
+             array_to_string(l[i * {SEGMENT_TOKENS} + 1 : (i + 1) * {SEGMENT_TOKENS}], ' ')
+               AS seg_text
+      FROM tok, unnest(generate_series(0,
+             CAST(ceil(len(l) / {SEGMENT_TOKENS}.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    freq AS (
+      SELECT seg_text, count(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY seg_text
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_id, s.seg_text,
+             CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END AS dup
+      FROM seg s JOIN freq f ON f.seg_text = s.seg_text
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dup) AS BIGINT) AS n_dup_segments,
+           floor((sum(dup) / (count(*) + 0.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS dup_ratio,
+           md5(coalesce(string_agg(seg_text, ' ' ORDER BY seg_id)
+                        FILTER (WHERE dup = 0), '')) AS kept_md5
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "scrub"),
+)
+def dedup_segments_scrub(spark, sf_dir):
+    """Drop globally-duplicated segments from every document (C4's repeated-
+    line removal, on disjoint {SEG}-token segments): per doc, the segment
+    counts, the duplicated fraction, and the md5 of the text REBUILT from
+    the surviving segments in order — the digest makes the scrub itself the
+    verified artifact.
+
+    Removal rule: a segment is dropped when its exact text occurs in >= 2
+    DISTINCT documents (symmetric and order-free, unlike C4's keep-first
+    which needs a global document order a distributed corpus doesn't have).
+
+    Scale shape: one explode (segments ~= tokens/{SEG} rows), one shuffle on
+    the segment text for the frequency table, one broadcast-or-SMJ join
+    back (AQE decides by frequency-table size), one per-doc aggregate. The
+    rebuilt text is array_sort(collect_list(struct(seg_id, ...))) inside
+    the doc group — deterministic, no window over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    seg = (
+        d.select(
+            "doc_id",
+            toks.alias("l"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(float(SEGMENT_TOKENS)))
+                    .cast("long") - 1,
+                )
+            ).alias("seg_id"),
+        )
+        .select(
+            "doc_id",
+            "seg_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("l"),
+                    (F.col("seg_id") * SEGMENT_TOKENS + 1).cast("int"),
+                    SEGMENT_TOKENS,
+                ),
+            ).alias("seg_text"),
+        )
+    )
+    freq = seg.groupBy("seg_text").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    marked = seg.join(freq, "seg_text").select(
+        "doc_id",
+        "seg_id",
+        "seg_text",
+        F.when(F.col("n_docs") >= 2, 1).otherwise(0).alias("dup"),
+    )
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("dup") == 0,
+                        F.struct("seg_id", "seg_text"),
+                    )
+                )
+            ),
+            lambda s: s["seg_text"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dup").cast("long").alias("n_dup_segments"),
+        round_half_up(F.sum("dup") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        F.md5(kept).alias("kept_md5"),
+    )
+
+
+dedup_segments_scrub.__doc__ = dedup_segments_scrub.__doc__.replace(
+    "{SEG}", str(SEGMENT_TOKENS)
+)

@@ -381,3 +381,60 @@ def sample_weighted_reservoir(spark, sf_dir):
         .filter(F.col("rank") <= RESERVOIR_K)
         .select("doc_id", "lang", "n_chars", "sample_key", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing (r5): the per-source sampling weights that turn
+# the corpus's ACTUAL source mix into a uniform TARGET mix — the data-mixture
+# step (DoReMi/Pile-style, with a fixed uniform target) that sits between
+# curation and epoch sampling in a training pipeline. weight > 1e6 means the
+# source is under-represented and gets oversampled (its docs repeat across
+# an epoch in expectation); < 1e6 means downsampled.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_domain_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per
+    )
+    SELECT p.source, p.n_docs,
+           CAST((1000000 * p.n_docs) // t.n_total AS BIGINT)
+             AS actual_share_micro,
+           CAST((1000000 * t.n_total) // (t.n_sources * p.n_docs) AS BIGINT)
+             AS weight_micro
+    FROM per p, tot t
+    """,
+    tags=("sampling", "mixture"),
+)
+def sample_domain_mix(spark, sf_dir):
+    """Per-source mixture weights for a uniform target: each source's actual
+    corpus share and the sampling weight (x 1e6) that equalizes expected
+    per-source mass — weight = target_share / actual_share = N / (S * n_s),
+    computed with exact integer floor division (no doubles anywhere, so the
+    artifact is bit-identical at any corpus size).
+
+    Scale shape: one partial-aggregated count per source (shuffle carries
+    #sources rows), the totals attach as a broadcast 1-row scalar — the
+    whole operator reads the corpus once."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("(1000000 * n_docs) div n_total").cast("long")
+        .alias("actual_share_micro"),
+        F.expr("(1000000 * n_total) div (n_sources * n_docs)").cast("long")
+        .alias("weight_micro"),
+    )

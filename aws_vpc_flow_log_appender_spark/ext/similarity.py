@@ -652,3 +652,62 @@ def sim_knn_graph(spark, sf_dir):
             F.when(F.col("r_vec").isNotNull(), 1).otherwise(0).alias("is_mutual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination at the embedding level (r5). The reference has no
+# semantic layer at all; this is the SemDeDup-shaped guard every training
+# corpus needs: nothing semantically identical to the held-out eval set may
+# stay in the training split, even when the surface text differs (which is
+# why the n-gram text_contamination_check alone is not enough).
+# ---------------------------------------------------------------------------
+
+EVAL_LABEL = 0        # the fixture's held-out probe set (50 vecs at sf0.01)
+DECON_TAU = 0.35      # cosine threshold, compared on the ROUNDED value
+
+
+@query(
+    "embed_decontaminate",
+    oracle=f"""
+    WITH p AS (
+      SELECT c.vec_id, c.label, {_SQL_COS} AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.label = {EVAL_LABEL} AND c.label <> {EVAL_LABEL}
+    )
+    SELECT vec_id, label,
+           CAST(count(*) AS BIGINT) AS n_eval_hits,
+           max(cos) AS max_cos
+    FROM p WHERE cos >= {DECON_TAU}
+    GROUP BY vec_id, label
+    """,
+    tags=("similarity", "dedup", "contamination"),
+)
+def embed_decontaminate(spark, sf_dir):
+    """Semantic eval-set contamination: corpus vectors whose cosine to ANY
+    eval vector reaches DECON_TAU, with hit count and worst similarity —
+    the rows a training pipeline drops (or quarantines) before an epoch.
+
+    Scale shape: the eval set is small by definition (an eval suite, not a
+    corpus), so it broadcasts and the corpus is scanned ONCE with no
+    shuffle before the per-vector aggregate — the same one-pass
+    broadcast-probe layout as text_contamination_check, but in embedding
+    space. The threshold compares the micro-rounded cosine (both engines
+    round identically first), so boundary vectors cannot flip between
+    engines on a last-ulp difference.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    eval_set = e.filter(F.col("label") == EVAL_LABEL).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    corpus = e.filter(F.col("label") != EVAL_LABEL)
+    cos = _cos("q_embedding", "embedding")
+    return (
+        corpus.crossJoin(F.broadcast(eval_set))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= DECON_TAU)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos").alias("max_cos"),
+        )
+    )

@@ -55,9 +55,19 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    dedup_clusters / sample_dedup_weights / corpus_curation_pipeline
 #    (driver union-find now derives its output schema from the edge types
 #    instead of hardcoding long, ADVICE r4).
-#  - slots 10-50: re-witness of ALL 41 remaining round-1 proofs — the
-#    relational/scalar/agg/window core whose evidence is four rounds old.
-#    After this round no green row is older than r2.
+#  - slots 10-12: the three queries ADDED this round (every in-round
+#    addition gets a driver row immediately — the rule r4's final commit
+#    broke): dedup_segments_scrub (C4-style duplicated-segment removal
+#    with a hashed rebuilt-text digest), embed_decontaminate (semantic
+#    eval-set contamination at the embedding layer), sample_domain_mix
+#    (integer-exact mixture-rebalancing weights).
+#  - slots 13-50: re-witness of 38 of the 41 remaining round-1 proofs —
+#    the relational/scalar/agg/window core whose evidence is four rounds
+#    old. The three r1 proofs displaced by the new queries share their
+#    code paths with retained witnesses and roll to r6: join_right_outer
+#    (mirror of the retained left/full outer joins), unpivot_stack (pairs
+#    with the retained agg_pivot), agg_bitwise (the single-pass
+#    conditional-agg path of the retained agg_stats/agg_filtered_count_if).
 PRIORITY_ORDER: list[str] = [
     # never-hash-proven (VERDICT_r04 #1 and #2)
     "events_markov_perplexity",
@@ -71,8 +81,11 @@ PRIORITY_ORDER: list[str] = [
     "dedup_clusters",
     "sample_dedup_weights",
     "corpus_curation_pipeline",
-    # oldest proofs (r1, rounds stale): full relational-core re-witness
-    "agg_bitwise",
+    # added this round — driver row immediately
+    "dedup_segments_scrub",
+    "embed_decontaminate",
+    "sample_domain_mix",
+    # oldest proofs (r1, rounds stale): relational-core re-witness
     "agg_cube",
     "agg_distinct",
     "agg_exact_percentiles",
@@ -98,7 +111,6 @@ PRIORITY_ORDER: list[str] = [
     "join_left_outer",
     "join_null_safe_eq",
     "join_q3_shipping_priority",
-    "join_right_outer",
     "join_semi",
     "lateral_top_nations",
     "map_funcs",
@@ -111,7 +123,6 @@ PRIORITY_ORDER: list[str] = [
     "scalar_regex_encoding",
     "scalar_string_funcs",
     "subquery_scalar_and_in",
-    "unpivot_stack",
     "window_range_frame",
 ]
 

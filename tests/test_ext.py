@@ -346,3 +346,56 @@ def test_dq_expectations_catch_injected_violations(spark, sf_dir, tmp_path):
     # untouched expectations still pass
     assert report["orders.custkey_references_customer"]["pass"] == 1
     assert report["orders.orderdate_not_null"]["pass"] == 1
+
+
+def test_dedup_segments_scrub_identity_for_unique_docs(spark, sf_dir):
+    """A doc with zero duplicated segments must rebuild EXACTLY to its own
+    text (the scrub is the identity there) — pinned via the md5 contract."""
+    import hashlib
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import dedup_segments_scrub
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    out = {r["doc_id"]: r for r in dedup_segments_scrub(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    checked = 0
+    for did, text in docs.items():
+        if out[did]["n_dup_segments"] == 0 and "  " not in text:
+            assert out[did]["kept_md5"] == hashlib.md5(text.encode()).hexdigest()
+            checked += 1
+    assert checked > 0  # the property actually fired on the fixture
+    # and every doc's counts are consistent
+    for r in out.values():
+        assert 0 <= r["n_dup_segments"] <= r["n_segments"]
+
+
+def test_embed_decontaminate_contract(spark, sf_dir):
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        DECON_TAU,
+        EVAL_LABEL,
+        embed_decontaminate,
+    )
+
+    rows = embed_decontaminate(spark, sf_dir).collect()
+    assert rows  # the fixture has semantic near-hits at the chosen tau
+    for r in rows:
+        assert r["label"] != EVAL_LABEL  # eval vectors are never flagged
+        assert r["max_cos"] >= DECON_TAU
+        assert r["n_eval_hits"] >= 1
+
+
+def test_sample_domain_mix_mass_balance(spark, sf_dir):
+    from aws_vpc_flow_log_appender_spark.ext.sampling import sample_domain_mix
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    rows = sample_domain_mix(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    s = len(rows)
+    for r in rows:
+        # weight * n_docs reconstructs the uniform per-source target mass
+        # up to the integer floor (strictly within one unit of 1e6*N/S)
+        got = r["weight_micro"] * r["n_docs"]
+        target = 1_000_000 * n_total / s
+        assert target - r["n_docs"] < got <= target + 1

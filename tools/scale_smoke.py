@@ -379,6 +379,27 @@ def main() -> int:
             "probe_join": "broadcast" if "BroadcastHashJoin" in cplan else "other",
             "t_s": round(t_contam, 2),
         }
+
+        # 4b) segment scrub at scale (r5 addition): one explode + one
+        # shuffle on segment text + join-back + per-doc agg — every doc
+        # must come back exactly once at any multiplier
+        from aws_vpc_flow_log_appender_spark.ext.dedup import (
+            dedup_segments_scrub,
+        )
+
+        t0 = time.perf_counter()
+        n_scrub = dedup_segments_scrub(spark, tmpdir).count()
+        t_scrub = time.perf_counter() - t0
+        if n_scrub != n_docs:
+            print(f"FAIL segment scrub: {n_scrub} output rows != {n_docs} docs")
+            ok = False
+        print(
+            f"scale_smoke scrub mult={mult}: {n_scrub:,} docs scrubbed in "
+            f"{t_scrub:.1f}s; {'ALL OK' if ok else 'FAILURES'}"
+        )
+        artifact["segment_scrub"] = {
+            "docs": n_scrub, "t_s": round(t_scrub, 2),
+        }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
