@@ -860,11 +860,15 @@ def dedup_segments_scrub(spark, sf_dir):
     DISTINCT documents (symmetric and order-free, unlike C4's keep-first
     which needs a global document order a distributed corpus doesn't have).
 
-    Scale shape: one explode (segments ~= tokens/{SEG} rows), one shuffle on
-    the segment text for the frequency table, one broadcast-or-SMJ join
-    back (AQE decides by frequency-table size), one per-doc aggregate. The
-    rebuilt text is array_sort(collect_list(struct(seg_id, ...))) inside
-    the doc group — deterministic, no window over the corpus."""
+    Scale shape: ONE explode (segments ~= tokens/{SEG} rows — the segment
+    table is checkpointed because both the frequency aggregate and the
+    join-back consume it; without the cut the corpus would be scanned and
+    exploded twice, the same reused-subplan discipline as the minhash
+    banded table), one shuffle on the segment text for the frequency
+    table, one broadcast-or-SMJ join back (AQE decides by frequency-table
+    size), one per-doc aggregate. The rebuilt text is
+    array_sort(collect_list(struct(seg_id, ...))) inside the doc group —
+    deterministic, no window over the corpus."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     seg = (
@@ -891,6 +895,7 @@ def dedup_segments_scrub(spark, sf_dir):
                 ),
             ).alias("seg_text"),
         )
+        .localCheckpoint(eager=False)
     )
     freq = seg.groupBy("seg_text").agg(
         F.count_distinct("doc_id").alias("n_docs")

@@ -399,3 +399,35 @@ def test_sample_domain_mix_mass_balance(spark, sf_dir):
         got = r["weight_micro"] * r["n_docs"]
         target = 1_000_000 * n_total / s
         assert target - r["n_docs"] < got <= target + 1
+
+
+def test_dedup_segments_scrub_removes_planted_duplicate(spark, tmp_path):
+    """Planted cross-doc duplicate: the shared 8-token segment must be
+    dropped from BOTH docs (and only it); an untouched doc is the identity."""
+    import hashlib
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        SEGMENT_TOKENS,
+        dedup_segments_scrub,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(SEGMENT_TOKENS))
+    tail_a = " ".join(f"a{i}" for i in range(SEGMENT_TOKENS))
+    tail_b = " ".join(f"b{i}" for i in range(SEGMENT_TOKENS))
+    uniq_c = " ".join(f"c{i}" for i in range(2 * SEGMENT_TOKENS))
+    rows = [
+        (1, shared + " " + tail_a, "en", "s0", 0),
+        (2, shared + " " + tail_b, "en", "s0", 0),
+        (3, uniq_c, "en", "s0", 0),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in dedup_segments_scrub(spark, d).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+    assert out[1]["kept_md5"] == md5(tail_a)
+    assert out[2]["kept_md5"] == md5(tail_b)
+    assert out[3]["n_dup_segments"] == 0 and out[3]["kept_md5"] == md5(uniq_c)
