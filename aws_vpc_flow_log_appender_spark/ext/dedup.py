@@ -821,6 +821,7 @@ SEGMENT_TOKENS = 8  # tokens per disjoint segment ("line" width)
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE text IS NOT NULL
     ),
     seg AS (
       SELECT doc_id, i AS seg_id,
@@ -859,6 +860,10 @@ def dedup_segments_scrub(spark, sf_dir):
     Removal rule: a segment is dropped when its exact text occurs in >= 2
     DISTINCT documents (symmetric and order-free, unlike C4's keep-first
     which needs a global document order a distributed corpus doesn't have).
+    NULL-text documents are EXPLICITLY out of scope (filtered on both
+    engines, code-review r5) — without the filter they would silently
+    vanish from the output via explode(sequence(0, NULL)) instead of being
+    a visible contract decision.
 
     Scale shape: ONE explode (segments ~= tokens/{SEG} rows — the segment
     table is checkpointed because both the frequency aggregate and the
@@ -869,7 +874,7 @@ def dedup_segments_scrub(spark, sf_dir):
     size), one per-doc aggregate. The rebuilt text is
     array_sort(collect_list(struct(seg_id, ...))) inside the doc group —
     deterministic, no window over the corpus."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     seg = (
         d.select(

@@ -27,8 +27,12 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # last _SINK_RETAIN results stay durable; older ones are reclaimed (a caller
 # holding a result across that many newer stream-query invocations must
 # persist it). One atexit sweep frees whatever remains at process end.
+# Sized at 2x the number of registered stream_* queries (code-review r5):
+# with retention == the suite size, re-running the full stream suite would
+# invalidate the previous round's still-held results at exactly +1
+# invocation — the slack keeps two complete suite rounds collectable.
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 4
+_SINK_RETAIN = 8
 
 
 def _sweep_sinks(keep: int = 0) -> None:

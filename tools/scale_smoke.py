@@ -281,12 +281,18 @@ def main() -> int:
             # OVER-merge audit (the direction the three invariants above
             # cannot see): each of the K largest clusters must be
             # internally CONNECTED by the candidate edges — a cluster that
-            # is really two fused components has >1 root under a local
-            # union-find of its own intra-cluster edges. K largest because
-            # over-merge inflates cluster size, so the fused ones would be
-            # at the top; collected data is K * avg-cluster-size rows.
+            # is really two fused components has >1 root under a union-find
+            # of its own intra-cluster edges. K largest because over-merge
+            # inflates cluster size, so the fused ones would be at the top;
+            # collected data is K * avg-cluster-size rows. The union-find
+            # itself is the engine's tested _driver_union_find (one call
+            # over the audited subgraph), not a re-implementation; a
+            # member that appears in NO intra-cluster edge is disconnected
+            # by definition and flags its cluster too.
             audit_k = 50
-            from collections import defaultdict
+            from aws_vpc_flow_log_appender_spark.ext.graph import (
+                _driver_union_find,
+            )
 
             top = [
                 r["cluster_id"]
@@ -294,33 +300,30 @@ def main() -> int:
                 .orderBy(F.desc("count"), F.asc("cluster_id"))
                 .limit(audit_k).collect()
             ]
-            members = defaultdict(list)
-            for r in cc_dist.filter(F.col("cluster_id").isin(top)).collect():
-                members[r["cluster_id"]].append(r["doc_id"])
-            intra = defaultdict(list)
-            for r in (
+            intra_edges = (
                 pairs.join(la, "doc_a").join(lb, "doc_b")
                 .filter(F.col("ca") == F.col("cb"))
                 .filter(F.col("ca").isin(top))
-                .select("ca", "doc_a", "doc_b").collect()
-            ):
-                intra[r["ca"]].append((r["doc_a"], r["doc_b"]))
-            over_merged = 0
-            for c in top:
-                par = {n: n for n in members[c]}
-
-                def find(x):
-                    while par[x] != x:
-                        par[x] = par[par[x]]
-                        x = par[x]
-                    return x
-
-                for a, b in intra[c]:
-                    ra, rb = find(a), find(b)
-                    if ra != rb:
-                        par[ra] = rb
-                if len({find(n) for n in members[c]}) != 1:
-                    over_merged += 1
+                .select(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                )
+            )
+            uf = _driver_union_find(intra_edges).withColumnRenamed(
+                "cluster_id", "uf_label"
+            )
+            over_merged = (
+                cc_dist.filter(F.col("cluster_id").isin(top))
+                .join(uf, "doc_id", "left")
+                .groupBy("cluster_id")
+                .agg(
+                    F.count_distinct("uf_label").alias("n_roots"),
+                    F.sum(
+                        F.when(F.col("uf_label").isNull(), 1).otherwise(0)
+                    ).alias("n_unlinked"),
+                )
+                .filter((F.col("n_roots") > 1) | (F.col("n_unlinked") > 0))
+                .count()
+            )
             check = (
                 f"fixpoint invariants: {bad_min} label>id violations, "
                 f"{dangling} dangling labels, {split_edges} split edges; "

@@ -122,7 +122,9 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     con = duck_connect(args.sf)
     names = args.names or list(qs)
-    if args.window:
+    if args.window is not None:
+        if args.window < 1:
+            ap.error("--window must be >= 1")
         names = names[: args.window]
 
     n_pass = n_fail = n_noracle = 0
