@@ -234,3 +234,83 @@ def test_append_window_drops_late_rows_across_epochs(spark, tmp_path):
     assert by_win[1]["n"] == 1 and by_win[2]["n"] == 1
     # multi-epoch actually happened (one file per micro-batch + final flush)
     assert len(epochs) >= 3
+
+
+def test_session_window_finalizes_across_epochs(spark, tmp_path):
+    """Session windows under maxFilesPerTrigger=1: a session closes only
+    when a LATER epoch's watermark passes its end (last event + gap), is
+    emitted exactly once with the full event count, and the newest session
+    stays withheld behind the final watermark — the epoch-resolved twin of
+    the availableNow-only stream_session_window oracle check."""
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    aligned_us = (BASE_US // 3_600_000_000 + 1) * 3_600_000_000
+    h = 3_600_000_000
+    m = 60_000_000
+
+    def mk(path, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, value double"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.lit(aligned_us) + F.col("us")).alias("ts"),
+            "value",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    # session 1: two events 10 min apart (one session, 30-min gap);
+    # session 2 starts 2h in (watermark 1h: processing B flushes session 1);
+    # session 3 at 4h (flushes session 2; itself withheld at end)
+    mk(str(src / "slice_a.parquet"),
+       [(0, 1, 0, 1.0), (1, 1, 10 * m, 1.0)], now - 600)
+    mk(str(src / "slice_b.parquet"), [(2, 1, 2 * h, 1.0)], now - 500)
+    mk(str(src / "slice_c.parquet"), [(3, 1, 4 * h, 1.0)], now - 400)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/slice_*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            ((F.unix_micros(F.col("session_window.start")) - aligned_us) / m)
+            .cast("long").alias("start_min"),
+            ((F.unix_micros(F.col("session_window.end")) - aligned_us) / m)
+            .cast("long").alias("end_min"),
+            "n_events",
+        )
+    )
+    epochs: dict[int, list] = {}
+
+    def capture(df, epoch_id: int) -> None:
+        epochs[epoch_id] = df.collect()
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    emitted = {}
+    for rows in epochs.values():
+        for r in rows:
+            key = (r["start_min"], r["end_min"])
+            assert key not in emitted, f"session {key} emitted twice"
+            emitted[key] = r["n_events"]
+    # session 1 = [0, 10+30) min with BOTH events, exactly once
+    assert emitted.get((0, 40)) == 2, emitted
+    # session 2 = [120, 150) min, one event — final watermark (4h - 1h = 3h)
+    # passed its end, so it must be out
+    assert emitted.get((120, 150)) == 1, emitted
+    # session 3 (4h) never finalizes: watermark stops at 3h
+    assert all(start < 240 for start, _ in emitted), emitted
+    assert len(epochs) >= 3
