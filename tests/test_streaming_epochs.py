@@ -314,3 +314,70 @@ def test_session_window_finalizes_across_epochs(spark, tmp_path):
     # session 3 (4h) never finalizes: watermark stops at 3h
     assert all(start < 240 for start, _ in emitted), emitted
     assert len(epochs) >= 3
+
+
+def test_flagship_stream_appends_each_epoch_exactly_once(spark, tmp_path):
+    """The stateless flagship pipeline under maxFilesPerTrigger=1: each
+    micro-batch must enrich EXACTLY its own file's lines (no recompute or
+    re-emission of earlier epochs), and the union across epochs must equal
+    the batch answer on the same lines — the epoch-resolved complement to
+    the availableNow-only stream_flowlog_enrich oracle check."""
+    from aws_vpc_flow_log_appender_spark import fixtures
+    from aws_vpc_flow_log_appender_spark.parse import parse_lines
+    from aws_vpc_flow_log_appender_spark.pipeline import enrich_flow_logs
+
+    lines = fixtures.make_lines(90)
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    sizes = (20, 30, 40)
+    off = 0
+    for i, n in enumerate(sizes):
+        df = spark.createDataFrame(
+            [(ln,) for ln in lines[off:off + n]], "value string"
+        )
+        p = str(src / f"slice_{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for name in os.listdir(p):
+            os.utime(os.path.join(p, name), (now - 600 + i * 100,) * 2)
+        os.utime(p, (now - 600 + i * 100,) * 2)
+        off += n
+
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/slice_*.parquet")
+    )
+    parsed = parse_lines(stream)
+    enriched = enrich_flow_logs(
+        parsed, fixtures.eni_dim_df(spark), fixtures.geo_dim_flat_df(spark),
+        geo_dim_is_disjoint=True,
+    ).select("recordId", "action")
+    epochs: dict[int, list] = {}
+
+    def capture(df, epoch_id: int) -> None:
+        epochs[epoch_id] = df.collect()
+
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    per_epoch = [len(epochs[k]) for k in sorted(epochs)]
+    assert sorted(per_epoch) == sorted(sizes), per_epoch
+    # multiset equality with the BATCH enrichment of the same lines:
+    # recordId is a content hash (make_lines contains repeats), so compare
+    # sorted multisets, not distinct sets — each input row enriched exactly
+    # once means the multisets match exactly
+    batch = enrich_flow_logs(
+        parse_lines(spark.createDataFrame([(ln,) for ln in lines], "value string")),
+        fixtures.eni_dim_df(spark), fixtures.geo_dim_flat_df(spark),
+        geo_dim_is_disjoint=True,
+    ).select("recordId", "action").collect()
+    stream_ms = sorted((r["recordId"], r["action"])
+                       for rows in epochs.values() for r in rows)
+    batch_ms = sorted((r["recordId"], r["action"]) for r in batch)
+    assert stream_ms == batch_ms
