@@ -205,8 +205,14 @@ def text_fingerprint(spark, sf_dir):
 )
 def text_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-3 terms per document: tf and df from one tokenize pass, idf
-    joined back via a broadcast (df table = vocabulary-sized), per-doc top-k
-    via WindowGroupLimit. The canonical keyword-extraction shape."""
+    joined back, per-doc top-k via WindowGroupLimit. The canonical
+    keyword-extraction shape.
+
+    The df table is VOCABULARY-sized — Heaps' law puts a 100 TB web corpus at
+    1e8+ distinct tokens, which strains the 8 GB broadcast ceiling — so the
+    tf-df join carries NO broadcast hint (VERDICT r5 #2): AQE broadcasts it
+    at small scale and falls back to sort-merge when the measured vocabulary
+    is large. The 1-row corpus-count crossJoin stays hinted (hard bound)."""
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
@@ -217,7 +223,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     # an eager d.count() would run a separate job at plan-construction time
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -515,12 +521,15 @@ def text_unigram_logprob(spark, sf_dir):
     (the cheap stand-in for model-based perplexity filtering — gibberish and
     rare-token spam score high, formulaic boilerplate scores low).
 
-    Two-pass shape: pass 1 aggregates the corpus vocabulary (token counts —
-    bounded by language vocabulary, so it broadcasts even when the corpus is
-    100 TB); pass 2 probes it per token occurrence and re-aggregates per
-    document. Per-token scores are integer-quantized (floor(-ln p * 1e6))
-    BEFORE the per-doc sum, so the aggregation is exact integer arithmetic —
-    immune to float summation order across partitions and engines."""
+    Two-pass shape: pass 1 aggregates the corpus vocabulary (token counts);
+    pass 2 probes it per token occurrence and re-aggregates per document.
+    The vocabulary is Heaps'-law-sized (1e8+ distinct tokens on a 100 TB web
+    corpus — too big to guarantee under the 8 GB broadcast ceiling), so the
+    probe join carries NO broadcast hint (VERDICT r5 #2): AQE broadcasts it
+    when small, sort-merges when not. The 1-row total stays hinted.
+    Per-token scores are integer-quantized (floor(-ln p * 1e6)) BEFORE the
+    per-doc sum, so the aggregation is exact integer arithmetic — immune to
+    float summation order across partitions and engines."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -529,7 +538,7 @@ def text_unigram_logprob(spark, sf_dir):
         -F.log(F.col("cnt") / F.col("total").cast("double")) * 1000000.0 + 0.5
     ).cast("long")
     return (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(vocab, "token")
         .crossJoin(F.broadcast(total))
         .select("doc_id", q.alias("q"))
         .groupBy("doc_id")
@@ -656,9 +665,11 @@ def text_bm25_search(spark, sf_dir):
     """BM25 ranked retrieval for a fixed 3-term query (k1=1.2, b=0.75): the
     scoring function behind every classical search engine and the standard
     relevance filter in corpus curation. The fact-side work is one tokenize
-    pass; df and the corpus stats are vocabulary-/1-row-sized broadcasts, so
-    the plan is scan -> two broadcast joins -> per-doc sum however large the
-    corpus. Per-term scores are quantized to integer micro-units BEFORE the
+    pass; the df broadcast is QUERY-TERM-sized (tf is pre-filtered to
+    _BM25_TERMS, so df has at most len(_BM25_TERMS) = 3 rows — a hard bound,
+    unlike a full-vocabulary df) and the corpus stats are 1-row, so the plan
+    is scan -> two broadcast joins -> per-doc sum however large the corpus.
+    Per-term scores are quantized to integer micro-units BEFORE the
     per-doc sum (same discipline as text_unigram_logprob) so the ranking
     never hinges on float accumulation order."""
     from pyspark.sql import Window as W

@@ -180,34 +180,44 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # liveness probe guarding against id reuse after collection; two sessions
 # sharing one SparkContext (newSession(), same applicationId) still never
 # receive a DataFrame bound to the other session's catalog and conf.
+import threading
 import weakref
 from collections import OrderedDict
 
 _SCAN_CACHE: "OrderedDict[int, tuple[weakref.ref, dict]]" = OrderedDict()
 _SCAN_CACHE_MAX_SESSIONS = 4
+# Spark drivers are commonly multi-threaded (concurrent job submission is a
+# documented pattern); the sweep/get/move_to_end/popitem sequence below is
+# not atomic, so without a lock interleaved calls could lose entries or hit
+# RuntimeError mid-sweep (ADVICE r5 #3). The critical section is tiny and
+# cache state never affects results, only plan reuse — a plain module Lock
+# is the whole fix.
+_SCAN_CACHE_LOCK = threading.Lock()
 
 
 def load_cache_clear() -> None:
     """Drop memoized scans (the REFRESH TABLE analog for mutated dirs)."""
-    _SCAN_CACHE.clear()
+    with _SCAN_CACHE_LOCK:
+        _SCAN_CACHE.clear()
 
 
 def _session_scans(spark: SparkSession) -> dict:
     """The (sf_dir, table) -> DataFrame memo for one session (bounded LRU)."""
-    dead = [k for k, (ref, _) in _SCAN_CACHE.items() if ref() is None]
-    for k in dead:
-        del _SCAN_CACHE[k]
-    k = id(spark)
-    ent = _SCAN_CACHE.get(k)
-    if ent is not None and ent[0]() is spark:  # liveness: id() can be reused
+    with _SCAN_CACHE_LOCK:
+        dead = [k for k, (ref, _) in _SCAN_CACHE.items() if ref() is None]
+        for k in dead:
+            del _SCAN_CACHE[k]
+        k = id(spark)
+        ent = _SCAN_CACHE.get(k)
+        if ent is not None and ent[0]() is spark:  # liveness: id() can be reused
+            _SCAN_CACHE.move_to_end(k)
+            return ent[1]
+        scans: dict = {}
+        _SCAN_CACHE[k] = (weakref.ref(spark), scans)
         _SCAN_CACHE.move_to_end(k)
-        return ent[1]
-    scans: dict = {}
-    _SCAN_CACHE[k] = (weakref.ref(spark), scans)
-    _SCAN_CACHE.move_to_end(k)
-    while len(_SCAN_CACHE) > _SCAN_CACHE_MAX_SESSIONS:
-        _SCAN_CACHE.popitem(last=False)
-    return scans
+        while len(_SCAN_CACHE) > _SCAN_CACHE_MAX_SESSIONS:
+            _SCAN_CACHE.popitem(last=False)
+        return scans
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -43,6 +43,19 @@ def _sweep_sinks(keep: int = 0) -> None:
 atexit.register(_sweep_sinks)
 
 
+def _track_sink(query_name: str) -> str:
+    """mkdtemp a foreachBatch sink dir and register it for FIFO reclamation
+    IMMEDIATELY — before the query starts — so an exception anywhere between
+    creation and _read_back (timeout, analysis error, interrupt) leaves the
+    dir on the reclamation list instead of leaking it until reboot (ADVICE
+    r5 #1). Dirs are named after the query so a stale survivor in /tmp is
+    attributable at a glance (ADVICE r5 #2)."""
+    out_dir = tempfile.mkdtemp(prefix=f"{query_name}_sink_")
+    _RETAINED_SINKS.append(out_dir)
+    _sweep_sinks(keep=_SINK_RETAIN)
+    return out_dir
+
+
 def _read_back(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     """Post-run read of a foreachBatch parquet sink (ADVICE r4 fix).
 
@@ -63,9 +76,15 @@ def _read_back(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     would re-grow tmp disk in bench loops / session-cycling drivers. The
     FIFO keeps the newest ``_SINK_RETAIN`` results live and reclaims older
     ones eagerly.
+
+    RETENTION CONTRACT (ADVICE r5 #2): a caller holding a returned stream
+    result across more than ``_SINK_RETAIN`` newer stream-query invocations
+    will see its recompute/collect fail with a FileNotFoundException on a
+    ``*_sink_*`` path — persist (or collect) results you need to outlive
+    that horizon, or raise the module-level ``_SINK_RETAIN`` for bench loops
+    that hold many results. The dir is registered for reclamation at
+    creation time by ``_track_sink``; this function only reads.
     """
-    _RETAINED_SINKS.append(out_dir)
-    _sweep_sinks(keep=_SINK_RETAIN)
     return spark.read.schema(schema).parquet(out_dir)
 
 
@@ -101,7 +120,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin is ``ts_tumbling_window``."""
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_src_")
-    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    out_dir = _track_sink("stream_tumbling_window")
     try:
         events.write.mode("overwrite").parquet(staging)
 
@@ -249,7 +268,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_sess_src_")
-    out_dir = tempfile.mkdtemp(prefix="stream_sess_out_")
+    out_dir = _track_sink("stream_session_window")
     try:
         events.write.mode("overwrite").parquet(staging)
 
@@ -320,7 +339,7 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_tumbling_window."""
     events = load(spark, sf_dir, "events")
     staging = tempfile.mkdtemp(prefix="stream_cdc_src_")
-    out_dir = tempfile.mkdtemp(prefix="stream_cdc_out_")
+    out_dir = _track_sink("stream_latest_per_key")
     try:
         events.write.mode("overwrite").parquet(staging)
 
@@ -390,7 +409,7 @@ def stream_flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = synth_flow_lines(load(spark, sf_dir, "events"))
     staging = tempfile.mkdtemp(prefix="stream_fl_src_")
-    out_dir = tempfile.mkdtemp(prefix="stream_fl_out_")
+    out_dir = _track_sink("stream_flowlog_enrich")
     try:
         lines.write.mode("overwrite").parquet(staging)
 

@@ -406,6 +406,118 @@ def test_sessionize_shares_one_sort(plans):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+# --- Broadcast-boundedness audit (VERDICT r5 #2) -----------------------------
+# Every explicit F.broadcast hint DISABLES AQE's size-based fallback, so each
+# site must carry a documented cardinality bound that holds at 100 TB. The
+# manifest below is the audit: key = (module-relative file, broadcast
+# argument name), value = the bound argument. The test fails in BOTH
+# directions — a new F.broadcast site not in the manifest (forces an audit
+# before merge) and a stale manifest entry whose site was removed.
+_BROADCAST_BOUNDS = {
+    # flagship / enrichment: GeoIP + ENI dims are few-million-row dimension
+    # tables; spine is the /16 bucket spine (<= 65536 rows)
+    ("enrich.py", "dim"): "ENI dimension table",
+    ("enrich.py", "spine"): "/16 bucket spine, <= 65536 rows",
+    ("enrich.py", "exploded"): "GeoIP dim x bucket fan-out (dimension-sized)",
+    ("enrich.py", "bucketed"): "GeoIP dimension table",
+    ("flagship.py", "h1"): "hop-1 neighbor set of ONE seed (seeded BFS)",
+    ("sinks.py", "bounds"): "range-partition bounds, #partitions rows",
+    # TPC-H dims: region/nation/supplier/part/customer are dimension tables
+    # by the spec's scaling rules (customer = SF*150k, the largest; the spec
+    # fact tables are lineitem/orders, never broadcast here)
+    ("operators/tpch.py", "r"): "region dim (5 rows)",
+    ("operators/tpch.py", "n"): "nation dim (25 rows)",
+    ("operators/tpch.py", "n1"): "nation dim (25 rows)",
+    ("operators/tpch.py", "n2"): "nation dim (25 rows)",
+    ("operators/tpch.py", "s"): "supplier dim (SF*10k rows)",
+    ("operators/tpch.py", "p"): "part dim (SF*200k rows)",
+    ("operators/tpch.py", "c"): "customer dim (SF*150k rows)",
+    ("operators/tpch.py", "top"): "1-row max aggregate",
+    ("operators/tpch.py", "thr"): "1-row threshold aggregate",
+    ("operators/tpch.py", "threshold"): "per-(supp,part) avg, dim-sized",
+    ("operators/joins.py", "c"): "customer dim",
+    ("operators/joins.py", "n"): "nation dim",
+    ("operators/joins.py", "r"): "region dim",
+    ("operators/joins.py", "b"): "5-row tagged literal set",
+    ("operators/joins.py", "bands"): "range-band dim (#bands rows)",
+    ("operators/aggregates.py", "c"): "customer dim",
+    ("operators/aggregates.py", "n"): "nation dim",
+    ("operators/aggregates.py", "r"): "region dim",
+    ("operators/advanced.py", "c"): "customer dim",
+    ("operators/graphs.py", "base"): "1-row scalar (node count)",
+    ("operators/analytics.py", "model"): "Markov model, #states^2 rows",
+    ("operators/timeseries.py", "stats"): "per-event_type stats (dim-sized)",
+    ("operators/timeseries.py", "dev"): "per-event_type stddev (dim-sized)",
+    ("operators/timeseries.py", "carry"): "per-chunk summary (timespan/day rows)",
+    ("operators/timeseries.py", "lags"): "literal lag list (3 rows)",
+    ("operators/profiling.py", "frontier"): "hop-bounded frontier of ONE seed",
+    ("ext/similarity.py", "q"): "query point set (user-supplied, small)",
+    ("ext/similarity.py", "sizes"): "per-cell counts, #cells rows",
+    ("ext/similarity.py", "cent"): "centroid table, #cells rows",
+    ("ext/similarity.py", "probes"): "query x nprobe fan-out",
+    ("ext/similarity.py", "eval_set"): "eval suite (bounded by definition)",
+    ("ext/sampling.py", "tot"): "1-row total",
+    ("ext/sampling.py", "n_min"): "1-row min-count scalar",
+    ("ext/sampling.py", "mx"): "1-row max scalar",
+    ("ext/sampling.py", "rates"): "per-language rates, #langs rows",
+    ("ext/textanalysis.py", "n"): "1-row corpus count",
+    ("ext/textanalysis.py", "total"): "1-row token total",
+    ("ext/textanalysis.py", "corpus"): "1-row corpus stats",
+    ("ext/textanalysis.py", "totals"): "per-source totals, #sources rows",
+    ("ext/textanalysis.py", "df"): "BM25 df, <= len(_BM25_TERMS)=3 rows",
+    ("ext/textanalysis.py", "bench"): "benchmark shingles (eval-suite-sized)",
+}
+
+
+def test_every_broadcast_hint_has_documented_bound():
+    """Sweep the package for F.broadcast( sites; each (file, argument) must
+    appear in _BROADCAST_BOUNDS with a non-empty bound, and vice versa.
+    Vocabulary-sized tables (tf-idf df, unigram vocab) and corpus-fraction
+    tables (dedup cluster membership) must NOT appear here — their hints were
+    removed in r6 so AQE can fall back to SMJ at scale."""
+    import re
+    from pathlib import Path
+
+    import aws_vpc_flow_log_appender_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    found = set()
+    for py in root.rglob("*.py"):
+        rel = py.relative_to(root).as_posix()
+        for m in re.finditer(r"F\.broadcast\(([A-Za-z_0-9]+)", py.read_text()):
+            found.add((rel, m.group(1)))
+    documented = set(_BROADCAST_BOUNDS)
+    assert found - documented == set(), (
+        f"undocumented F.broadcast sites (add a cardinality bound to "
+        f"_BROADCAST_BOUNDS or drop the hint): {sorted(found - documented)}"
+    )
+    assert documented - found == set(), (
+        f"stale _BROADCAST_BOUNDS entries: {sorted(documented - found)}"
+    )
+    assert all(v.strip() for v in _BROADCAST_BOUNDS.values())
+
+
+def test_sample_dedup_weights_joinback_not_forced_broadcast(spark, sf_dir):
+    """VERDICT r5 #1: the cluster-membership table is corpus-fraction-sized
+    on real web corpora (30-50 % dup rates), so the join back onto the corpus
+    must carry NO broadcast hint — AQE picks broadcast at fixture scale and
+    falls back to SMJ at scale. The analyzed plan must contain zero
+    ResolvedHint nodes anywhere in this query tree."""
+    df = entry.queries()["sample_dedup_weights"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+@pytest.mark.parametrize("name", ["text_tfidf_top_terms", "text_unigram_logprob"])
+def test_vocab_joins_not_forced_broadcast(spark, sf_dir, name):
+    """VERDICT r5 #2: the term-df / vocabulary probe joins are Heaps'-law
+    sized (1e8+ tokens on a 100 TB corpus) so they carry no hint; the only
+    permitted ResolvedHint in these trees is the 1-row corpus-count scalar."""
+    df = entry.queries()[name](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1, name
+
+
 def test_spread_input_noop_when_tiny(spark, sf_dir):
     """Size gate: at sf0.001/sf0.01 the documents scan is far below the
     per-task byte floor, so _spread_input must NOT insert an Exchange —
