@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_simhash_pair_stats",
     "dedup_clusters",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
@@ -61,6 +62,7 @@ HEADLINE = [
     "text_bm25_search",
     "ts_ewma",
     "text_entropy_by_source",
+    "multimodal_bmp_decode",
 ]
 
 

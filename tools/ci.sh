@@ -26,4 +26,18 @@ print('package import smoke OK:', len(QUERY_REGISTRY), 'queries')
 ")
 python -m pytest tests/ -q
 python tools/verify_local.py
-python bench.py
+# COMMIT EVERY COMPLETE BENCH RUN (VERDICT r5: the best r5 run went
+# uncaptured): the artifact now carries loadavg + raw trials, and the A/B
+# gate below adjudicates any >1.25x per-query delta against the round-start
+# checkout with interleaved processes (machine drift cancels out).
+python bench.py | tee /tmp/ci_bench_line.txt
+tail -n 1 /tmp/ci_bench_line.txt > /tmp/ci_bench.json
+if [ -n "$SPARK_GRAFT_AB_REF" ] && [ -n "$SPARK_GRAFT_AB_REF_BENCH" ]; then
+    python tools/ab_gate.py --bench /tmp/ci_bench.json \
+        --ref-bench "$SPARK_GRAFT_AB_REF_BENCH" \
+        --ref-commit "$SPARK_GRAFT_AB_REF" \
+        --out "${SPARK_GRAFT_AB_OUT:-AB_local.json}"
+else
+    echo "ci: set SPARK_GRAFT_AB_REF (round-start sha) and"
+    echo "    SPARK_GRAFT_AB_REF_BENCH (round-start bench json) to run the A/B gate"
+fi
