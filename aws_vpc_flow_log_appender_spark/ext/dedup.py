@@ -865,18 +865,23 @@ def dedup_simhash_pair_stats(spark, sf_dir):
         )
     )
     u = h0.unionByName(hn)
-    w = W.partitionBy("hamming").orderBy("sample_doc_a", "sample_doc_b")
+    # one partial-aggregable groupBy, NOT a partitionBy("hamming") window:
+    # a window here would funnel every fingerprint pair through <= 8
+    # partitions (profiled 3x slower than the exact enumeration at 10x);
+    # min(struct(a, b)) is the same lexicographic sample with map-side
+    # combine, so the reduce sees 8 rows per mapper however large the
+    # candidate set.
     return (
-        u.withColumn(
-            "n_pairs", F.sum("pairs_contrib").over(W.partitionBy("hamming"))
+        u.groupBy("hamming")
+        .agg(
+            F.sum("pairs_contrib").cast("long").alias("n_pairs"),
+            F.min(F.struct("sample_doc_a", "sample_doc_b")).alias("s"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
         .select(
             F.col("hamming").cast("int").alias("hamming"),
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            "sample_doc_a",
-            "sample_doc_b",
+            "n_pairs",
+            F.col("s.sample_doc_a").alias("sample_doc_a"),
+            F.col("s.sample_doc_b").alias("sample_doc_b"),
         )
     )
 

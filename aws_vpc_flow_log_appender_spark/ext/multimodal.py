@@ -527,6 +527,158 @@ def multimodal_bmp_decode(spark, sf_dir):
     return decode_bmp_stats(documents_as_bmp(spark, sf_dir))
 
 
+# --- Real audio decode: pure-Python WAV/RIFF (r6, sibling of the BMP path) --
+
+WAV_STATS_SCHEMA = (
+    "media_id long, riff string, fmt_tag int, n_channels int, "
+    "sample_rate int, bits_per_sample int, n_frames long, duration_ms long, "
+    "sample_abs_sum long, header_ok boolean"
+)
+
+
+def encode_wav(payload_bytes: bytes, sample_rate: int = 8000) -> bytes:
+    """Build a valid mono 16-bit PCM WAV whose samples are the input bytes
+    interpreted pairwise little-endian (odd tail byte dropped; at least one
+    sample guaranteed by zero-padding sub-2-byte inputs). Pure stdlib."""
+    import struct
+
+    data = payload_bytes if len(payload_bytes) >= 2 else payload_bytes + b"\x00\x00"
+    pcm = data[: len(data) - (len(data) % 2)]
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode as a mapInPandas kernel: parses the RIFF container,
+    walks chunks to find fmt/data (tolerating extra chunks and odd-length
+    chunk padding, per the spec), and decodes 16-bit PCM frames with stdlib
+    ``struct`` — no audio library. Emits format fields, frame count,
+    integer duration, and the absolute-amplitude sum, plus ``header_ok``
+    (structural validation). Malformed payloads degrade to
+    header_ok=false with NULL stats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(raw: bytes):
+            if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                return None
+            riff_size = struct.unpack_from("<I", raw, 4)[0]
+            fmt = data = None
+            off = 12
+            while off + 8 <= len(raw):  # chunk walk, spec-conformant
+                cid, csize = struct.unpack_from("<4sI", raw, off)
+                body = raw[off + 8:off + 8 + csize]
+                if cid == b"fmt " and csize >= 16:
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                off += 8 + csize + (csize % 2)  # odd chunks are padded
+            if fmt is None or data is None:
+                return None
+            tag, ch, rate, _byterate, _align, bits = fmt
+            ok = (
+                tag == 1 and ch >= 1 and rate > 0 and bits == 16
+                and riff_size + 8 <= len(raw)
+            )
+            if not ok:
+                return ("RIFF", tag, ch, rate, bits, None, None, None, False)
+            n_frames = len(data) // (2 * ch)
+            samples = struct.unpack_from(f"<{n_frames * ch}h", data, 0)
+            return (
+                "RIFF", tag, ch, rate, bits, n_frames,
+                n_frames * 1000 // rate, sum(abs(s) for s in samples), True,
+            )
+
+        cols = ["riff", "fmt_tag", "n_channels", "sample_rate",
+                "bits_per_sample", "n_frames", "duration_ms",
+                "sample_abs_sum", "header_ok"]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    rows.append((None,) * 8 + (False,))
+                    continue
+                parsed = parse(bytes(payload))
+                rows.append(parsed if parsed is not None
+                            else (None,) * 8 + (False,))
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, WAV_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    ),
+    geo AS (
+      SELECT media_id, text, n, CAST(n // 2 AS BIGINT) AS n_frames
+      FROM src WHERE n > 0
+    ),
+    sums AS (
+      SELECT g.media_id,
+             CAST(sum(abs(
+               CASE WHEN ascii(substring(g.text, CAST(2 * t.i AS INTEGER), 1))
+                         >= 128
+                    THEN ascii(substring(g.text, CAST(2 * t.i - 1 AS INTEGER), 1))
+                         + 256 * ascii(substring(g.text, CAST(2 * t.i AS INTEGER), 1))
+                         - 65536
+                    ELSE ascii(substring(g.text, CAST(2 * t.i - 1 AS INTEGER), 1))
+                         + 256 * ascii(substring(g.text, CAST(2 * t.i AS INTEGER), 1))
+               END)) AS BIGINT) AS s_abs
+      FROM geo g, unnest(range(1, g.n_frames + 1)) AS t(i)
+      GROUP BY g.media_id
+    )
+    SELECT g.media_id, 'RIFF' AS riff, CAST(1 AS INTEGER) AS fmt_tag,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           g.n_frames,
+           CAST(g.n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           s.s_abs AS sample_abs_sum,
+           TRUE AS header_ok
+    FROM geo g JOIN sums s USING (media_id)
+    """,
+    tags=("multimodal", "decode", "udf"),
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """Audio twin of multimodal_bmp_decode: documents' bytes become 16-bit
+    little-endian PCM samples in a valid RIFF/WAVE container (stdlib
+    encoder), then a REAL pure-Python WAV parser — RIFF chunk walk with
+    odd-chunk padding, fmt/data extraction, struct-decoded PCM — recovers
+    format fields, frame count, integer duration, and the
+    absolute-amplitude sum. The oracle recomputes every hashed value from
+    the source text (pairwise LE bytes -> signed 16-bit, via per-char
+    ascii codes — the fixture corpus is pure ASCII so the high byte is the
+    even-position char). Plan: scan -> encode mapInPandas -> decode
+    mapInPandas, zero shuffles."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": [
+                    encode_wav(t.encode("utf-8")) if t else None
+                    for t in pdf["text"]
+                ],
+            })
+
+    return decode_wav_stats(
+        d.mapInPandas(enc, "media_id long, payload binary")
+    )
+
+
 _CHUNK_CHARS = 64
 
 

@@ -345,6 +345,38 @@ def test_bmp_encode_decode_roundtrip_values(spark):
     assert r["pixel_byte_sum"] == exp_sum and r["header_ok"] is True
 
 
+def test_wav_parser_golden_bytes(spark):
+    """The pure-stdlib WAV decoder against a spec-built reference file the
+    encoder did NOT produce: an extra LIST chunk before data (chunk-walk
+    must skip it), an odd-length chunk (padding byte must be honored), and
+    a NEGATIVE 16-bit sample (signed decode). Malformed payloads degrade
+    to header_ok=false."""
+    import struct
+
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import decode_wav_stats
+
+    pcm = struct.pack("<4h", 1000, -2000, 32767, -32768)
+    odd_chunk = b"junk" + struct.pack("<I", 3) + b"abc\x00"  # 3-byte body + pad
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = odd_chunk + fmt + list_chunk + data
+    golden = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    media = spark.createDataFrame(
+        [(1, bytearray(golden)), (2, bytearray(b"RIFFxxxxAVI notwave")), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_wav_stats(media).collect()}
+    g = rows[1]
+    assert (g["riff"], g["fmt_tag"], g["n_channels"]) == ("RIFF", 1, 1)
+    assert (g["sample_rate"], g["bits_per_sample"]) == (8000, 16)
+    assert g["n_frames"] == 4 and g["duration_ms"] == 0
+    assert g["sample_abs_sum"] == 1000 + 2000 + 32767 + 32768
+    assert g["header_ok"] is True
+    assert rows[2]["header_ok"] is False
+    assert rows[3]["header_ok"] is False
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     """Semantic guard for the windowed (2-md5) MinHash family: on the
     deterministic fixture, every candidate pair whose EXACT 3-shingle

@@ -351,6 +351,103 @@ def main() -> int:
             "check": check,
         }
 
+        # 3d) sample_dedup_weights at scale (r6, VERDICT_r05 #1): the
+        # cluster-membership join-back is now UNHINTED, so AQE picks the
+        # strategy from measured sizes. Run it twice: once letting AQE
+        # choose (record the choice), once with broadcast disabled to TIME
+        # THE SORT-MERGE PATH the realistic 30-50 %-dup web corpus would
+        # take. Row contract either way: every doc exactly once, and the
+        # weights sum to ~#content-units (each cluster contributes ~1).
+        from aws_vpc_flow_log_appender_spark.ext.graph import (
+            sample_dedup_weights,
+        )
+
+        t0 = time.perf_counter()
+        sw = sample_dedup_weights(spark, tmpdir).localCheckpoint()
+        n_weighted = sw.count()
+        t_sw = time.perf_counter() - t0
+        sw_plan = sw._jdf.queryExecution().executedPlan().toString()
+        agg_w = sw.agg(
+            F.sum("sample_weight").alias("wsum"),
+            F.count_distinct("cluster_size").alias("n_sizes"),
+        ).collect()[0]
+        n_content_units = (
+            n_clusters
+            + n_docs
+            - n_nodes  # singletons: docs in no candidate pair
+        )
+        if n_weighted != n_docs:
+            print(f"FAIL dedup weights: {n_weighted} rows != {n_docs} docs")
+            ok = False
+        if abs(agg_w["wsum"] - n_content_units) > 1e-3 * n_content_units + 1:
+            print(
+                f"FAIL dedup weights: sum {agg_w['wsum']:.2f} != "
+                f"~{n_content_units} content units"
+            )
+            ok = False
+        saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            t0 = time.perf_counter()
+            n_smj = sample_dedup_weights(spark, tmpdir).count()
+            t_smj = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        if n_smj != n_docs:
+            print(f"FAIL dedup weights (SMJ path): {n_smj} rows != {n_docs}")
+            ok = False
+        print(
+            f"scale_smoke dedup_weights mult={mult}: {n_weighted:,} docs "
+            f"weighted in {t_sw:.1f}s (AQE choice); forced sort-merge path "
+            f"{t_smj:.1f}s; weight sum {agg_w['wsum']:.1f} ~= "
+            f"{n_content_units:,} content units; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
+        artifact["dedup_weights"] = {
+            "docs": n_weighted,
+            "weight_sum": round(float(agg_w["wsum"]), 2),
+            "content_units": n_content_units,
+            "aqe_used_broadcast": "BroadcastHashJoin" in sw_plan,
+            "t_aqe_s": round(t_sw, 2),
+            "t_forced_smj_s": round(t_smj, 2),
+        }
+
+        # 3e) bounded pair stats on the dup-saturated corpus (r6, VERDICT_r05
+        # #4): dedup_simhash_pair_stats must return <= 8 rows whose total
+        # EQUALS the exact enumeration's pair count (computed above), in
+        # time bounded by distinct-fingerprint collisions rather than by
+        # the quadratic output mass.
+        from aws_vpc_flow_log_appender_spark.ext.dedup import (
+            dedup_simhash_pair_stats,
+        )
+
+        t0 = time.perf_counter()
+        stats_rows = dedup_simhash_pair_stats(spark, tmpdir).collect()
+        t_stats = time.perf_counter() - t0
+        stats_total = sum(r["n_pairs"] for r in stats_rows)
+        if len(stats_rows) > 8:
+            print(f"FAIL pair stats: {len(stats_rows)} rows > 8")
+            ok = False
+        if stats_total != n_pairs:
+            print(
+                f"FAIL pair stats: total {stats_total:,} != exact "
+                f"enumeration {n_pairs:,}"
+            )
+            ok = False
+        print(
+            f"scale_smoke pair_stats mult={mult}: {len(stats_rows)} rows, "
+            f"{stats_total:,} pairs accounted in {t_stats:.1f}s vs "
+            f"{t_pairs:.1f}s for the exact enumeration; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
+        artifact["pair_stats"] = {
+            "rows": len(stats_rows),
+            "total_pairs": stats_total,
+            "exact_enumeration_pairs": n_pairs,
+            "t_stats_s": round(t_stats, 2),
+            "t_exact_s": round(t_pairs, 2),
+        }
+
         # 4) contamination probe at scale: the benchmark side stays tiny
         # (src0 of the BASE corpus) while the probe side grows with the
         # corpus — the broadcast join must hold and per-doc ratios must be
