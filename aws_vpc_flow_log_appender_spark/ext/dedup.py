@@ -702,10 +702,23 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
     # checkpoint is corpus-row-bounded, not corpus-byte-bounded.
     # Both halves are single SQL strings (not Column chains) — driver-side
     # construction cost, see dedup_simhash's docstring.
+    #
+    # The repartition before the checkpoint exists because of a fan-out/
+    # byte-size mismatch (profiled r6): AQE coalesces the upstream agg's
+    # output by BYTES — a 37k-row fingerprint table collapses to ONE
+    # partition — and localCheckpoint then freezes that partitioning, so
+    # the broadcast self-join's combinatorial expansion (hundreds of
+    # millions of candidates from a few-MB probe side) ran on one core
+    # (80 s vs 25 s for 2x the candidates at 10x). Round-robin is correct
+    # here precisely because the join is broadcast: the probe side needs
+    # no co-partitioning, so spreading it evenly spreads the candidate
+    # expansion. The exchange itself is corpus-rows x 8 x 5 longs — linear
+    # and tiny next to the join it parallelizes.
+    par = sig.sparkSession.sparkContext.defaultParallelism
     bands = _sql_over(sig, "simhash_sig", f"""
       SELECT doc_id, simhash, x.band_id, x.band_val, x.residual
       FROM {{v}} LATERAL VIEW explode(array({", ".join(band_structs)})) t AS x
-    """).localCheckpoint(eager=False)
+    """).repartition(par).localCheckpoint(eager=False)
     chunk_structs = ", ".join(
         f"named_struct('chunk_id', {c},"
         f" 'chunk_val', shiftright(residual, {c * 7}) & 127)"

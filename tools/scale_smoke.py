@@ -448,6 +448,77 @@ def main() -> int:
             "t_exact_s": round(t_pairs, 2),
         }
 
+        # 3f) dup-SATURATED corpus (r6, VERDICT_r05 #4 "bounded runtime on
+        # the saturated corpus"): mult IDENTICAL copies of every base doc
+        # (distinct doc_ids, same text -> same fingerprint). The exact
+        # enumeration on this corpus is output-quadratic (~mult^2 x the
+        # base pair mass — the 1354 s shape from the r5 100x smoke) and is
+        # NOT run; instead the bounded stats query runs and its per-Hamming
+        # counts are verified against the CLOSED FORM derived from the
+        # base-corpus stats: with every base fingerprint's multiplicity
+        # scaled by m,
+        #   pairs_sat(0)   = (m^2 * (2*pairs_base(0) + n_base) - m*n_base)/2
+        #   pairs_sat(h>0) = m^2 * pairs_base(h)
+        # (sum n_f^2 = 2*pairs_base(0) + n_base). An exact scale check
+        # with zero quadratic work.
+        sat_docs = (
+            docs.crossJoin(
+                spark.range(mult).select(F.col("id").alias("__copy"))
+            )
+            .withColumn(
+                "doc_id", F.col("doc_id") * mult + F.col("__copy")
+            )
+            .drop("__copy")
+        )
+        sat_tmp = tempfile.mkdtemp(prefix="scale_satdocs_")
+        try:
+            sat_docs.write.mode("overwrite").parquet(
+                f"{sat_tmp}/documents.parquet"
+            )
+            n_base = docs.count()
+            base_stats = {
+                r["hamming"]: r["n_pairs"]
+                for r in dedup_simhash_pair_stats(spark, SF_DIR).collect()
+            }
+            t0 = time.perf_counter()
+            sat_stats = {
+                r["hamming"]: r["n_pairs"]
+                for r in dedup_simhash_pair_stats(spark, sat_tmp).collect()
+            }
+            t_sat = time.perf_counter() - t0
+            pred = {
+                0: (mult * mult * (2 * base_stats.get(0, 0) + n_base)
+                    - mult * n_base) // 2,
+            }
+            for hh in range(1, 8):
+                if base_stats.get(hh, 0):
+                    pred[hh] = mult * mult * base_stats[hh]
+            pred = {k: v for k, v in pred.items() if v > 0}
+            if sat_stats != pred:
+                print(
+                    f"FAIL saturated pair stats: got {sat_stats} != "
+                    f"closed-form {pred}"
+                )
+                ok = False
+            sat_mass = sum(pred.values())
+            print(
+                f"scale_smoke saturated mult={mult}: {n_base * mult:,} docs, "
+                f"{sat_mass:,} true pairs accounted by {len(sat_stats)} "
+                f"stats rows in {t_sat:.1f}s (exact enumeration would emit "
+                f"{sat_mass:,} rows); closed-form match: "
+                f"{'EXACT' if sat_stats == pred else 'MISMATCH'}; "
+                f"{'ALL OK' if ok else 'FAILURES'}"
+            )
+            artifact["saturated_pair_stats"] = {
+                "docs": n_base * mult,
+                "true_pair_mass": sat_mass,
+                "stats_rows": len(sat_stats),
+                "closed_form_exact": sat_stats == pred,
+                "t_stats_s": round(t_sat, 2),
+            }
+        finally:
+            shutil.rmtree(sat_tmp, ignore_errors=True)
+
         # 4) contamination probe at scale: the benchmark side stays tiny
         # (src0 of the BASE corpus) while the probe side grows with the
         # corpus — the broadcast join must hold and per-doc ratios must be
