@@ -211,8 +211,17 @@ def _minhash_pairs_for(docs):
     reason as _simhash_pairs: without it the shingle explode + two-md5
     signature aggregate executes once per join SIDE (no ReuseExchange
     across AQE stage boundaries). 4 short rows per doc, so the
-    materialization is corpus-row-bounded (A/B'd ~1.5x at sf0.1)."""
-    bands = _minhash_bands_for(docs).localCheckpoint(eager=False)
+    materialization is corpus-row-bounded (A/B'd ~1.5x at sf0.1).
+
+    Repartitioned before the checkpoint for the same fan-out reason as
+    _simhash_pairs (r6): AQE coalesces the few-MB banded table to ~1
+    partition by bytes, the checkpoint freezes it, and the broadcast
+    self-join's candidate expansion — quadratic in bucket occupancy, far
+    larger than the input — would run on that one core."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    bands = (
+        _minhash_bands_for(docs).repartition(par).localCheckpoint(eager=False)
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -307,7 +316,13 @@ def _shingle_intersections(sh):
     per-doc profile cuts executions of the corpus-scale shingle derivation
     from 5 per query (sizes, bucket x2 across the self-join, both
     intersection sides) to 3 (profile + both intersection sides); the
-    checkpoint is 1 short row per doc, never corpus-byte-bounded."""
+    checkpoint is 1 short row per doc, never corpus-byte-bounded.
+
+    Repartitioned before the checkpoint (r6, same fan-out hazard as
+    _simhash_pairs): the per-doc profile is tiny in bytes so AQE coalesces
+    it to ~1 frozen partition, and the b0-bucket broadcast self-join's
+    candidate expansion would then run single-core."""
+    par = sh.sparkSession.sparkContext.defaultParallelism
     profile = (
         sh.groupBy("doc_id")
         .agg(
@@ -316,6 +331,7 @@ def _shingle_intersections(sh):
                 F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))
             ).alias("b0"),
         )
+        .repartition(par)
         .localCheckpoint(eager=False)
     )
     a = profile.alias("a")
