@@ -71,11 +71,6 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 
     for row in sym.collect():
         a, b = row[0], row[1]
-        if a is None or b is None:
-            raise ValueError(
-                "connected_components: edge list contains a NULL endpoint "
-                f"({a!r}, {b!r}); filter NULL doc ids before clustering"
-            )
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -121,7 +116,25 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    n_sym = sym.count()
+    # One aggregate pass sizes the graph AND rejects NULL endpoints for BOTH
+    # execution paths (ADVICE r5: previously the small path would have
+    # failed opaquely in createDataFrame while the distributed path silently
+    # dropped NULL-keyed rows in its joins — the cap must not be a
+    # behavioral fork, and silent label loss is worse than an error).
+    probe = sym.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("src").isNull() | F.col("dst").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_null"),
+    ).collect()[0]
+    n_sym = probe["n"]
+    if probe["n_null"]:
+        raise ValueError(
+            f"connected_components: {probe['n_null']} edges have a NULL "
+            "endpoint; filter NULL doc ids before clustering"
+        )
     if stats is not None:
         stats["sym_edges"] = n_sym
     if n_sym <= small_edge_cap:

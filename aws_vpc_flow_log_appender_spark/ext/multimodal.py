@@ -400,14 +400,18 @@ def documents_as_bmp(spark, sf_dir: str) -> DataFrame:
     become the pixel stream of a valid 24bpp BMP (encode kernel is
     deterministic stdlib struct-packing, so the oracle can predict every
     header field and the pixel byte sum from the source text)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # domain = non-empty documents, matching the oracle's WHERE n > 0 (an
+    # empty payload has no pixels to cycle; the fixture has none, but the
+    # bound is explicit rather than assumed)
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_bmp(t.encode("utf-8")) if t else None
-                for t in pdf["text"]
-            ]
+            payloads = [encode_bmp(t.encode("utf-8")) for t in pdf["text"]]
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -625,6 +629,7 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
       SELECT media_id, text, n, CAST(n // 2 AS BIGINT) AS n_frames
       FROM src WHERE n > 0
     ),
+    geo2 AS (SELECT * FROM geo WHERE n >= 2),
     sums AS (
       SELECT g.media_id,
              CAST(sum(abs(
@@ -636,7 +641,7 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
                     ELSE ascii(substring(g.text, CAST(2 * t.i - 1 AS INTEGER), 1))
                          + 256 * ascii(substring(g.text, CAST(2 * t.i AS INTEGER), 1))
                END)) AS BIGINT) AS s_abs
-      FROM geo g, unnest(range(1, g.n_frames + 1)) AS t(i)
+      FROM geo2 g, unnest(range(1, g.n_frames + 1)) AS t(i)
       GROUP BY g.media_id
     )
     SELECT g.media_id, 'RIFF' AS riff, CAST(1 AS INTEGER) AS fmt_tag,
@@ -647,7 +652,7 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
            CAST(g.n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
            s.s_abs AS sample_abs_sum,
            TRUE AS header_ok
-    FROM geo g JOIN sums s USING (media_id)
+    FROM geo2 g JOIN sums s USING (media_id)
     """,
     tags=("multimodal", "decode", "udf"),
 )
@@ -662,16 +667,21 @@ def multimodal_wav_decode(spark, sf_dir):
     ascii codes — the fixture corpus is pure ASCII so the high byte is the
     even-position char). Plan: scan -> encode mapInPandas -> decode
     mapInPandas, zero shuffles."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # domain = docs with at least one full 16-bit sample (>= 2 payload
+    # bytes), matching the oracle's n_frames = n // 2 arithmetic exactly —
+    # encode_wav's zero-padding of sub-sample inputs would otherwise mint a
+    # frame the oracle cannot see. The fixture's min length is 44.
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.octet_length(F.encode("text", "utf-8")) >= 2)
+        .select("doc_id", "text")
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"],
-                "payload": [
-                    encode_wav(t.encode("utf-8")) if t else None
-                    for t in pdf["text"]
-                ],
+                "payload": [encode_wav(t.encode("utf-8")) for t in pdf["text"]],
             })
 
     return decode_wav_stats(

@@ -395,6 +395,23 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert not low_hits, f"low-similarity band collisions: {sorted(low_hits)[:5]}"
 
 
+def test_connected_components_rejects_null_endpoints(spark):
+    """NULL edge endpoints must fail FAST with a clear message on both
+    execution paths (ADVICE r5): the small path would otherwise die inside
+    createDataFrame, and the distributed path would silently drop the
+    NULL-keyed rows in its joins — losing labels without any signal."""
+    import pytest as _pytest
+
+    from aws_vpc_flow_log_appender_spark.ext.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None)], "doc_a long, doc_b long"
+    )
+    for cap in (1 << 18, 0):  # driver union-find path, distributed path
+        with _pytest.raises(ValueError, match="NULL endpoint"):
+            connected_components(edges, small_edge_cap=cap).collect()
+
+
 def test_connected_components_paths_agree(spark):
     """The driver union-find fast path and the distributed pointer-jumping
     loop must label identically. The fixture-scale sweeps only ever exercise
