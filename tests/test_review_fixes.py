@@ -122,9 +122,11 @@ def test_scan_cache_is_bounded_lru(spark, sf_dir):
 
 
 def test_stream_sink_retention_is_bounded(spark, tmp_path):
-    """Code-review r5: _read_back must retain only the newest _SINK_RETAIN
-    sink dirs (their results stay recomputable) and reclaim older ones —
-    unbounded per-invocation retention re-grows tmp disk in bench loops."""
+    """Code-review r5 + ADVICE r5: sink dirs are registered for FIFO
+    reclamation AT CREATION by _track_sink (so exception paths before
+    _read_back cannot leak them), named after their query, and only the
+    newest _SINK_RETAIN survive — unbounded per-invocation retention
+    re-grows tmp disk in bench loops."""
     import os
 
     from aws_vpc_flow_log_appender_spark.streaming import queries as sq
@@ -133,14 +135,23 @@ def test_stream_sink_retention_is_bounded(spark, tmp_path):
     dirs = []
     last_df = None
     for i in range(sq._SINK_RETAIN + 2):
-        d = str(tmp_path / f"sink_{i}")
+        d = sq._track_sink(f"retention_probe_{i}")
+        assert f"retention_probe_{i}" in os.path.basename(d)  # attributable
         spark.range(i, i + 3).toDF("v").write.mode("overwrite").parquet(d)
         dirs.append(d)
         last_df = sq._read_back(spark, d, "v long")
     kept = [d for d in dirs if os.path.exists(d)]
     assert kept == dirs[-sq._SINK_RETAIN:], kept
     # newest result still recomputes from its retained files
+    i_last = sq._SINK_RETAIN + 1
     assert sorted(r["v"] for r in last_df.collect()) == [
-        sq._SINK_RETAIN + 1, sq._SINK_RETAIN + 2, sq._SINK_RETAIN + 3
+        i_last, i_last + 1, i_last + 2
     ]
+    # exception-path coverage: a dir tracked but never read back is STILL
+    # reclaimed by later invocations (the leak ADVICE r5 #1 flagged)
+    orphan = sq._track_sink("orphaned_by_exception")
+    assert os.path.exists(orphan)
+    for i in range(sq._SINK_RETAIN):
+        sq._track_sink(f"pusher_{i}")
+    assert not os.path.exists(orphan)
     sq._sweep_sinks()
