@@ -256,6 +256,65 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sig AS ({_SQL_MINHASH_SIG}),
+    bands AS ({_SQL_BANDS}),
+    occ AS (
+      SELECT band_id, band_sig, CAST(count(*) AS BIGINT) AS n
+      FROM bands GROUP BY band_id, band_sig
+    )
+    SELECT CAST(band_id AS INTEGER) AS band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_buckets,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_mass
+    FROM occ GROUP BY band_id
+    """,
+    tags=("dedup", "minhash", "lsh", "capped"),
+)
+def dedup_lsh_bucket_stats(spark, sf_dir):
+    """Bounded LSH health artifact (productized from the scale smoke's
+    ad-hoc occupancy probe): per band, the bucket count, the hottest
+    bucket's occupancy, how many buckets collide at all, and the implied
+    candidate mass sum C(n, 2) — an UPPER bound on that band's contribution
+    to the pair join (the true distinct-pair count dedups across bands and
+    needs the join itself).
+
+    This is the query an operator runs BEFORE unleashing dedup_minhash_lsh
+    on an unknown 100 TB corpus: degenerate banding (boilerplate-heavy or
+    near-constant content) shows up here as max_bucket ~ corpus size /
+    candidate_mass ~ n^2 at the cost of one aggregation — #bands output
+    rows, two partial-aggregable shuffles, never a pair join. The r5/r6
+    scale smokes show the healthy shape: hottest bucket 0.2 % of the
+    corpus from 10x through 50x."""
+    bands = _minhash_bands_for(load(spark, sf_dir, "documents"))
+    occ = bands.groupBy("band_id", "band_sig").agg(F.count("*").alias("n"))
+    return (
+        occ.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias(
+                "n_colliding_buckets"
+            ),
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("candidate_mass"),
+        )
+        .select(
+            F.col("band_id").cast("int").alias("band_id"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("max_bucket").cast("long").alias("max_bucket"),
+            F.col("n_colliding_buckets").cast("long").alias(
+                "n_colliding_buckets"
+            ),
+            F.col("candidate_mass").cast("long").alias("candidate_mass"),
+        )
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH shingled AS ({_SQL_SHINGLED}),

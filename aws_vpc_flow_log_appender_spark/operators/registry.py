@@ -42,32 +42,35 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 # registered queries hash-green at least once (judge-recomputed in VERDICT
 # r5); the r5 window itself ran 50/50 green. Round 6 keeps the rotation
 # honest (VERDICT_r05 "Next round" #7):
-#  - slots 1-3: the three queries ADDED this round, driver row immediately
+#  - slots 1-4: the four queries ADDED this round, driver row immediately
 #    — dedup_simhash_pair_stats (bounded-output dup-mass histogram;
-#    VERDICT r5 #4) and multimodal_bmp_decode / multimodal_wav_decode
-#    (REAL pure-stdlib BMP and RIFF/WAV decoders; VERDICT r5 #5).
-#  - slots 4-6: the promised r5 rollover — the only three queries whose
+#    VERDICT r5 #4), multimodal_bmp_decode / multimodal_wav_decode
+#    (REAL pure-stdlib BMP and RIFF/WAV decoders; VERDICT r5 #5), and
+#    dedup_lsh_bucket_stats (the pre-flight LSH occupancy artifact).
+#  - slots 5-7: the promised r5 rollover — the only three queries whose
 #    newest driver proof is still round 1: join_right_outer, unpivot_stack,
 #    agg_bitwise.
-#  - slots 7-15: everything whose code path changed this round —
+#  - slots 8-16: everything whose code path changed this round —
 #    sample_dedup_weights (forced broadcasts removed, VERDICT r5 #1) and
 #    its graph siblings dedup_clusters / corpus_curation_pipeline (nullable
 #    union-find schema + NULL-endpoint guard, ADVICE r5), the two
 #    vocabulary-join unhints text_tfidf_top_terms / text_unigram_logprob
 #    (VERDICT r5 #2), and the four stream_* queries (sink dirs registered
 #    at creation + named per query, ADVICE r5).
-#  - slots 16-50: re-witness of 35 of the 39 remaining round-2 proofs (the
-#    stalest evidence in the registry). The four r2 proofs deferred to r7
+#  - slots 17-50: re-witness of 34 of the 39 remaining round-2 proofs (the
+#    stalest evidence in the registry). The five r2 proofs deferred to r7
 #    share their code paths with retained witnesses: set_except_all /
 #    set_intersect_all (ALL-variants of the retained set_except /
 #    set_intersect), sort_limit_offset (pairs with the retained
-#    sort_limit_topk), window_running_sum (shares the window-agg path with
-#    the retained window_first_last / window_rank_dense_percent).
+#    sort_limit_topk), window_running_sum / window_rank_dense_percent
+#    (share the window-agg path with the retained window_first_last /
+#    window_topk_per_group).
 PRIORITY_ORDER: list[str] = [
     # added this round — driver row immediately
     "dedup_simhash_pair_stats",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "dedup_lsh_bucket_stats",
     # last remaining round-1 proofs (r5 rollover promise)
     "join_right_outer",
     "unpivot_stack",
@@ -116,7 +119,6 @@ PRIORITY_ORDER: list[str] = [
     "ts_sliding_window",
     "ts_tumbling_window",
     "window_first_last",
-    "window_rank_dense_percent",
     "window_topk_per_group",
 ]
 
