@@ -518,6 +518,24 @@ def test_vocab_joins_not_forced_broadcast(spark, sf_dir, name):
     assert analyzed.count("ResolvedHint") <= 1, name
 
 
+def test_lsh_bucket_stats_never_joins(plans):
+    """The pre-flight occupancy artifact must stay a pure two-level
+    aggregation — its whole point is costing a corpus WITHOUT a pair join,
+    so any Join node in this plan is a design regression."""
+    p = plans("dedup_lsh_bucket_stats")
+    assert "Join" not in p
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+
+def test_pair_stats_final_step_is_aggregate_not_window(plans):
+    """dedup_simhash_pair_stats' per-Hamming rollup must be a partial-
+    aggregable groupBy: the first cut used a partitionBy(hamming) window,
+    which funnels every fingerprint pair through <= 8 partitions (profiled
+    3x slower than the exact enumeration at 10x)."""
+    p = plans("dedup_simhash_pair_stats")
+    assert "Window" not in p
+
+
 def test_spread_input_noop_when_tiny(spark, sf_dir):
     """Size gate: at sf0.001/sf0.01 the documents scan is far below the
     per-task byte floor, so _spread_input must NOT insert an Exchange —
