@@ -131,9 +131,14 @@ def connected_components(
     ).collect()[0]
     n_sym = probe["n"]
     if probe["n_null"]:
+        # counted on the SYMMETRIZED edge set (the probe rides the one
+        # sizing pass): a one-sided NULL input edge contributes both
+        # orientations (2 rows), a NULL-NULL edge dedups to 1 — so this is
+        # the distinct symmetrized row count, not the raw input edge count
         raise ValueError(
-            f"connected_components: {probe['n_null']} edges have a NULL "
-            "endpoint; filter NULL doc ids before clustering"
+            f"connected_components: {probe['n_null']} symmetrized edge "
+            "row(s) carry a NULL endpoint (from input edges with NULL on "
+            "either side); filter NULL doc ids before clustering"
         )
     if stats is not None:
         stats["sym_edges"] = n_sym

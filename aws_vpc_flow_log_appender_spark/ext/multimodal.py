@@ -440,8 +440,12 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
                 "<IiiHHII", raw, 14
             )
             abs_h = abs(h)
+            # headers parsed but the depth/geometry is outside the 24bpp
+            # decode contract: preserve the PARSED fields (a consumer can
+            # tell "valid BMP, unsupported form" from "not a BMP", which
+            # yields the all-NULL row) with header_ok=false
             if bpp != 24 or w <= 0 or abs_h == 0:
-                return None
+                return ("BM", w, abs_h, bpp, comp, file_size, None, None, False)
             row_bytes = 3 * w
             stride = (row_bytes + 3) & ~3
             ok = (
@@ -451,8 +455,10 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
                 and off + stride * abs_h <= len(raw)
                 and file_size == len(raw)
             )
+            # file_size is the DECLARED header field on every parsed path
+            # (on the ok path the validation above pins it == len(raw))
             if not ok:
-                return ("BM", w, abs_h, bpp, comp, len(raw), None, None, False)
+                return ("BM", w, abs_h, bpp, comp, file_size, None, None, False)
             total = 0
             for y in range(abs_h):  # strip the stride padding row-wise
                 start = off + y * stride
@@ -574,11 +580,17 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
                 return None
             riff_size = struct.unpack_from("<I", raw, 4)[0]
             fmt = data = None
+            chunks_complete = True
             off = 12
             while off + 8 <= len(raw):  # chunk walk, spec-conformant
                 cid, csize = struct.unpack_from("<4sI", raw, off)
                 body = raw[off + 8:off + 8 + csize]
-                if cid == b"fmt " and csize >= 16:
+                # a chunk declaring more bytes than the file holds is a
+                # truncation — the slice above would silently shorten it,
+                # so record the lie and fail structural validation below
+                if len(body) < csize:
+                    chunks_complete = False
+                if cid == b"fmt " and len(body) >= 16:
                     fmt = struct.unpack_from("<HHIIHH", body, 0)
                 elif cid == b"data":
                     data = body
@@ -589,6 +601,7 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
             ok = (
                 tag == 1 and ch >= 1 and rate > 0 and bits == 16
                 and riff_size + 8 <= len(raw)
+                and chunks_complete
             )
             if not ok:
                 return ("RIFF", tag, ch, rate, bits, None, None, None, False)

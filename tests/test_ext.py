@@ -377,6 +377,62 @@ def test_wav_parser_golden_bytes(spark):
     assert rows[3]["header_ok"] is False
 
 
+def test_wav_truncated_data_chunk_fails_validation(spark):
+    """A data chunk DECLARING more bytes than the file holds must fail
+    structural validation (header_ok=false, NULL stats) — not silently
+    decode the truncation (code-review r6: the chunk slice shortened the
+    body without tripping any check). A fmt chunk truncated below 16 bytes
+    must degrade the same way instead of crashing the batch."""
+    import struct
+
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import decode_wav_stats
+
+    pcm = struct.pack("<4h", 1, 2, 3, 4)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    # data chunk claims 100 bytes but only 8 follow
+    lying = b"data" + struct.pack("<I", 100) + pcm
+    body = fmt + lying
+    truncated = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    # fmt chunk itself cut off mid-header
+    short_fmt = b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    body2 = short_fmt
+    cut_fmt = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WAVE" + body2
+    media = spark.createDataFrame(
+        [(1, bytearray(truncated)), (2, bytearray(cut_fmt))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_wav_stats(media).collect()}
+    assert rows[1]["header_ok"] is False
+    assert rows[1]["n_frames"] is None and rows[1]["sample_abs_sum"] is None
+    assert rows[2]["header_ok"] is False
+
+
+def test_bmp_unsupported_depth_preserves_parsed_header(spark):
+    """A structurally valid BMP at an unsupported depth (32bpp) must keep
+    its PARSED header fields with header_ok=false — distinguishable from
+    the all-NULL not-a-BMP row — and file_size must be the DECLARED header
+    field on every parsed path (code-review r6)."""
+    import struct
+
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import decode_bmp_stats
+
+    pix32 = bytes(16)  # 2x2 BGRA, no stride padding at 32bpp
+    bmp32 = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pix32), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(pix32),
+                      2835, 2835, 0, 0)
+        + pix32
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp32))], "media_id long, payload binary"
+    )
+    r = decode_bmp_stats(media).collect()[0]
+    assert (r["magic"], r["width"], r["height"], r["bpp"]) == ("BM", 2, 2, 32)
+    assert r["file_size"] == 54 + 16
+    assert r["header_ok"] is False
+    assert r["n_pixels"] is None and r["pixel_byte_sum"] is None
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     """Semantic guard for the windowed (2-md5) MinHash family: on the
     deterministic fixture, every candidate pair whose EXACT 3-shingle

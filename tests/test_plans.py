@@ -484,8 +484,23 @@ def test_every_broadcast_hint_has_documented_bound():
     found = set()
     for py in root.rglob("*.py"):
         rel = py.relative_to(root).as_posix()
-        for m in re.finditer(r"F\.broadcast\(([A-Za-z_0-9]+)", py.read_text()):
-            found.add((rel, m.group(1)))
+        text = py.read_text()
+        # \s* tolerates formatter-wrapped arguments; the count cross-check
+        # below guarantees NO call shape escapes the audit (code-review r6:
+        # the old identifier-only regex silently skipped wrapped or
+        # expression arguments — the exact direction this test exists to
+        # block)
+        idents = re.findall(
+            r"F\.broadcast\(\s*([A-Za-z_][A-Za-z_0-9]*)", text
+        )
+        n_calls = len(re.findall(r"F\.broadcast\(", text))
+        assert n_calls == len(idents), (
+            f"{rel}: {n_calls - len(idents)} F.broadcast call(s) whose "
+            f"argument is not a bare identifier — bind the broadcast side "
+            f"to a name so the boundedness audit can key it"
+        )
+        for ident in idents:
+            found.add((rel, ident))
     documented = set(_BROADCAST_BOUNDS)
     assert found - documented == set(), (
         f"undocumented F.broadcast sites (add a cardinality bound to "

@@ -38,13 +38,17 @@ THRESHOLD = 1.25
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_queries(path: str) -> dict[str, float]:
+def _load_artifact(path: str) -> dict:
     with open(path) as f:
         data = json.load(f)
     # accept both the raw bench line and the driver's wrapped {"parsed": ...}
     if "parsed" in data:
         data = data["parsed"]
-    return data["queries"]
+    return data
+
+
+def _load_queries(path: str) -> dict[str, float]:
+    return _load_artifact(path)["queries"]
 
 
 def _run_side(root: str, qlist: list[str], n_trials: int) -> dict[str, list[float]]:
@@ -73,11 +77,19 @@ def main() -> None:
                     help="trials per query per process")
     args = ap.parse_args()
 
-    head_q = _load_queries(args.bench)
+    head_art = _load_artifact(args.bench)
+    head_q = head_art["queries"]
     ref_q = _load_queries(args.ref_bench)
     suspects = sorted(
         n for n in head_q
         if n in ref_q and ref_q[n] > 0 and head_q[n] / ref_q[n] > THRESHOLD
+    )
+    # a query that regressed from WORKING to CRASHING (bench.py moves it into
+    # "errors") or silently vanished from the artifact is the worst possible
+    # regression — it must fail the gate loudly, not fall out of the ratio scan
+    head_errors: dict[str, str] = head_art.get("errors") or {}
+    broken = sorted(
+        n for n in ref_q if n in head_errors or n not in head_q
     )
     result = {
         "threshold": THRESHOLD,
@@ -87,9 +99,14 @@ def main() -> None:
                 "artifact_ratio": round(head_q[n] / ref_q[n], 3)}
             for n in suspects
         },
+        "broken": {n: head_errors.get(n, "missing from bench artifact")
+                   for n in broken},
         "interleaved": {},
-        "confirmed_regressions": [],
+        "confirmed_regressions": list(broken),
     }
+    if broken:
+        print("ab_gate: BROKEN at HEAD (present in reference bench): "
+              + ", ".join(broken))
     if not suspects:
         print("ab_gate: no query exceeds "
               f"{THRESHOLD}x the reference artifact — no A/B needed")

@@ -30,7 +30,10 @@ python tools/verify_local.py
 # uncaptured): the artifact now carries loadavg + raw trials, and the A/B
 # gate below adjudicates any >1.25x per-query delta against the round-start
 # checkout with interleaved processes (machine drift cancels out).
-python bench.py | tee /tmp/ci_bench_line.txt
+# no pipe here: POSIX sh has no pipefail, so `bench | tee` would mask a
+# crashed bench behind tee's exit 0 and let the gate pass with no artifact
+python bench.py > /tmp/ci_bench_line.txt
+cat /tmp/ci_bench_line.txt
 tail -n 1 /tmp/ci_bench_line.txt > /tmp/ci_bench.json
 if [ -n "$SPARK_GRAFT_AB_REF" ] && [ -n "$SPARK_GRAFT_AB_REF_BENCH" ]; then
     python tools/ab_gate.py --bench /tmp/ci_bench.json \

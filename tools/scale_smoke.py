@@ -385,22 +385,58 @@ def main() -> int:
                 f"~{n_content_units} content units"
             )
             ok = False
+        # Isolate the VERDICT r5 #1 question — the membership JOIN-BACK on
+        # its sort-merge path. Disabling broadcast around the whole
+        # recomputed pipeline would also de-broadcast the LSH band self-join
+        # and every join inside connected components, conflating
+        # whole-pipeline no-broadcast cost with the join-back (code-review
+        # r6). So: materialize the join inputs FIRST (membership table +
+        # corpus ids), then time ONLY the join under the disabled threshold,
+        # and record which physical join actually ran.
+        from aws_vpc_flow_log_appender_spark.ext.graph import dedup_clusters
+
+        cl_ckpt = dedup_clusters(spark, tmpdir).localCheckpoint()
+        member = cl_ckpt.join(
+            cl_ckpt.groupBy("cluster_id").agg(
+                F.count("*").alias("cluster_size")
+            ),
+            "cluster_id",
+        ).localCheckpoint()
+        docs_ids = (
+            spark.read.parquet(f"{tmpdir}/documents.parquet")
+            .select("doc_id").localCheckpoint()
+        )
         saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = docs_ids.join(member, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            )
             t0 = time.perf_counter()
-            n_smj = sample_dedup_weights(spark, tmpdir).count()
+            n_smj = joined.count()
             t_smj = time.perf_counter() - t0
+            smj_plan = joined._jdf.queryExecution().executedPlan().toString()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        joinback_join = (
+            "sort_merge" if "SortMergeJoin" in smj_plan
+            else "shuffled_hash" if "ShuffledHashJoin" in smj_plan
+            else "broadcast" if "BroadcastHashJoin" in smj_plan
+            else "other"
+        )
         if n_smj != n_docs:
             print(f"FAIL dedup weights (SMJ path): {n_smj} rows != {n_docs}")
             ok = False
+        if joinback_join == "broadcast":
+            print("FAIL dedup weights: join-back still broadcast with the "
+                  "threshold disabled")
+            ok = False
         print(
             f"scale_smoke dedup_weights mult={mult}: {n_weighted:,} docs "
-            f"weighted in {t_sw:.1f}s (AQE choice); forced sort-merge path "
-            f"{t_smj:.1f}s; weight sum {agg_w['wsum']:.1f} ~= "
-            f"{n_content_units:,} content units; "
+            f"weighted in {t_sw:.1f}s (AQE choice); membership join-back "
+            f"alone on its {joinback_join} path {t_smj:.1f}s; weight sum "
+            f"{agg_w['wsum']:.1f} ~= {n_content_units:,} content units; "
             f"{'ALL OK' if ok else 'FAILURES'}"
         )
         artifact["dedup_weights"] = {
@@ -409,7 +445,8 @@ def main() -> int:
             "content_units": n_content_units,
             "aqe_used_broadcast": "BroadcastHashJoin" in sw_plan,
             "t_aqe_s": round(t_sw, 2),
-            "t_forced_smj_s": round(t_smj, 2),
+            "joinback_forced_join": joinback_join,
+            "t_joinback_forced_s": round(t_smj, 2),
         }
 
         # 3e) bounded pair stats on the dup-saturated corpus (r6, VERDICT_r05
