@@ -83,43 +83,48 @@ def dedup_simhash_within_watermark(docs: DataFrame, ts_col: str = "ts",
     with low probability under small edits)."""
     if not 1 <= key_bits <= 64:
         raise ValueError(f"key_bits must be in [1, 64], got {key_bits}")
-    words = F.expr(
-        f"filter(split({text_col}, ' '), w -> length(w) > 0)"
+    # Hash each word ONCE, then run all 64 bit votes over the precomputed
+    # hash array (code-review r6: the previous formulation was 64
+    # independent F.aggregate folds each recomputing xxhash64(word) inside
+    # its lambda — Spark does not CSE across higher-order-function lambdas,
+    # so every ingested row paid 64x the necessary hashing). Staged
+    # withColumns keep each expensive alias referenced exactly once;
+    # CollapseProject declines to inline non-cheap aliases, so each stage
+    # evaluates once per row (verified against the optimized plan).
+    hashes = F.expr(
+        f"transform(filter(split({text_col}, ' '), w -> length(w) > 0), "
+        "w -> xxhash64(w))"
     )
-    # per-bit majority vote of xxhash64(word) sign contributions, folded
-    # into one BIGINT key — all Column expressions, codegen-friendly.
-    # (closure factory, NOT `lambda acc, w, i=i`: F.aggregate dispatches on
-    # the lambda's arity, and a 3-parameter lambda gets a Column passed
-    # into the defaulted parameter)
-    def _bit_vote(i: int):
-        def fold(acc, w):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fold
-
-    bit_sum = [
-        F.aggregate(words, F.lit(0).cast("long"), _bit_vote(i))
-        for i in range(64)
-    ]
-    simhash = None
-    for i, s in enumerate(bit_sum):
-        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    # one traversal: fold the hash array into a 64-long vote-count array
+    # (zip_with does the 64 +/-1 votes per word; shiftright takes a COLUMN
+    # shift amount in SQL, which the python F.shiftright API does not allow)
+    counts = F.expr(
+        "aggregate(__sh_hashes, array_repeat(0L, 64), "
+        "(acc, h) -> zip_with(acc, sequence(0, 63), "
+        "(a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)))"
+    )
+    # majority votes -> bits -> one BIGINT key (disjoint bits, OR-fold)
+    simhash = F.expr(
+        "aggregate(zip_with(__sh_counts, sequence(0, 63), "
+        "(c, i) -> IF(c > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
     if key_bits < 64:
         simhash = F.shiftright(simhash, 64 - key_bits)
     # NULL-payload guard (same rationale as dedup_exact_within_watermark),
-    # keyed on the text column itself: the per-bit votes are NULL for NULL
-    # text but `when(s > 0).otherwise(0)` swallows that NULL into bit 0, so
-    # the folded key would be 0 (NOT NULL) and every null-text doc would
-    # collapse with each other — give them unique pass-through keys instead.
-    keyed = docs.withColumn(
-        "__simhash_key",
-        F.when(
-            F.col(text_col).isNull(), F.concat(F.lit("null-text:"), F.uuid())
-        ).otherwise(simhash.cast("string")),
+    # keyed on the text column itself: split(NULL) makes the whole fold
+    # NULL, and a NULL key would collapse every null-text doc together —
+    # give them unique pass-through keys instead.
+    keyed = (
+        docs.withColumn("__sh_hashes", hashes)
+        .withColumn("__sh_counts", counts)
+        .withColumn(
+            "__simhash_key",
+            F.when(
+                F.col(text_col).isNull(),
+                F.concat(F.lit("null-text:"), F.uuid()),
+            ).otherwise(simhash.cast("string")),
+        )
+        .drop("__sh_hashes", "__sh_counts")
     )
     return (
         keyed.withWatermark(ts_col, delay)

@@ -56,6 +56,50 @@ def _track_sink(query_name: str) -> str:
     return out_dir
 
 
+def _run_stream_to_sink(spark: SparkSession, source_df: DataFrame, build,
+                        output_mode: str, name: str,
+                        timeout_s: int = 300) -> DataFrame:
+    """Shared run-a-stream-to-completion scaffold for the four registered
+    stream_* queries (code-review r6: the staging/foreachBatch/timeout/
+    cleanup block was copy-pasted four times, so a fix to e.g. the
+    stop-on-timeout path had to land in four places).
+
+    Stages ``source_df`` to a streamable parquet location, applies ``build``
+    (stream DataFrame -> output DataFrame), runs the query with an
+    availableNow trigger into a tracked foreachBatch parquet sink, and
+    returns the durable read-back. The sink write mode follows the output
+    mode: ``complete`` re-emits full state every epoch so OVERWRITE is the
+    idempotent sink (last epoch leaves the full result); ``append`` emits
+    each row exactly once so the sink APPENDS (an overwrite would drop rows
+    finalized in earlier epochs). A timed-out query is stopped before
+    raising — leaving it running would leak the query AND keep writing a
+    partial sink."""
+    sink_mode = "overwrite" if output_mode == "complete" else "append"
+    staging = tempfile.mkdtemp(prefix=f"{name}_src_")
+    out_dir = _track_sink(name)
+    try:
+        source_df.write.mode("overwrite").parquet(staging)
+
+        stream = spark.readStream.schema(source_df.schema).parquet(staging)
+        out = build(stream)
+
+        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
+            df.write.mode(sink_mode).parquet(out_dir)
+
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .foreachBatch(write_epoch)
+            .queryName(f"{name}_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"{name} did not finish in {timeout_s}s")
+        return _read_back(spark, out_dir, out.schema)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _read_back(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     """Post-run read of a foreachBatch parquet sink (ADVICE r4 fix).
 
@@ -119,13 +163,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     production twin is ``stream_tumbling_window_to_files`` below; the
     batch twin is ``ts_tumbling_window``."""
     events = load(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_src_")
-    out_dir = _track_sink("stream_tumbling_window")
-    try:
-        events.write.mode("overwrite").parquet(staging)
 
-        stream = spark.readStream.schema(events.schema).parquet(staging)
-        agg = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             stream.groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(
                 F.count("*").alias("n_events"),
@@ -139,23 +179,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        # complete mode re-emits the FULL state each epoch, so overwrite is
-        # the correct idempotent sink: the last epoch leaves the full result
-        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
-            df.write.mode("overwrite").parquet(out_dir)
-
-        q = (
-            agg.writeStream.outputMode("complete")
-            .foreachBatch(write_epoch)
-            .queryName(f"stream_tumbling_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True).start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()  # a timed-out query would leak AND leave a partial sink
-            raise TimeoutError("stream_tumbling_window did not finish in 300s")
-        return _read_back(spark, out_dir, agg.schema)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    return _run_stream_to_sink(
+        spark, events, build, "complete", "stream_tumbling_window"
+    )
 
 
 def stream_tumbling_window_to_files(spark: SparkSession, source_path: str,
@@ -241,7 +267,7 @@ def stream_tumbling_window_to_files(spark: SparkSession, source_path: str,
     )
     SELECT session_start, session_end, user_id, n_events, total_value
     FROM agg
-    WHERE end_us <= (SELECT max(us) FROM t) - 3600000000
+    WHERE end_us <= ((SELECT max(us) FROM t) // 1000) * 1000 - 3600000000
     """,
     tags=("streaming", "window", "session"),
 )
@@ -253,13 +279,17 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append mode is the production shape for session windows — complete mode
     is not supported for them — so the oracle MODELS THE WATERMARK
     HOLDBACK: it keeps exactly the sessions whose end (last event + 30 min
-    gap) is at or before the final watermark (max event time - 1 h).
-    Emission-at-boundary is ``<=`` (pinned empirically: a session ending
-    exactly AT the watermark is flushed; tests/test_streaming.py). The gap
-    arithmetic runs in exact integer microseconds on the oracle side
-    because the fixture timestamps carry sub-second components; Spark's
-    session merge (next event strictly inside last+gap) is the same
-    predicate. The sink is the executor-side foreachBatch parquet pattern
+    gap) is at or before the final watermark, which Spark computes from
+    the tracked max event time TRUNCATED TO MILLISECONDS
+    (``(max_us // 1000) * 1000 - 1h`` — EventTimeStats tracks ms; pinned
+    empirically by tests/test_streaming.py's sub-ms band probe: a session
+    ending < 1 ms above the truncated watermark is HELD BACK even though
+    it is <= the exact-microsecond watermark). Emission-at-boundary is
+    ``<=`` (a session ending exactly AT the watermark is flushed). The gap
+    arithmetic itself runs in exact integer microseconds on the oracle
+    side because the fixture timestamps carry sub-second components;
+    Spark's session merge (next event strictly inside last+gap) is the
+    same predicate. The sink is the executor-side foreachBatch parquet pattern
     of stream_tumbling_window, but APPEND per epoch — append mode emits
     each finalized session exactly once, so accumulated files ARE the
     result (an overwrite would drop sessions finalized in earlier epochs).
@@ -267,13 +297,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark — bounded by session horizon x active keys, never corpus
     size."""
     events = load(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_sess_src_")
-    out_dir = _track_sink("stream_session_window")
-    try:
-        events.write.mode("overwrite").parquet(staging)
 
-        stream = spark.readStream.schema(events.schema).parquet(staging)
-        agg = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             stream.withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", "30 minutes"), "user_id")
             .agg(
@@ -293,21 +319,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
-            df.write.mode("append").parquet(out_dir)
-
-        q = (
-            agg.writeStream.outputMode("append")
-            .foreachBatch(write_epoch)
-            .queryName(f"stream_session_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True).start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_session_window did not finish in 300s")
-        return _read_back(spark, out_dir, agg.schema)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    return _run_stream_to_sink(
+        spark, events, build, "append", "stream_session_window"
+    )
 
 
 @query(
@@ -338,13 +352,9 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch overwrite is the idempotent complete-mode sink, as in
     stream_tumbling_window."""
     events = load(spark, sf_dir, "events")
-    staging = tempfile.mkdtemp(prefix="stream_cdc_src_")
-    out_dir = _track_sink("stream_latest_per_key")
-    try:
-        events.write.mode("overwrite").parquet(staging)
 
-        stream = spark.readStream.schema(events.schema).parquet(staging)
-        agg = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             stream.groupBy("user_id")
             .agg(
                 F.max(
@@ -363,21 +373,9 @@ def stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
-            df.write.mode("overwrite").parquet(out_dir)
-
-        q = (
-            agg.writeStream.outputMode("complete")
-            .foreachBatch(write_epoch)
-            .queryName(f"stream_cdc_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True).start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_latest_per_key did not finish in 300s")
-        return _read_back(spark, out_dir, agg.schema)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    return _run_stream_to_sink(
+        spark, events, build, "complete", "stream_latest_per_key"
+    )
 
 
 @query(
@@ -408,34 +406,18 @@ def stream_flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline import enrich_flow_logs
 
     lines = synth_flow_lines(load(spark, sf_dir, "events"))
-    staging = tempfile.mkdtemp(prefix="stream_fl_src_")
-    out_dir = _track_sink("stream_flowlog_enrich")
-    try:
-        lines.write.mode("overwrite").parquet(staging)
 
-        stream = spark.readStream.schema(lines.schema).parquet(staging)
+    def build(stream: DataFrame) -> DataFrame:
         parsed = parse_lines(stream)
         enriched = enrich_flow_logs(
             parsed, eni_dim_df(spark), geo_dim_flat_df(spark),
             geo_dim_is_disjoint=True,
         )
-        out = enrich_oracle_projection(enriched)
+        return enrich_oracle_projection(enriched)
 
-        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
-            df.write.mode("append").parquet(out_dir)
-
-        q = (
-            out.writeStream.outputMode("append")
-            .foreachBatch(write_epoch)
-            .queryName(f"stream_flowlog_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True).start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_flowlog_enrich did not finish in 300s")
-        return _read_back(spark, out_dir, out.schema)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    return _run_stream_to_sink(
+        spark, lines, build, "append", "stream_flowlog_enrich"
+    )
 
 
 # The streaming flagship shares the batch flagship's oracle VERBATIM — one

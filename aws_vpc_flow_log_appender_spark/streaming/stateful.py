@@ -35,7 +35,12 @@ def running_totals_stream(parsed: DataFrame, key_col: str = "`interface-id`") ->
         total_bytes, n_flows = state.get if state.exists else (0, 0)
         batch_rows = 0
         for pdf in pdfs:
-            b = pdf["bytes"].dropna()
+            # a NULL anywhere in the column makes Arrow hand us float64;
+            # summing in float space would freeze rounding error into the
+            # durable counter once it crosses 2^53. astype back to int64
+            # AFTER dropna is element-exact (each value was a long) and the
+            # accumulation then stays integer (code-review r6).
+            b = pdf["bytes"].dropna().astype("int64")
             total_bytes += int(b.sum())
             n_flows += len(pdf)
             batch_rows += len(pdf)
@@ -68,19 +73,37 @@ def dedup_first_occurrence_stream(records: DataFrame, key_col: str = "recordId")
     batches, ingestor/index.js:137-140) becomes exactly-once record delivery
     downstream of this operator — output schema == input schema, so it wires
     in as a transparent dedup stage, not a key stream.
+
+    Cross-batch, "first" is true arrival order (state marks the key seen).
+    WITHIN a micro-batch there is no arrival order — Arrow chunking is
+    nondeterministic — so the survivor among same-batch duplicates is the
+    lexicographically smallest row over all columns: deterministic on
+    replay.
     """
 
     def update(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # Within one micro-batch, Arrow chunk order is partition/arrival
+        # order — NOT deterministic across reruns. "First-seen" is only
+        # well-defined cross-batch, so within a batch the survivor is the
+        # LEXICOGRAPHICALLY SMALLEST duplicate (all columns): a replay of
+        # the same input always emits the same row (code-review r6).
         already = state.exists
-        first_row = None
+        best = None
         for pdf in pdfs:
-            if first_row is None and len(pdf):
-                first_row = pdf.head(1)
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(by=list(pdf.columns), kind="mergesort").head(1)
+            if best is not None:
+                both = pd.concat([best, cand], ignore_index=True)
+                cand = both.sort_values(
+                    by=list(both.columns), kind="mergesort"
+                ).head(1)
+            best = cand
         state.update((1,))
-        if already or first_row is None:
+        if already or best is None:
             return
             yield  # pragma: no cover - keeps this a generator
-        yield first_row
+        yield best
 
     return records.groupBy(key_col).applyInPandasWithState(
         update,

@@ -154,27 +154,39 @@ def cusum_drift_batch(flows: DataFrame, key_col: str = "`interface-id`") -> Data
     Deliberately not ``groupBy().applyInPandas``: the grouped-map form pays
     a pandas-DataFrame + Python call per key (milliseconds each — ruinous
     at real interface cardinality) and lets AQE coalesce the small shuffle
-    into a single serial worker. Here the only per-key cost is the kernel
-    call itself, parallelism is pinned by the explicit partition count, and
-    state never exceeds three integers per in-flight key."""
+    into a single serial worker. The kernel streams the partition ONE ARROW
+    BATCH AT A TIME, carrying (current key, state tuple) across chunk
+    boundaries (sortWithinPartitions guarantees key-contiguous seq order
+    across chunks) — worker memory is one Arrow batch, never the whole
+    partition (code-review r6: the previous pd.concat of all batches made
+    memory O(partition size), contradicting this docstring)."""
     prepared = _prepared(flows, key_col)
     n_parts = int(flows.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def fold_partition(batches) -> "pd.DataFrame":
-        pdfs = [b for b in batches if len(b)]
-        if not pdfs:  # keys << partitions leaves empty tasks
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        keys = pdf["key"].to_numpy()
-        vals = pdf["bytes_milli"].to_numpy()
-        frames = []
-        start = 0
-        for i in range(1, len(pdf) + 1):
-            if i == len(pdf) or keys[i] != keys[start]:
-                state = _cusum_fold(vals[start:i], (0, 0, 0, 0))
-                frames.append(_state_row(str(keys[start]), state))
-                start = i
-        yield pd.concat(frames, ignore_index=True)
+        cur_key = None
+        state = (0, 0, 0, 0)
+        for b in batches:
+            if not len(b):  # keys << partitions leaves empty tasks
+                continue
+            keys = b["key"].to_numpy()
+            vals = b["bytes_milli"].to_numpy()
+            frames = []
+            start = 0
+            for i in range(1, len(b) + 1):
+                if i == len(b) or keys[i] != keys[start]:
+                    run_key = keys[start]
+                    if cur_key is not None and run_key != cur_key:
+                        # previous key's history is complete — emit it
+                        frames.append(_state_row(str(cur_key), state))
+                        state = (0, 0, 0, 0)
+                    state = _cusum_fold(vals[start:i], state)
+                    cur_key = run_key
+                    start = i
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+        if cur_key is not None:
+            yield _state_row(str(cur_key), state)
 
     return (
         prepared.repartition(n_parts, "key")

@@ -72,3 +72,22 @@ def test_dedup_first_occurrence(spark, tmp_path):
     ids = sorted(r["recordId"] for r in rows)
     # r1 appears in both batches but must be emitted exactly once
     assert ids == ["r1", "r2", "r3", "r4", "r5"]
+
+
+def test_dedup_same_batch_survivor_is_deterministic(spark, tmp_path):
+    """Same-key duplicates with DIFFERENT payloads landing in one
+    micro-batch: the survivor must be the lexicographically smallest row
+    (the within-batch contract — Arrow chunk order is not reproducible, so
+    'first in the batch' would make replays emit different rows). Spread
+    the duplicates across partitions to exercise the cross-chunk merge."""
+    src = tmp_path / "src1"
+    src.mkdir()
+    dup = [("rX", "eni-z", 900), ("rX", "eni-a", 100), ("rX", "eni-m", 500)]
+    spark.createDataFrame(dup, SCHEMA).repartition(3).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "f*"))
+    rows = _run(spark, dedup_first_occurrence_stream(stream), "dedup_det_out")
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["recordId"], r["interface-id"], r["bytes"]) == ("rX", "eni-a", 100)

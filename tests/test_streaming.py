@@ -312,3 +312,52 @@ def test_session_window_watermark_boundary_emits_at_equality(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {(r.end, r.user_id, r.n) for r in spark.read.parquet(out).collect()}
     assert got == {(2800, 1, 1)}  # flushed at equality; user 2 still held back
+
+
+def test_session_window_watermark_is_ms_truncated(spark, tmp_path):
+    """Pins the sub-millisecond band (code-review r6): Spark tracks the max
+    event time in MILLISECONDS, so the final watermark is
+    (max_us // 1000) * 1000 - delay — a session ending within (truncated
+    watermark, exact-us watermark] is HELD BACK even though an
+    exact-microsecond model would flush it. stream_session_window's oracle
+    must therefore truncate; this test fails first if a Spark upgrade
+    starts tracking microseconds."""
+    import uuid as _uuid
+
+    gap = 30 * 60 * 1_000_000
+    delay = 60 * 60 * 1_000_000
+    x = 10_000_000_000_787  # max event time, 787 us past a ms boundary
+    rows = [
+        ("band", x - delay - 500 - gap),   # end 500us above truncated wm
+        ("low", x - delay - 5_000_000 - gap),  # end clearly below
+        ("maxer", x),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    staging = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(df.schema).parquet(staging)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def write_epoch(d, _e):
+        d.write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .queryName(f"sess_msband_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    emitted = sorted(
+        r.user_id
+        for r in spark.read.schema(agg.schema).parquet(out).collect()
+    )
+    assert emitted == ["low"]  # the band session is held back

@@ -61,6 +61,30 @@ def test_cusum_batch_twin_matches_independent_reference(spark):
     assert got["eni-b"][4] == 0
 
 
+def test_cusum_batch_twin_streams_across_arrow_chunks(spark):
+    """The partition fold must carry (key, state) across Arrow batch
+    boundaries instead of concatenating the partition (code-review r6:
+    worker memory must stay one Arrow batch). Force 2-row Arrow batches so
+    every key's run spans several chunks and a chunk boundary falls both
+    mid-key and exactly on a key change; the result must still match the
+    independent reference."""
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        df = spark.createDataFrame(B1 + B2, SCHEMA).coalesce(1)
+        got = {
+            r["key"]: (
+                r["n"], r["mean_milli"], r["cusum_pos_milli"],
+                r["cusum_neg_milli"],
+            )
+            for r in cusum_drift_batch(df).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+    for key, state in _independent_reference().items():
+        assert got[key] == state, (key, got[key], state)
+
+
 def test_cusum_stream_gate_reports_missing_capability(spark, tmp_path):
     if stateful_processor_available():
         pytest.skip("protobuf present; the gate path is not reachable")
