@@ -36,14 +36,21 @@ def is_rfc1918(col: Column | str) -> Column:
 
 
 def ip_to_int(col: Column | str) -> Column:
-    """Dotted-quad IPv4 -> uint32 as long, pure Column arithmetic (no UDF)."""
+    """Dotted-quad IPv4 -> uint32 as long, pure Column arithmetic (no UDF).
+
+    try_cast per octet: the flow-line regex's address capture is an
+    unbounded ``\\d+`` quad, so a regex-valid line can carry an octet that
+    overflows int64 — under Spark 4 ANSI defaults a plain cast would crash
+    the batch; try_cast degrades the address to NULL, which falls into the
+    geo-miss ''/0 default path like any other unresolvable address
+    (code-review r6)."""
     c = F.col(col) if isinstance(col, str) else col
     o = F.split(c, r"\.")
     return (
-        o.getItem(0).cast("long") * F.lit(16777216)
-        + o.getItem(1).cast("long") * F.lit(65536)
-        + o.getItem(2).cast("long") * F.lit(256)
-        + o.getItem(3).cast("long")
+        o.getItem(0).try_cast("long") * F.lit(16777216)
+        + o.getItem(1).try_cast("long") * F.lit(65536)
+        + o.getItem(2).try_cast("long") * F.lit(256)
+        + o.getItem(3).try_cast("long")
     )
 
 
@@ -81,11 +88,17 @@ def join_eni(parsed: DataFrame, eni_dim: DataFrame) -> DataFrame:
     matched = dim["interfaceId"].isNotNull()
     # ipAddress is an array (the jmespath [?Primary] filter yields a singleton
     # list, decorator/index.js:89); JS `==` coerces ['x'] == 'x' true, so the
-    # comparison is against the first element (SURVEY §7.4.2).
+    # comparison is against the first element (SURVEY §7.4.2). try_element_at,
+    # not element_at: a real ENI with no Primary=true IPv4 (IPv6-only) yields
+    # an EMPTY array, and element_at on it raises under ANSI, killing the
+    # batch — the JS `[] == destaddr` evaluates false -> 'outbound', which is
+    # exactly where try_element_at's NULL lands the comparison
+    # (code-review r6).
     direction = F.when(
         matched,
         F.when(
-            F.col("destaddr") == F.element_at(dim["ipAddress"], 1), F.lit("inbound")
+            F.col("destaddr") == F.try_element_at(dim["ipAddress"], F.lit(1)),
+            F.lit("inbound"),
         ).otherwise(F.lit("outbound")),
     )
     return (

@@ -20,8 +20,16 @@ from .schema import FLOW_FIELDS, FLOW_LINE_PATTERN
 
 
 def decode_base64_utf8(col: Column | str) -> Column:
-    """base64 payload -> utf8 string (decorator/index.js:106)."""
-    return F.unbase64(col).cast("string")
+    """base64 payload -> utf8 string (decorator/index.js:106).
+
+    ``try_to_binary``, not ``unbase64``: under Spark 4 ANSI defaults a
+    single malformed base64 payload in ``unbase64`` raises and kills the
+    whole batch — a corrupt record must instead decode to NULL and route
+    to the dead-letter path like every other per-record failure
+    (code-review r6)."""
+    return F.try_to_binary(
+        F.col(col) if isinstance(col, str) else col, F.lit("base64")
+    ).cast("string")
 
 
 def is_valid_flow_line(col: Column | str) -> Column:
@@ -41,7 +49,12 @@ def parse_flow_fields(line: Column) -> list[Column]:
     for i, (name, dtype) in enumerate(FLOW_FIELDS):
         c = toks.getItem(i)
         if dtype.typeName() == "long":
-            c = c.cast("long")
+            # try_cast, not cast: FLOW_LINE_PATTERN's \d+ is unbounded, so
+            # a regex-VALID line whose numeric token overflows int64 must
+            # degrade to a NULL field (the reference's Number() yields a
+            # float and the record flows through) — under ANSI a plain cast
+            # would crash the whole batch on one such line (code-review r6)
+            c = c.try_cast("long")
         cols.append(c.alias(name))
     return cols
 

@@ -60,11 +60,27 @@ class FlowLogReader(DataSourceReader):
 
     def partitions(self):
         import glob as globmod
+        import os
 
-        files = sorted(globmod.glob(self.path)) or [self.path]
+        # Only real files become partitions. The old `or [self.path]`
+        # fallback made a zero-match glob (or a directory path) crash at
+        # READ time with FileNotFoundError/IsADirectoryError while the
+        # streaming reader treats the same input as empty — batch and
+        # stream must agree (code-review r6). A literal path that simply
+        # does not exist still fails, but at PLAN time with a clear
+        # message.
+        matches = sorted(globmod.glob(self.path))
+        files = [f for f in matches if os.path.isfile(f)]
+        if not files and not globmod.has_magic(self.path):
+            if not os.path.exists(self.path):
+                raise FileNotFoundError(
+                    f"flowlog source path does not exist: {self.path}"
+                )
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
+        if partition is None:  # empty partitions() -> one read(None) call
+            return
         pattern = re.compile(FLOW_LINE_PATTERN)
         with open(partition.value) as fh:
             for line in fh:
@@ -73,14 +89,28 @@ class FlowLogReader(DataSourceReader):
                     yield _parse_line(line, pattern)
 
 
+_INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+
 def _parse_line(line: str, pattern) -> tuple:
-    """One text line -> a READ_SCHEMA tuple (shared by batch + stream)."""
+    """One text line -> a READ_SCHEMA tuple (shared by batch + stream).
+
+    A regex-valid token that overflows int64 (the pattern's ``\\d+`` is
+    unbounded) degrades that FIELD to None — a Python int the LongType row
+    conversion cannot store would fail the task and defeat the source's
+    dead-letter design (code-review r6). Field-level NULL, not error=True,
+    to mirror parse.py's try_cast semantics exactly: the reference's
+    Number() floats the value and the record flows through."""
     m = pattern.match(line)
     if not m:
         return (line, True) + (None,) * len(FLOW_FIELDS)
     vals = []
     for (name, _), tok in zip(FLOW_FIELDS, m.groups()):
-        vals.append(int(tok) if name in _LONG_FIELDS else tok)
+        if name in _LONG_FIELDS:
+            v = int(tok)
+            vals.append(v if _INT64_MIN <= v <= _INT64_MAX else None)
+        else:
+            vals.append(tok)
     return (line, False) + tuple(vals)
 
 
@@ -106,8 +136,10 @@ class FlowLogStreamReader(SimpleDataSourceStreamReader):
 
     def _list(self) -> list[str]:
         import glob as globmod
+        import os
 
-        return sorted(globmod.glob(self.path))
+        # same real-files-only rule as the batch reader's partitions()
+        return sorted(f for f in globmod.glob(self.path) if os.path.isfile(f))
 
     def _rows_for(self, files: list[str]) -> list[tuple]:
         # materialized, not a generator: Spark's prefetch cache copies the

@@ -51,9 +51,16 @@ def decode_cloudwatch_events(events: DataFrame, data_col: str = "data") -> DataF
     Output: the typed CloudWatch envelope struct exploded to one row per
     envelope, with messageType + logEvents columns.
     """
+    # try_to_binary, not unbase64: under Spark 4 ANSI defaults unbase64
+    # raises on one malformed payload and fails the whole batch, while the
+    # adjacent gunzip step deliberately degrades per record — a corrupt
+    # base64 string must decode to NULL and yield a NULL envelope the same
+    # way a corrupt gzip stream does (code-review r6).
     return events.select(
         F.from_json(
-            _gunzip(F.unbase64(F.col(data_col))).cast("string"),
+            _gunzip(
+                F.try_to_binary(F.col(data_col), F.lit("base64"))
+            ).cast("string"),
             CLOUDWATCH_ENVELOPE_SCHEMA,
         ).alias("envelope")
     ).select("envelope.*")
@@ -92,9 +99,14 @@ def frame_firehose_batches(records: DataFrame, batch_size: int = 500) -> DataFra
     are assigned per partition — no global ordering is implied, matching the
     reference (records are independent, SURVEY §2.8).
     """
+    # integer DIV, never float division: monotonically_increasing_id packs
+    # the partition id in the high 31 bits, so ids exceed 2^53 once a
+    # partition id passes ~2^20 — double division then collapses adjacent
+    # ids and can put 501 records in a "500-record" batch, which the
+    # putRecordBatch API rejects wholesale (code-review r6)
     return records.withColumn(
         "batch_id",
-        (F.monotonically_increasing_id() / F.lit(batch_size)).cast("long"),
+        F.expr(f"monotonically_increasing_id() DIV {int(batch_size)}"),
     )
 
 

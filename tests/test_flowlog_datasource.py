@@ -74,3 +74,26 @@ def test_flowlog_datasource_streaming_tails_files(spark, tmp_path):
     assert result.count() == n_all  # B appended once, A not re-delivered
     # parsed rows carry the typed fields; malformed lines are dead-lettered
     assert result.filter("error = false").count() > 0
+
+
+def test_flowlog_datasource_empty_glob_and_overflow(spark, tmp_path):
+    """Code-review r6 pair: (a) a glob matching nothing must yield ZERO rows
+    (the old [self.path] fallback crashed at read time with
+    FileNotFoundError — and the streaming reader already treated the same
+    input as empty, so batch and stream disagreed); (b) a regex-valid line
+    whose numeric token overflows int64 degrades that FIELD to NULL instead
+    of failing the LongType row conversion — mirroring parse.py."""
+    register(spark)
+    # (a) zero-match glob -> empty result, not a task failure
+    empty = spark.read.format("flowlog").load(str(tmp_path / "none" / "*.log"))
+    assert empty.count() == 0
+
+    # (b) int64-overflow token -> NULL field, error stays False
+    f = tmp_path / "ovf.log"
+    f.write_text(
+        "2 123456789010 eni-1854f949 72.21.196.65 172.31.16.21 "
+        "99999999999999999999 22 6 20 4249 1418530010 1418530070 ACCEPT OK\n"
+    )
+    r = spark.read.format("flowlog").load(str(f)).collect()[0]
+    assert r["error"] is False
+    assert r["srcport"] is None and r["dstport"] == 22

@@ -50,6 +50,63 @@ def test_malformed_line_error_routing(spark):
     assert out["rec-000001"]["error"] is False
 
 
+def test_ansi_hostile_records_never_fail_the_batch(spark):
+    """The ANSI crash class (code-review r6): under Spark 4 ANSI defaults a
+    single hostile record used to RAISE and kill the whole batch in three
+    places — unbase64 on corrupt base64, cast('long') on a regex-valid line
+    whose numeric token overflows int64, and ip_to_int on an overflowing
+    octet. All three must instead degrade per record (dead-letter /
+    NULL-field / geo-default), matching the reference's record-level
+    error model (decorator/index.js:100-139, Number() floats and flows)."""
+    overflow_line = (
+        "2 123456789010 eni-1854f949 72.21.196.65 172.31.16.21 "
+        "99999999999999999999 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    )
+    recs = spark.createDataFrame(
+        [("rec-b64", "not_base64!!!"),
+         ("rec-ovf", base64.b64encode(overflow_line.encode()).decode()),
+         ("rec-ok", base64.b64encode(
+             fixtures.EVENT_JSON_LINES[0].encode()).decode())],
+        "recordId string, data string",
+    )
+    out = {r["recordId"]: r.asDict() for r in parse_records(recs).collect()}
+    # corrupt base64 -> NULL raw -> dead-lettered, batch survives
+    assert out["rec-b64"]["error"] is True
+    # regex-valid overflow line flows through with the field NULLed
+    assert out["rec-ovf"]["error"] is False
+    assert out["rec-ovf"]["srcport"] is None
+    assert out["rec-ovf"]["dstport"] == 22
+    assert out["rec-ok"]["error"] is False
+
+    # ip_to_int on an overflowing octet: NULL, not a raised cast error
+    huge = spark.createDataFrame(
+        [("99999999999999999999.1.1.1",), ("1.2.3.4",)], "ip string"
+    )
+    got = {r["ip"]: r["n"] for r in huge.select(
+        "ip", ip_to_int("ip").alias("n")).collect()}
+    assert got["99999999999999999999.1.1.1"] is None
+    assert got["1.2.3.4"] == (1 << 24) + (2 << 16) + (3 << 8) + 4
+
+
+def test_eni_empty_primary_ip_array_is_outbound(spark):
+    """An ENI whose jmespath [?Primary] projection yields an EMPTY ipAddress
+    array (IPv6-only interface) must give direction='outbound' — the JS
+    `[] == destaddr` comparison is false (decorator/index.js:169-173) —
+    not raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI (code-review
+    r6)."""
+    from aws_vpc_flow_log_appender_spark.enrich import join_eni
+
+    parsed = parse_records(_event_json_records(spark))
+    eni = spark.createDataFrame(
+        [("eni-1854f949", ["sg-1"], [])],
+        "interfaceId string, securityGroupIds array<string>, "
+        "ipAddress array<string>",
+    )
+    rows = join_eni(parsed, eni).collect()
+    assert all(r["direction"] == "outbound" for r in rows
+               if r["interface-id"] == "eni-1854f949")
+
+
 def test_enrich_event_json_golden(spark):
     parsed = parse_records(_event_json_records(spark))
     enriched = enrich_flow_logs(
