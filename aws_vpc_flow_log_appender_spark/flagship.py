@@ -30,9 +30,19 @@ from .streaming.transform_state import (
 _ENI_IDS = [e[0] for e in fixtures.ENIS] + ["eni-miss0001", "eni-miss0002"]
 _ENI_PRIMARY = [e[2][0] for e in fixtures.ENIS] + ["172.31.16.99", "172.31.16.99"]
 _ENI_SGS = [",".join(e[1]) for e in fixtures.ENIS]
-_PUBLIC = fixtures.PUBLIC_IPS          # 5 entries, indexed by event_id % 5
-_PRIVATE = fixtures.PRIVATE_IPS        # 4 entries, indexed by event_id % 4
+_PUBLIC = fixtures.PUBLIC_IPS
+_PRIVATE = fixtures.PRIVATE_IPS
 _DSTPORTS = [22, 80, 443, 6379]
+# Index moduli DERIVED from the lists, never hardcoded (code-review r6:
+# '% 6' and 6-element SQL literals were hand-duplicated across the Spark
+# synthesis, the oracle CTE, and the CUSUM key — growing fixtures.ENIS
+# would silently desynchronize Spark and oracle while parity tests kept
+# passing on the stale corpus). Every site below indexes list[x % len].
+_N_ENI = len(_ENI_IDS)
+assert len(_ENI_PRIMARY) == _N_ENI
+_N_PUBLIC = len(_PUBLIC)
+_N_PRIVATE = len(_PRIVATE)
+_N_DSTPORTS = len(_DSTPORTS)
 
 
 def synth_flow_lines(events: DataFrame) -> DataFrame:
@@ -50,15 +60,15 @@ def synth_flow_lines(events: DataFrame) -> DataFrame:
 
     line = f"""concat_ws(' ',
       '2', '123456789010',
-      element_at({arr(_ENI_IDS)}, CAST(user_id % 6 + 1 AS INT)),
+      element_at({arr(_ENI_IDS)}, CAST(user_id % {_N_ENI} + 1 AS INT)),
       CASE WHEN event_type IN ('click', 'view')
-           THEN element_at({arr(_PUBLIC)}, CAST(event_id % 5 + 1 AS INT))
-           ELSE element_at({arr(_PRIVATE)}, CAST(event_id % 4 + 1 AS INT)) END,
+           THEN element_at({arr(_PUBLIC)}, CAST(event_id % {_N_PUBLIC} + 1 AS INT))
+           ELSE element_at({arr(_PRIVATE)}, CAST(event_id % {_N_PRIVATE} + 1 AS INT)) END,
       CASE WHEN user_id % 3 = 0
-           THEN element_at({arr(_ENI_PRIMARY)}, CAST(user_id % 6 + 1 AS INT))
+           THEN element_at({arr(_ENI_PRIMARY)}, CAST(user_id % {_N_ENI} + 1 AS INT))
            ELSE '172.31.16.99' END,
       CAST(1024 + event_id % 60000 AS STRING),
-      CAST(element_at({arr(_DSTPORTS, quote=False)}, CAST(user_id % 4 + 1 AS INT)) AS STRING),
+      CAST(element_at({arr(_DSTPORTS, quote=False)}, CAST(user_id % {_N_DSTPORTS} + 1 AS INT)) AS STRING),
       CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS STRING),
       CAST(1 + event_id % 500 AS STRING),
       CAST(40 + (event_id * 97) % 100000 AS STRING),
@@ -122,17 +132,17 @@ lines AS (
   SELECT CASE WHEN event_type = 'error' THEN 'MALFORMED ' || CAST(event_id AS VARCHAR)
          ELSE
            '2 123456789010 '
-           || (['{_ENI_IDS[0]}','{_ENI_IDS[1]}','{_ENI_IDS[2]}','{_ENI_IDS[3]}','{_ENI_IDS[4]}','{_ENI_IDS[5]}'])[CAST(user_id % 6 + 1 AS INTEGER)]
+           || ([{_sql_list(_ENI_IDS)}])[CAST(user_id % {_N_ENI} + 1 AS INTEGER)]
            || ' '
            || (CASE WHEN event_type IN ('click', 'view')
-                THEN ([{_sql_list(_PUBLIC)}])[CAST(event_id % 5 + 1 AS INTEGER)]
-                ELSE ([{_sql_list(_PRIVATE)}])[CAST(event_id % 4 + 1 AS INTEGER)] END)
+                THEN ([{_sql_list(_PUBLIC)}])[CAST(event_id % {_N_PUBLIC} + 1 AS INTEGER)]
+                ELSE ([{_sql_list(_PRIVATE)}])[CAST(event_id % {_N_PRIVATE} + 1 AS INTEGER)] END)
            || ' '
            || (CASE WHEN user_id % 3 = 0
-                THEN ([{_sql_list(_ENI_PRIMARY)}])[CAST(user_id % 6 + 1 AS INTEGER)]
+                THEN ([{_sql_list(_ENI_PRIMARY)}])[CAST(user_id % {_N_ENI} + 1 AS INTEGER)]
                 ELSE '172.31.16.99' END)
            || ' ' || CAST(1024 + event_id % 60000 AS VARCHAR)
-           || ' ' || CAST(([{_sql_list(_DSTPORTS, quote=False)}])[CAST(user_id % 4 + 1 AS INTEGER)] AS VARCHAR)
+           || ' ' || CAST(([{_sql_list(_DSTPORTS, quote=False)}])[CAST(user_id % {_N_DSTPORTS} + 1 AS INTEGER)] AS VARCHAR)
            || ' ' || CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS VARCHAR)
            || ' ' || CAST(1 + event_id % 500 AS VARCHAR)
            || ' ' || CAST(40 + (event_id * 97) % 100000 AS VARCHAR)
@@ -450,9 +460,14 @@ def flowlog_byte_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tailed and would use 3+). Per-source baselines via window
     aggregates — one shuffle on srcaddr; sources with <30 flows are skipped
     (no stable baseline)."""
+    return _byte_anomalies_plan(_valid_parsed(spark, sf_dir))
+
+
+def _byte_anomalies_plan(flows: DataFrame) -> DataFrame:
+    """Plan builder over an already-parsed valid-flow frame (shared with
+    flowlog_incident_feed so the capstone parses the corpus once)."""
     from pyspark.sql import Window as W
 
-    flows = _valid_parsed(spark, sf_dir)
     w = W.partitionBy("srcaddr")
     stats = flows.select(
         F.col("recordId").alias("record_id"),
@@ -499,9 +514,15 @@ def flowlog_ddos_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-source count partial-aggregates map-side. Integer hour buckets
     from epoch seconds keep the grouping engine-portable (no timestamp
     truncation semantics involved)."""
-    flows = _valid_parsed(spark, sf_dir).filter(F.col("action") == "REJECT")
+    return _ddos_targets_plan(_valid_parsed(spark, sf_dir))
+
+
+def _ddos_targets_plan(flows: DataFrame) -> DataFrame:
+    """Plan builder over an already-parsed valid-flow frame (shared with
+    flowlog_incident_feed); applies the REJECT gate itself."""
     return (
-        flows.groupBy(
+        flows.filter(F.col("action") == "REJECT")
+        .groupBy(
             "destaddr",
             F.floor(F.col("start") / 3600).cast("long").alias("hour_bucket"),
         )
@@ -591,7 +612,12 @@ def flowlog_port_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer, so the HAVING cut is engine-exact. At real scale the
     pair key is far finer than srcaddr alone — skewed scanners spread over
     their victim count instead of concentrating on one reducer."""
-    flows = _valid_parsed(spark, sf_dir)
+    return _port_scans_plan(_valid_parsed(spark, sf_dir))
+
+
+def _port_scans_plan(flows: DataFrame) -> DataFrame:
+    """Plan builder over an already-parsed valid-flow frame (shared with
+    flowlog_incident_feed so the capstone parses the corpus once)."""
     return (
         flows.groupBy("srcaddr", "destaddr")
         .agg(
@@ -657,27 +683,33 @@ def flowlog_port_scans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flowlog_incident_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain capstone: the three security detectors (port-scan fan-out,
     DDoS fan-in, volumetric z-score) composed into one tagged incident feed
-    — the table a SOC dashboard or alert router actually consumes. Pure
-    composition of the already-verified detector plans via unionByName
-    (Spark unions are plan-level concatenation — no shuffle of their own),
-    normalized to a (detection, subject, object, score, detail) schema; the
-    three branches share one `typed` parse of the corpus, which Spark's
-    subexpression reuse keeps to a single scan per branch pipeline."""
-    scans = flowlog_port_scans(spark, sf_dir).select(
+    — the table a SOC dashboard or alert router actually consumes,
+    normalized to a (detection, subject, object, score, detail) schema via
+    unionByName (Spark unions are plan-level concatenation — no shuffle of
+    their own).
+
+    The parsed valid-flow frame is built ONCE and localCheckpointed before
+    fanning into the three detector plan builders: union branches are
+    independent subtrees with no cross-branch common-subplan elimination,
+    so without the materialization each branch re-ran the full synthesize +
+    parse stage (validity regex + per-line sha256) — 3x the pipeline's most
+    CPU-expensive stage per invocation (code-review r6)."""
+    flows = _valid_parsed(spark, sf_dir).localCheckpoint(eager=False)
+    scans = _port_scans_plan(flows).select(
         F.lit("port_scan").alias("detection"),
         F.col("srcaddr").alias("subject"),
         F.col("destaddr").alias("object"),
         F.col("n_ports").cast("double").alias("score"),
         F.col("n_flows").alias("detail"),
     )
-    ddos = flowlog_ddos_targets(spark, sf_dir).select(
+    ddos = _ddos_targets_plan(flows).select(
         F.lit("ddos_fan_in").alias("detection"),
         F.col("destaddr").alias("subject"),
         F.col("hour_bucket").cast("string").alias("object"),
         F.col("n_sources").cast("double").alias("score"),
         F.col("rejected_flows").alias("detail"),
     )
-    vol = flowlog_byte_anomalies(spark, sf_dir).select(
+    vol = _byte_anomalies_plan(flows).select(
         F.lit("byte_anomaly").alias("detection"),
         F.col("srcaddr").alias("subject"),
         F.col("record_id").alias("object"),
@@ -944,17 +976,16 @@ def flowlog_cidr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate cannot express) and 2-hop blast radius (frontier BFS).
 # ---------------------------------------------------------------------------
 
-_CUSUM_SEQ_LIMIT = 1200  # bounds oracle recursion depth to ~seq_limit/6 steps
+_CUSUM_SEQ_LIMIT = 1200  # bounds oracle recursion depth to ~seq_limit/len(ENIs) steps
 _NEW_MEAN = f"(c.mean_milli + {fdiv_sql('s.v - c.mean_milli', 'c.n + 1')})"
 _CUSUM_KEY_SQL = (
-    f"(['{_ENI_IDS[0]}','{_ENI_IDS[1]}','{_ENI_IDS[2]}','{_ENI_IDS[3]}',"
-    f"'{_ENI_IDS[4]}','{_ENI_IDS[5]}'])[CAST(user_id % 6 + 1 AS INTEGER)]"
+    f"([{_sql_list(_ENI_IDS)}])[CAST(user_id % {_N_ENI} + 1 AS INTEGER)]"
 )
 
 CUSUM_ORACLE = f"""
 WITH RECURSIVE src AS (
   SELECT {_CUSUM_KEY_SQL} AS key,
-         row_number() OVER (PARTITION BY user_id % 6 ORDER BY event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id % {_N_ENI} ORDER BY event_id) AS rn,
          (40 + (event_id * 97) % 100000) * 1000 AS v
   FROM events WHERE event_id < {_CUSUM_SEQ_LIMIT}
 ), counts AS (
@@ -999,7 +1030,7 @@ def flowlog_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("seq"),
         F.element_at(
             F.array(*[F.lit(x) for x in _ENI_IDS]),
-            (F.col("user_id") % 6 + 1).cast("int"),
+            (F.col("user_id") % _N_ENI + 1).cast("int"),
         ).alias("interface-id"),
         (40 + (F.col("event_id") * 97) % 100000).alias("bytes"),
     )
