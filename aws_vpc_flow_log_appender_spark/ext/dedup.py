@@ -534,24 +534,39 @@ def dedup_simhash(spark, sf_dir):
     """)
 
 
-@query(
-    "dedup_embedding_nn",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.vec_id, b.vec_id AS nn_id,
-             floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0
-               AS cos_sim
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id <> b.vec_id
+_SQL_COS_AB = """
+    floor((list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0
+"""
+
+
+def _embedding_nn_oracle_sql(cell_cap: int | None = None) -> str:
+    """Oracle for dedup_embedding_nn, parametric in the cell cap so the
+    hot-cell sub-bucket path is oracle-checked with an ACTIVE cap in
+    tests/test_ext.py (code-review r6: the label-only join silently
+    diverged the moment the cap engaged)."""
+    from .similarity import CELL_CAP, _capped_sub_cte
+
+    return f"""
+    WITH {_capped_sub_cte(cell_cap if cell_cap is not None else CELL_CAP)},
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nn_id, {_SQL_COS_AB} AS cos_sim
+      FROM sub a JOIN sub b
+        ON a.label = b.label AND a.sub_bucket = b.sub_bucket
+       AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, nn_id, cos_sim FROM (
       SELECT vec_id, nn_id, cos_sim,
              row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
       FROM pairs
     ) WHERE rn = 1
-    """,
+    """
+
+
+@query(
+    "dedup_embedding_nn",
+    oracle=_embedding_nn_oracle_sql(),
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_nn(spark, sf_dir):
@@ -564,14 +579,16 @@ def dedup_embedding_nn(spark, sf_dir):
     return _embedding_nn(load(spark, sf_dir, "embeddings"))
 
 
-def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None):
-    from .similarity import CELL_CAP, N_SUB_BITS, with_capped_cell
+def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
+                  dim: int | None = None):
+    from .similarity import CELL_CAP, EMB_DIM, N_SUB_BITS, with_capped_cell
 
     e = with_capped_cell(
         e,
         "label",
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
+        dim=dim if dim is not None else EMB_DIM,
     )
     a = e.alias("a")
     b = e.alias("b")
@@ -616,19 +633,26 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None)
     )
 
 
+def _embedding_pairs_oracle_sql(cell_cap: int | None = None,
+                                threshold: float = 0.35) -> str:
+    """Oracle for dedup_embedding_pairs, parametric for the same
+    active-cap test coverage as _embedding_nn_oracle_sql."""
+    from .similarity import CELL_CAP, _capped_sub_cte
+
+    return f"""
+    WITH {_capped_sub_cte(cell_cap if cell_cap is not None else CELL_CAP)}
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SQL_COS_AB} AS cos_sim
+      FROM sub a JOIN sub b
+        ON a.label = b.label AND a.sub_bucket = b.sub_bucket
+       AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {threshold}
+    """
+
+
 @query(
     "dedup_embedding_pairs",
-    oracle="""
-    SELECT vec_a, vec_b, cos_sim FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             floor((list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0
-               AS cos_sim
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cos_sim >= 0.35
-    """,
+    oracle=_embedding_pairs_oracle_sql(),
     tags=("dedup", "embedding", "pairs"),
 )
 def dedup_embedding_pairs(spark, sf_dir):
@@ -642,14 +666,16 @@ def dedup_embedding_pairs(spark, sf_dir):
 
 
 def _embedding_pairs(e, threshold: float = 0.35,
-                     cell_cap: int | None = None, n_sub_bits: int | None = None):
-    from .similarity import CELL_CAP, N_SUB_BITS, with_capped_cell
+                     cell_cap: int | None = None, n_sub_bits: int | None = None,
+                     dim: int | None = None):
+    from .similarity import CELL_CAP, EMB_DIM, N_SUB_BITS, with_capped_cell
 
     e = with_capped_cell(
         e,
         "label",
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
+        dim=dim if dim is not None else EMB_DIM,
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(

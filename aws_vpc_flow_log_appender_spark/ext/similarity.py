@@ -3,7 +3,7 @@
 Three tiers, trading recall for scan cost:
  - brute-force cosine top-k (exact; the correctness baseline)
  - IVF top-k (label = coarse-quantizer cell; scans one cell per query)
- - random-hyperplane LSH top-k (sign-sketch bucketing; Pandas-UDF scale path)
+ - random-hyperplane LSH top-k (sign-sketch bucketing, explicit-fold exprs)
 
 Dot products fold left-to-right over doubles in both engines, so the oracle
 comparison is stable at 1e-6 rounding.
@@ -11,7 +11,6 @@ comparison is stable at 1e-6 rounding.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -31,46 +30,108 @@ CELL_CAP = 32_768
 N_SUB_BITS = 4  # 16 sub-buckets per hot cell
 
 
-def rp_sketch_udf(n_bits: int, seed: int):
-    """Vectorized random-hyperplane sign sketch: numpy matmul over Arrow
-    batches (the sanctioned Pandas-UDF slow path). Row-wise deterministic —
-    seeded planes derive from (seed, dim), never from batch boundaries —
-    and locality-preserving: near-identical vectors agree on every sign with
-    high probability, which is what makes it a valid sub-bucket key for
-    near-duplicate candidates (a value hash would scatter them)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql import types as T
-
-    @pandas_udf(T.IntegerType())
-    def sketch(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.values).astype("float64")
-        planes = np.random.RandomState(seed).randn(m.shape[1], n_bits)
-        bits = m @ planes > 0
-        return pd.Series((bits * (1 << np.arange(n_bits))).sum(axis=1).astype("int32"))
-
-    return sketch
+SUB_SEED = 7    # hyperplane seed for the hot-cell sub-bucket sketch
+EMB_DIM = 64    # fixture embedding dimensionality (shared with _rp_planes)
 
 
 def with_capped_cell(e, cell_col: str, cell_cap: int = CELL_CAP,
-                     n_sub_bits: int = N_SUB_BITS, seed: int = 7):
+                     n_sub_bits: int = N_SUB_BITS, seed: int = SUB_SEED,
+                     dim: int = EMB_DIM):
     """Add a ``sub_bucket`` column: 0 for rows in cells at/below ``cell_cap``
-    (capping inactive — exact per-cell semantics preserved), an RP-sketch
-    bucket for rows in hot cells. Joining on (cell, sub_bucket) then bounds
-    candidate counts by ~(cell/2^bits)² instead of cell². The cell-size
-    profile is one tiny aggregate broadcast back onto the rows."""
+    (capping inactive -- exact per-cell semantics preserved), a seeded
+    random-hyperplane sign-sketch bucket for rows in hot cells. Joining on
+    (cell, sub_bucket) then bounds candidate counts by ~(cell/2^bits)^2
+    instead of cell^2. The cell-size profile is one tiny aggregate broadcast
+    back onto the rows.
+
+    The bucket is the DETERMINISTIC explicit-fold expression shared with
+    the DuckDB oracles (_rp_bucket_sql), not a numpy-matmul pandas UDF
+    (code-review r6, two findings): (a) Spark hoists Python UDFs out of
+    CASE WHEN into an ArrowEvalPython node that runs on EVERY row, so the
+    old UDF paid a full-corpus Arrow round trip even with capping inactive
+    -- the Column expression stays in whole-stage codegen and CASE WHEN
+    short-circuits; (b) the UDF's BLAS fold order made sub_buckets
+    engine-irreproducible, so the capped path could never be oracle-checked
+    -- now the SAME expression text runs on both engines and the capped
+    semantics are part of the correctness contract (_capped_sub_cte below,
+    exercised with an ACTIVE cap in tests/test_ext.py)."""
     sizes = e.groupBy(cell_col).agg(F.count("*").alias("__cell_n"))
-    sketch = rp_sketch_udf(n_sub_bits, seed)
+    # dim must match the embedding column's array length: the generated
+    # expression indexes __v[0..dim-1] and an out-of-range index raises
+    # under ANSI (tests with synthetic low-dim vectors pass dim explicitly)
+    bucket = _rp_bucket_sql(
+        "__v", one_based=False, dim=dim, n_bits=n_sub_bits, seed=seed
+    )
     return (
         e.join(F.broadcast(sizes), cell_col)
+        .withColumn("__v", F.col("embedding").cast("array<double>"))
         .withColumn(
             "sub_bucket",
-            F.when(F.col("__cell_n") > cell_cap, sketch("embedding")).otherwise(
+            F.when(F.col("__cell_n") > cell_cap, F.expr(bucket)).otherwise(
                 F.lit(0)
             ),
         )
-        .drop("__cell_n")
+        .drop("__cell_n", "__v")
     )
+
+
+def _capped_sub_cte(cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS,
+                    seed: int = SUB_SEED, dim: int = EMB_DIM) -> str:
+    """DuckDB CTE fragment assigning the SAME (label, sub_bucket) key as
+    with_capped_cell -- counts per label, explicit-fold sign sketch for rows
+    in cells above ``cell_cap``, 0 otherwise. Lets every capped-path oracle
+    model the cap instead of silently diverging the moment it engages
+    (code-review r6: the old oracles joined on label alone, so the scale
+    safety valve broke the correctness gate at exactly the scale where it
+    activated)."""
+    bucket = _rp_bucket_sql(
+        "sv.v", one_based=True, dim=dim, n_bits=n_sub_bits, seed=seed
+    )
+    return f"""
+    __counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS __n
+      FROM embeddings GROUP BY label
+    ),
+    sub AS (
+      SELECT sv.vec_id, sv.label, sv.v,
+             CASE WHEN sv.__n > {cell_cap} THEN {bucket} ELSE 0 END AS sub_bucket
+      FROM (
+        SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, c.__n
+        FROM embeddings e JOIN __counts c ON c.label = e.label
+      ) sv
+    )"""
+
+
+def _rp_planes(dim: int = 64, n_bits: int = 6, seed: int = 42):
+    """The seeded hyperplanes shared by the Spark query and its oracle."""
+    import numpy as np
+
+    return np.random.RandomState(seed).randn(dim, n_bits)
+
+
+def _rp_bucket_sql(array_expr: str, one_based: bool, dim: int = 64,
+                   n_bits: int = 6, seed: int = 42) -> str:
+    """The 6-bit sign-sketch bucket as an EXPLICIT left-associated sum of
+    products — the same SQL text (modulo indexing base) runs on Spark and
+    DuckDB, so both engines execute the identical IEEE operation sequence
+    and a plane dot product within ulp of zero cannot flip its sign on one
+    engine only. This is deliberately NOT list_dot_product/numpy-matmul for
+    the oracle-checked query: BLAS blocking and engine-internal fold order
+    are host-dependent, and the determinism contract must not hinge on
+    them. repr(float) literals round-trip to the same double in both
+    parsers."""
+    planes = _rp_planes(dim, n_bits, seed)
+    base = 1 if one_based else 0
+    terms = []
+    for b in range(n_bits):
+        dot = " + ".join(
+            f"{array_expr}[{i + base}] * {float(planes[i, b])!r}"
+            for i in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 
 _SQL_COS = """
     floor((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
@@ -79,14 +140,18 @@ _SQL_COS = """
 """
 
 
-def _cos(qcol: str, ccol: str):
+def _cos(qcol, ccol):
+    """1e-6-rounded cosine between two embedding columns (names or Column
+    expressions — generalized in code-review r6 so sim_ivf_multiprobe's
+    local re-implementation could be deleted; a rounding-discipline fix
+    here now reaches every caller)."""
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
 
-    q = F.col(qcol).cast("array<double>")
-    c = F.col(ccol).cast("array<double>")
+    q = (F.col(qcol) if isinstance(qcol, str) else qcol).cast("array<double>")
+    c = (F.col(ccol) if isinstance(ccol, str) else ccol).cast("array<double>")
     return round_half_up(dot(q, c) / (F.sqrt(dot(q, q)) * F.sqrt(dot(c, c))), 6)
 
 
@@ -124,28 +189,47 @@ def sim_bruteforce_topk(spark, sf_dir):
     )
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
+_SQL_COS_V = """
+    floor((list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v))
+         * sqrt(list_dot_product(c.v, c.v)))) * 1000000.0 + 0.5) / 1000000.0
+"""
+
+
+def _ivf_oracle_sql(cell_cap: int = CELL_CAP) -> str:
+    """sim_ivf_topk's oracle, parametric in the cell cap so the capped path
+    is oracle-checked too — tests/test_ext.py runs it with a cap small
+    enough to ENGAGE on the fixture (code-review r6: the old oracle joined
+    on label alone, failing its own gate at exactly the scale where the
+    safety valve activated)."""
+    return f"""
+    WITH {_capped_sub_cte(cell_cap)}
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_SQL_COS} AS cos_sim,
+             {_SQL_COS_V} AS cos_sim,
              CAST(row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rank
-      FROM embeddings q
-      JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+                  ORDER BY {_SQL_COS_V} DESC, c.vec_id) AS INTEGER) AS rank
+      FROM sub q
+      JOIN sub c ON c.label = q.label AND c.sub_bucket = q.sub_bucket
+                AND c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     ) WHERE rank <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=_ivf_oracle_sql(),
     tags=("similarity", "ann", "ivf"),
 )
 def sim_ivf_topk(spark, sf_dir):
     """IVF-pruned top-k: probe only the query's own cell (label = coarse
     centroid assignment). At 100 TB this turns a full scan into
     corpus/n_cells per query; recall depends on cell quality, which is the
-    standard IVF trade. Cells above CELL_CAP are further split by an RP
-    sign sketch (with_capped_cell) so one hot cell can't go quadratic —
-    inactive at fixture scale, hence the exact oracle."""
+    standard IVF trade. Cells above CELL_CAP are further split by a seeded
+    RP sign sketch (with_capped_cell) so one hot cell can't go quadratic —
+    and the oracle models the SAME split (_capped_sub_cte), so the capped
+    path is hash-checkable, not just the fixture-inactive one."""
     return _ivf_topk(load(spark, sf_dir, "embeddings"))
 
 
@@ -243,19 +327,6 @@ def sim_ivf_multiprobe(spark, sf_dir):
     orders, so ranking on raw floats could flip near-tied cells."""
     e = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-
-    def cos(x, y):
-        def dot(p, r):
-            return F.aggregate(
-                F.zip_with(p, r, lambda m, n: m * n),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            )
-
-        return round_half_up(
-            dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))), 6
-        )
-
     cent = (
         e.select("label", F.posexplode(v).alias("pos", "x"))
         .groupBy("label", "pos")
@@ -277,7 +348,7 @@ def sim_ivf_multiprobe(spark, sf_dir):
         F.row_number()
         .over(
             W.partitionBy("query_id").orderBy(
-                F.desc(cos(F.col("qv"), F.col("centroid"))), F.asc("label")
+                F.desc(_cos(F.col("qv"), F.col("centroid"))), F.asc("label")
             )
         )
         .alias("rn"),
@@ -293,7 +364,7 @@ def sim_ivf_multiprobe(spark, sf_dir):
         (F.col("c_label") == F.col("label"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select(
-        "query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id", "neighbor_id", _cos(F.col("qv"), F.col("cv")).alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -301,36 +372,6 @@ def sim_ivf_multiprobe(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
-
-
-def _rp_planes(dim: int = 64, n_bits: int = 6, seed: int = 42):
-    """The seeded hyperplanes shared by the Spark query and its oracle."""
-    import numpy as np
-
-    return np.random.RandomState(seed).randn(dim, n_bits)
-
-
-def _rp_bucket_sql(array_expr: str, one_based: bool, dim: int = 64,
-                   n_bits: int = 6, seed: int = 42) -> str:
-    """The 6-bit sign-sketch bucket as an EXPLICIT left-associated sum of
-    products — the same SQL text (modulo indexing base) runs on Spark and
-    DuckDB, so both engines execute the identical IEEE operation sequence
-    and a plane dot product within ulp of zero cannot flip its sign on one
-    engine only. This is deliberately NOT list_dot_product/numpy-matmul for
-    the oracle-checked query: BLAS blocking and engine-internal fold order
-    are host-dependent, and the determinism contract must not hinge on
-    them. repr(float) literals round-trip to the same double in both
-    parsers."""
-    planes = _rp_planes(dim, n_bits, seed)
-    base = 1 if one_based else 0
-    terms = []
-    for b in range(n_bits):
-        dot = " + ".join(
-            f"{array_expr}[{i + base}] * {float(planes[i, b])!r}"
-            for i in range(dim)
-        )
-        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
-    return " + ".join(terms)
 
 
 def _rp_oracle_sql(dim: int = 64, n_bits: int = 6, seed: int = 42) -> str:
@@ -587,24 +628,32 @@ def embed_quantize_int8(spark, sf_dir):
 KNN_GRAPH_K = 3
 
 
-@query(
-    "sim_knn_graph",
-    oracle=f"""
-    WITH knn AS (
+def _knn_graph_oracle_sql(cell_cap: int = CELL_CAP) -> str:
+    """sim_knn_graph's oracle, parametric in the cell cap (same active-cap
+    test coverage as _ivf_oracle_sql)."""
+    return f"""
+    WITH {_capped_sub_cte(cell_cap)},
+    knn AS (
       SELECT vec_id, nn_id, cos_sim, rank FROM (
         SELECT q.vec_id, c.vec_id AS nn_id,
-               {_SQL_COS} AS cos_sim,
+               {_SQL_COS_V} AS cos_sim,
                CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 {_SQL_COS} DESC, c.vec_id) AS INTEGER) AS rank
-        FROM embeddings q JOIN embeddings c
-          ON c.label = q.label AND c.vec_id <> q.vec_id
+                 {_SQL_COS_V} DESC, c.vec_id) AS INTEGER) AS rank
+        FROM sub q JOIN sub c
+          ON c.label = q.label AND c.sub_bucket = q.sub_bucket
+         AND c.vec_id <> q.vec_id
       ) WHERE rank <= {KNN_GRAPH_K}
     )
     SELECT a.vec_id, a.nn_id, a.cos_sim, a.rank,
            CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_mutual
     FROM knn a LEFT JOIN knn b
       ON b.vec_id = a.nn_id AND b.nn_id = a.vec_id
-    """,
+    """
+
+
+@query(
+    "sim_knn_graph",
+    oracle=_knn_graph_oracle_sql(),
     tags=("similarity", "ann", "graph"),
 )
 def sim_knn_graph(spark, sf_dir):
@@ -612,17 +661,25 @@ def sim_knn_graph(spark, sf_dir):
     step of graph-based ANN indexes (NN-descent seeding, HNSW layers) and
     density clustering, where mutual-kNN edges are the high-precision
     subgraph. Candidates come from the IVF cell (label = coarse-quantizer
-    cell, hot cells sub-bucketed via with_capped_cell in the nn-dedup twin),
-    so edge generation is per-cell, never global all-pairs; mutuality is a
+    cell), with hot cells sub-bucketed via with_capped_cell HERE too
+    (code-review r6: edge generation previously had no skew bound of its
+    own and the docstring deferred to the nn-dedup twin), so edge
+    generation is per-cell and cap-bounded, never global all-pairs — and
+    the oracle models the same split. Mutuality is a
     self-join of the kNN edge list on reversed endpoints — edge-list-sized,
     not corpus-sized. The edge list is checkpointed once so the mutuality
     probe does not re-run the per-cell scoring for its second side."""
-    e = load(spark, sf_dir, "embeddings")
+    return _knn_graph(load(spark, sf_dir, "embeddings"))
+
+
+def _knn_graph(e, cell_cap: int = CELL_CAP):
+    e = with_capped_cell(e, "label", cell_cap)
     a = e.alias("a")
     b = e.alias("b")
     scored = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.sub_bucket") == F.col("b.sub_bucket"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_id"),

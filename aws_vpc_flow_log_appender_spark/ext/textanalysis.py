@@ -402,6 +402,28 @@ def text_repetition_ratio(spark, sf_dir):
     )
 
 
+def _doc_shingles(docs, width: int, cols: list[str]):
+    """Distinct width-token shingles per document over ``cols`` identity
+    columns — the shared explode/slice/distinct pipeline behind
+    text_contamination_check and text_cross_doc_repeats (code-review r6:
+    the two inline copies could drift, e.g. on the short-doc filter).
+    Docs shorter than one shingle are excluded (Spark's sequence() would
+    descend on a negative stop; DuckDB's generate_series returns empty)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingle = F.array_join(F.slice(F.col("l"), F.col("i") + 1, width), " ")
+    return (
+        docs.filter(n >= width)
+        .select(
+            *cols,
+            toks.alias("l"),
+            F.explode(F.sequence(F.lit(0), n - width)).alias("i"),
+        )
+        .select(*cols, shingle.alias("shingle"))
+        .distinct()
+    )
+
+
 CONTAM_SHINGLE = 8  # tokens per contamination shingle
 BENCHMARK_SOURCE = "src0"  # stands in for the held-out eval set
 
@@ -449,21 +471,7 @@ def text_contamination_check(spark, sf_dir):
     from .dedup import _spread_input
 
     def shingles(docs, cols):
-        toks = F.split("text", " ")
-        n = F.size(toks)
-        shingle = F.array_join(
-            F.slice(F.col("l"), F.col("i") + 1, CONTAM_SHINGLE), " "
-        )
-        return (
-            docs.filter(n >= CONTAM_SHINGLE)
-            .select(
-                *cols,
-                toks.alias("l"),
-                F.explode(F.sequence(F.lit(0), n - CONTAM_SHINGLE)).alias("i"),
-            )
-            .select(*cols, shingle.alias("shingle"))
-            .distinct()
-        )
+        return _doc_shingles(docs, CONTAM_SHINGLE, cols)
 
     sh = shingles(
         _spread_input(load(spark, sf_dir, "documents")), ["doc_id", "source"]
@@ -903,21 +911,7 @@ def text_cross_doc_repeats(spark, sf_dir):
     The frequency table is vocabulary-sized, so nothing here is all-pairs
     and no stage depends on corpus row count beyond linear scans."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    shingle = F.array_join(
-        F.slice(F.col("l"), F.col("i") + 1, REPEAT_SHINGLE), " "
-    )
-    sh = (
-        d.filter(n >= REPEAT_SHINGLE)
-        .select(
-            "doc_id",
-            toks.alias("l"),
-            F.explode(F.sequence(F.lit(0), n - REPEAT_SHINGLE)).alias("i"),
-        )
-        .select("doc_id", shingle.alias("shingle"))
-        .distinct()
-    )
+    sh = _doc_shingles(d, REPEAT_SHINGLE, ["doc_id"])
     freq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
     rep = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
     return (

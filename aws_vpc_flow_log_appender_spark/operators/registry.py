@@ -148,8 +148,19 @@ def ordered_registry() -> dict[str, QuerySpec]:
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # noqa: D401
-    """Decorator registering a query under ``name``."""
+    """Decorator registering a query under ``name``.
+
+    Raises on a duplicate name: a copy-pasted @query would otherwise
+    silently overwrite the earlier registration, dropping a query from the
+    surface and shifting the driver window with no signal (code-review r6 —
+    the same catch-at-import discipline ordered_registry applies to
+    PRIORITY_ORDER typos)."""
     def deco(fn):
+        if name in QUERY_REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already registered "
+                f"by {QUERY_REGISTRY[name].fn.__module__}"
+            )
         QUERY_REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
         return fn
     return deco

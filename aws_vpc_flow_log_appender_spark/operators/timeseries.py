@@ -11,8 +11,23 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import round_half_up
+from ..functions import fdiv_sql, round_half_up
 from .registry import load, query
+
+
+def _hourly_spine(e, alias: str = "window_start"):
+    """Dense hourly spine spanning the events frame: (hour_epoch expression,
+    spine DataFrame). Shared by ts_gap_fill / ts_interpolate_linear /
+    ts_autocorr (code-review r6: the bounds + explode(sequence) construction
+    was copy-pasted three times, so a spine-semantics fix had to land in
+    three places). The spine derives from a 1-row aggregate, so it
+    broadcasts at any corpus scale."""
+    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
+    bounds = e.agg(F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias(alias)
+    )
+    return hour_epoch, spine
 
 
 @query(
@@ -201,13 +216,7 @@ def ts_gap_fill(spark, sf_dir):
     computed from a 1-row aggregate, so it broadcasts. Counts are restricted
     to purchase events so genuine zero-filled gap hours exist at test SFs."""
     e = load(spark, sf_dir, "events")
-    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
-    bounds = e.agg(
-        F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_start")
-    )
+    hour_epoch, spine = _hourly_spine(e)
     actual = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(hour_epoch.alias("window_start"))
@@ -335,9 +344,13 @@ def ts_weighted_moving_avg(spark, sf_dir):
 
 @query(
     "ts_rolling_distinct",
-    oracle="""
+    # fdiv_sql, not bare `//`: DuckDB's // truncates toward zero while
+    # Spark's floor() floors, so a pre-1970 timestamp (negative epoch)
+    # would land in different day buckets on the two engines — the fixture
+    # is post-1970 but the oracle must hold for any input (code-review r6)
+    oracle=f"""
     WITH pairs AS (
-      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      SELECT DISTINCT {fdiv_sql('CAST(floor(epoch(ts)) AS BIGINT)', '86400')} AS day,
              user_id
       FROM events
     ),
@@ -449,14 +462,8 @@ def ts_interpolate_linear(spark, sf_dir):
     Carrying (t, v) as one struct keeps the endpoint pair consistent
     (struct max orders by t first, so max(known) IS the latest known point).
     """
-    from pyspark.sql import Window as W
-
     e = load(spark, sf_dir, "events")
-    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
-    bounds = e.agg(F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi"))
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_start")
-    )
+    hour_epoch, spine = _hourly_spine(e)
     actual = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(hour_epoch.alias("window_start"))
@@ -574,21 +581,13 @@ def ts_autocorr(spark, sf_dir):
     the scaled-integer PageRank, applied to second moments). The lag
     window is per-lag over the spine — hours, not events, so its size is
     time-span-bounded at any corpus scale."""
-    from pyspark.sql import Window as W
-
     e = load(spark, sf_dir, "events")
-    hour_epoch = F.unix_timestamp(F.date_trunc("hour", "ts"))
-    bounds = e.agg(F.min(hour_epoch).alias("lo"), F.max(hour_epoch).alias("hi"))
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h")
-    )
+    hour_epoch, spine = _hourly_spine(e, alias="h")
     actual = e.groupBy(hour_epoch.alias("h")).agg(F.count("*").alias("x"))
     series = spine.join(actual, "h", "left").select(
         "h", F.coalesce("x", F.lit(0)).alias("x")
     )
-    lags = spark.range(0).sparkSession.createDataFrame(
-        [(1,), (24,)], ["lag"]
-    )
+    lags = spark.createDataFrame([(1,), (24,)], ["lag"])
     pairs = series.crossJoin(F.broadcast(lags))
     w = W.partitionBy("lag").orderBy("h")
     # lead() needs a literal offset; lag is a column, so express y via a
@@ -679,7 +678,14 @@ def ts_ewma(spark, sf_dir):
     state, no per-key overhead."""
     import pandas as pd
 
-    ev = load(spark, sf_dir, "events").select(
+    # NULL user_ids are excluded EXPLICITLY (code-review r6): the oracle's
+    # recursive joins drop them anyway, but inside the fold a NULL key
+    # becomes float64 NaN in pandas and NaN != NaN makes every null row its
+    # own "key change" — emitting NaN user_ids the long output schema
+    # cannot hold. The filter pins engine and oracle to the same domain.
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v"),
@@ -776,7 +782,10 @@ def ts_holt_trend(spark, sf_dir):
     recursive-CTE oracle via fdiv_sql."""
     import pandas as pd
 
-    ev = load(spark, sf_dir, "events").select(
+    # NULL user_ids excluded for the same NaN-key reason as ts_ewma
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v"),

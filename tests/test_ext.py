@@ -121,13 +121,13 @@ def test_hot_cell_cap_bounds_candidates(spark):
         rows, "vec_id long, label long, embedding array<double>"
     )
 
-    capped = with_capped_cell(e, "label", cell_cap=32, n_sub_bits=3)
+    capped = with_capped_cell(e, "label", cell_cap=32, n_sub_bits=3, dim=8)
     sizes = [r["n"] for r in capped.groupBy("sub_bucket").agg(
         F.count("*").alias("n")).collect()]
     assert len(sizes) > 1, "hot cell was not split"
     assert sum(n * n for n in sizes) < 128 * 128  # candidate bound tightened
 
-    inactive = with_capped_cell(e, "label", cell_cap=128, n_sub_bits=3)
+    inactive = with_capped_cell(e, "label", cell_cap=128, n_sub_bits=3, dim=8)
     assert inactive.select("sub_bucket").distinct().collect()[0]["sub_bucket"] == 0
     assert inactive.filter(F.col("sub_bucket") != 0).count() == 0
 
@@ -146,10 +146,10 @@ def test_embedding_nn_capped_stays_within_sub_buckets(spark):
         rows, "vec_id long, label long, embedding array<double>"
     )
     nn = {r["vec_id"]: r["nn_id"]
-          for r in _embedding_nn(e, cell_cap=16, n_sub_bits=2).collect()}
+          for r in _embedding_nn(e, cell_cap=16, n_sub_bits=2, dim=8).collect()}
     assert nn, "no neighbors found"
     bucket = {r["vec_id"]: r["sub_bucket"]
-              for r in with_capped_cell(e, "label", 16, 2).collect()}
+              for r in with_capped_cell(e, "label", 16, 2, dim=8).collect()}
     for v, n in nn.items():
         assert bucket[v] == bucket[n]
 
@@ -636,3 +636,42 @@ def test_dedup_segments_scrub_removes_planted_duplicate(spark, tmp_path):
     assert out[1]["kept_md5"] == md5(tail_a)
     assert out[2]["kept_md5"] == md5(tail_b)
     assert out[3]["n_dup_segments"] == 0 and out[3]["kept_md5"] == md5(uniq_c)
+
+
+def test_capped_cell_path_matches_oracle_when_active(spark, sf_dir):
+    """Code-review r6 closure: the hot-cell sub-bucket path must match its
+    DuckDB oracle WITH THE CAP ENGAGED (the registered queries only prove
+    the cap-inactive fixture path; previously the oracle joined on label
+    alone and the safety valve broke the correctness gate the moment it
+    activated). Force a tiny cap so every fixture cell is 'hot', run the
+    Spark plan and the parametric oracle SQL, and compare rows exactly."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from verify_local import compare, duck_connect, normalize  # noqa: F401
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        _embedding_pairs,
+        _embedding_pairs_oracle_sql,
+    )
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        _ivf_oracle_sql,
+        _ivf_topk,
+        load,
+    )
+
+    cap = 16  # far below fixture cell sizes -> every cell sub-bucketed
+    con = duck_connect(sf_dir)
+
+    e = load(spark, sf_dir, "embeddings")
+    spark_ivf = _ivf_topk(e, cell_cap=cap).toPandas()
+    duck_ivf = con.execute(_ivf_oracle_sql(cell_cap=cap)).df()
+    assert len(spark_ivf) > 0  # non-vacuous
+    assert compare("ivf_capped", spark_ivf, duck_ivf) == []
+
+    spark_pairs = _embedding_pairs(e, cell_cap=cap).toPandas()
+    duck_pairs = con.execute(_embedding_pairs_oracle_sql(cell_cap=cap)).df()
+    assert compare("pairs_capped", spark_pairs, duck_pairs) == []
+    # the cap must actually bite: fewer candidate pairs than uncapped
+    uncapped = con.execute(_embedding_pairs_oracle_sql()).df()
+    assert len(spark_pairs) <= len(uncapped)
