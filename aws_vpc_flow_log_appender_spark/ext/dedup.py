@@ -583,13 +583,15 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
                   dim: int | None = None):
     from .similarity import CELL_CAP, EMB_DIM, N_SUB_BITS, with_capped_cell
 
+    # checkpointed: both self-join sides derive from the capped frame (see
+    # _ivf_topk's rationale — one corpus pass, not two)
     e = with_capped_cell(
         e,
         "label",
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
-    )
+    ).localCheckpoint(eager=False)
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
@@ -670,13 +672,15 @@ def _embedding_pairs(e, threshold: float = 0.35,
                      dim: int | None = None):
     from .similarity import CELL_CAP, EMB_DIM, N_SUB_BITS, with_capped_cell
 
+    # checkpointed: both self-join sides derive from the capped frame (see
+    # _ivf_topk's rationale — one corpus pass, not two)
     e = with_capped_cell(
         e,
         "label",
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
-    )
+    ).localCheckpoint(eager=False)
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(

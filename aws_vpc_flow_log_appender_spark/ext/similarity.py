@@ -234,7 +234,15 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 def _ivf_topk(e, cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS):
-    e = with_capped_cell(e, "label", cell_cap, n_sub_bits)
+    # checkpoint the capped frame: BOTH join branches (query set + corpus)
+    # derive from it, and without the materialization each branch re-runs
+    # the cell-size aggregate and the sub-bucket projection over the corpus
+    # (profiled: the checkpoint beats the double build at sf0.1 and removes
+    # a second corpus pass at any scale; corpus-row-bounded, the same
+    # discipline as the banded dedup tables)
+    e = with_capped_cell(e, "label", cell_cap, n_sub_bits).localCheckpoint(
+        eager=False
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -673,7 +681,8 @@ def sim_knn_graph(spark, sf_dir):
 
 
 def _knn_graph(e, cell_cap: int = CELL_CAP):
-    e = with_capped_cell(e, "label", cell_cap)
+    # checkpointed for the same both-sides reason as _ivf_topk
+    e = with_capped_cell(e, "label", cell_cap).localCheckpoint(eager=False)
     a = e.alias("a")
     b = e.alias("b")
     scored = a.join(
