@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.registry import load, query
-from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG, _SQL_SHINGLED
+from .dedup import _SQL_BANDS, _SQL_MINHASH_SIG
 from .graph import connected_components
 from . import dedup as dedup_mod
 
@@ -69,9 +69,9 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "n_chars")
 
 
-"""MinHash-LSH candidate pairs over an arbitrary documents-shaped frame:
-the shared implementation in dedup.py (the registered dedup_minhash_lsh
-reads the full table; the pipeline runs it over the gated subset)."""
+# MinHash-LSH candidate pairs over an arbitrary documents-shaped frame:
+# the shared implementation in dedup.py (the registered dedup_minhash_lsh
+# reads the full table; the pipeline runs it over the gated subset)
 _minhash_pairs_for = dedup_mod._minhash_pairs_for
 
 

@@ -152,7 +152,6 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -179,11 +178,23 @@ def connected_components(
             )
             .localCheckpoint()  # cut lineage: plans stay O(1) per round
         )
-        cur_sum = updated.agg(F.sum("comp")).collect()[0][0]
+        # Convergence = ZERO labels changed this round — a type-agnostic,
+        # overflow-free probe (code-review r6: the old F.sum("comp")
+        # fingerprint was numeric-only, so the operator's documented
+        # string-id support broke on the distributed path — NULL sums under
+        # lenient casting made it "converge" after one round with wrong
+        # labels, ANSI made it throw — and long-id sums could overflow).
+        # One nodes-sized join per round against the previous labels, on
+        # the same checkpointed tables the loop already maintains.
+        n_changed = (
+            updated.alias("u")
+            .join(nodes.alias("p"), F.col("u.id") == F.col("p.id"))
+            .filter(~F.col("u.comp").eqNullSafe(F.col("p.comp")))
+            .count()
+        )
         nodes = updated
-        if cur_sum == prev_sum:
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

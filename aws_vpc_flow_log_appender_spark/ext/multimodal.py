@@ -254,10 +254,23 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
                     statuses.append("no-payload")
                     continue
                 if have_pil:  # pragma: no cover - real decode path
-                    img = Image.open(io.BytesIO(payload)).resize((width, height))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    out, status = buf.getvalue(), "resized"
+                    # per-row guard, mirroring decode_and_featurize: most
+                    # payloads are NOT images (audio/video mimes, corrupt
+                    # files), and an unguarded Image.open would fail the
+                    # whole job on the first one — degrade row-wise to the
+                    # synthetic resample instead (code-review r6)
+                    try:
+                        img = Image.open(io.BytesIO(payload)).resize(
+                            (width, height)
+                        )
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out, status = buf.getvalue(), "resized"
+                    except Exception:
+                        out, status = (
+                            synthetic(bytes(payload)),
+                            "resize-failed-synthetic",
+                        )
                 else:
                     out, status = synthetic(bytes(payload)), "synthetic-resized"
                 new_meta = dict(meta) if meta is not None else {
@@ -642,7 +655,7 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
       SELECT media_id, text, n, CAST(n // 2 AS BIGINT) AS n_frames
       FROM src WHERE n > 0
     ),
-    geo2 AS (SELECT * FROM geo WHERE n >= 2),
+    geo2 AS (SELECT * FROM geo WHERE octet_length(encode(text)) >= 2),
     sums AS (
       SELECT g.media_id,
              CAST(sum(abs(
@@ -681,9 +694,13 @@ def multimodal_wav_decode(spark, sf_dir):
     even-position char). Plan: scan -> encode mapInPandas -> decode
     mapInPandas, zero shuffles."""
     # domain = docs with at least one full 16-bit sample (>= 2 payload
-    # bytes), matching the oracle's n_frames = n // 2 arithmetic exactly —
-    # encode_wav's zero-padding of sub-sample inputs would otherwise mint a
-    # frame the oracle cannot see. The fixture's min length is 44.
+    # BYTES — and the oracle's geo2 filter measures octet_length too, so
+    # engine and oracle agree on the domain for ANY text, not just ASCII;
+    # code-review r6 caught the old chars-vs-bytes mismatch on one-char
+    # multi-byte docs). encode_wav's zero-padding of sub-sample inputs
+    # would otherwise mint a frame the oracle cannot see. The oracle's
+    # VALUE reconstruction (per-char ascii) remains ASCII-dependent by
+    # documented design; the fixture's min length is 44.
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.octet_length(F.encode("text", "utf-8")) >= 2)

@@ -21,20 +21,37 @@ TRAIN_THRESHOLD = 3865470566
 HASH_SPACE = 4294967296  # 2^32
 
 
+def _hash_prefix_sql(expr: str, salt: str, n_hex: int = 8) -> str:
+    """First ``n_hex`` hex chars of md5('<salt>:' || expr) as BIGINT
+    (DuckDB). Width-parameterized so the 32-bit split hash and the 24-bit
+    temperature hash share ONE definition (code-review r6: two hand-copied
+    variants could drift and silently decorrelate Spark from the oracle)."""
+    return (f"CAST('0x' || substr(md5('{salt}:' || CAST({expr} AS VARCHAR)),"
+            f" 1, {n_hex}) AS BIGINT)")
+
+
 def _hash32_sql(expr: str, salt: str) -> str:
-    """First 32 bits of md5('<salt>:' || expr) as BIGINT (DuckDB)."""
-    return f"CAST('0x' || substr(md5('{salt}:' || CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+    return _hash_prefix_sql(expr, salt, 8)
 
 
-def hash32(col, salt: str):
-    """First 32 bits of md5('<salt>:' || col) as long — engine-portable
-    (Spark twin of _hash32_sql; the salt namespaces independent splits so a
-    second split of the same corpus is uncorrelated with the first)."""
+def hash_prefix(col, salt: str, n_hex: int = 8):
+    """Spark twin of _hash_prefix_sql: first n_hex hex chars of the salted
+    md5 as long — engine-portable, row-pure (the salt namespaces
+    independent splits so a second split of the same corpus is
+    uncorrelated with the first)."""
     return F.conv(
-        F.substring(F.md5(F.encode(F.concat(F.lit(f"{salt}:"), col.cast("string")), "utf-8")), 1, 8),
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{salt}:"), col.cast("string")),
+                           "utf-8")),
+            1, n_hex,
+        ),
         16,
         10,
     ).cast("long")
+
+
+def hash32(col, salt: str):
+    return hash_prefix(col, salt, 8)
 
 
 @query(
@@ -220,7 +237,7 @@ TEMP_HASH_SPACE = 16777216  # 2^24: first 6 hex chars of md5
 
 
 def _hash24_sql(expr: str, salt: str) -> str:
-    return f"CAST('0x' || substr(md5('{salt}:' || CAST({expr} AS VARCHAR)), 1, 6) AS BIGINT)"
+    return _hash_prefix_sql(expr, salt, 6)
 
 
 @query(
@@ -262,13 +279,7 @@ def sample_temperature(spark, sf_dir):
             F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")) * 1000000 + 0.5
         ).cast("long").alias("rate_ppm"),
     )
-    hash24 = F.conv(
-        F.substring(
-            F.md5(F.encode(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")), "utf-8")),
-            1, 6,
-        ),
-        16, 10,
-    ).cast("long")
+    hash24 = hash_prefix(F.col("doc_id"), "temp", 6)
     selected = F.when(hash24 * 1000000 < F.col("rate_ppm") * TEMP_HASH_SPACE, 1).otherwise(0)
     return (
         d.join(F.broadcast(rates), "lang")
@@ -315,9 +326,13 @@ def sample_mix_epochs(spark, sf_dir):
     )
     tok = d.groupBy("source").agg(F.sum(n_tok).cast("long").alias("n_tokens"))
     mx = tok.agg(F.max("n_tokens").alias("max_tokens"))
+    # exact integer `div`, not floor(double /): a true quotient just below
+    # an epoch boundary rounds UP across the integer once token counts pass
+    # ~2^52, diverging from the oracle's exact `//` (code-review r6 — the
+    # same hazard ADVICE r4 fixed in the Markov NLL)
     epochs = F.least(
         F.lit(MAX_EPOCHS),
-        F.greatest(F.lit(1), F.floor(F.col("max_tokens") / F.col("n_tokens"))),
+        F.greatest(F.lit(1), F.expr("max_tokens div n_tokens")),
     ).cast("long")
     return (
         tok.crossJoin(F.broadcast(mx))

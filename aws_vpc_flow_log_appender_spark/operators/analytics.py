@@ -100,7 +100,12 @@ def retention_cohorts(spark, sf_dir):
     unbounded at scale — so join strategy is left to Catalyst/AQE (broadcast
     when genuinely small, shuffle on user_id otherwise)."""
     e = load(spark, sf_dir, "events")
-    day_num = (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast("long")
+    # floor, not cast: cast truncates toward zero, so a pre-1970 timestamp
+    # (negative epoch) would land one day later than the oracle's floor()
+    # bucket (code-review r6 — same class as ts_rolling_distinct)
+    day_num = F.floor(
+        F.unix_timestamp(F.date_trunc("day", "ts")) / 86400
+    ).cast("long")
     first_day = e.groupBy("user_id").agg(F.min(day_num).alias("cohort_day"))
     activity = (
         e.select("user_id", day_num.alias("day"))
@@ -157,8 +162,12 @@ def events_top_paths(spark, sf_dir):
         F.lag("event_type", 1).over(w).alias("p1"),
         F.lag("event_type", 2).over(w).alias("p2"),
     )
+    # F.concat, not concat_ws: concat_ws silently SKIPS NULL elements, so
+    # a NULL event_type would collapse into a well-formed-looking 2-step
+    # path and inflate a real bucket, while the oracle's `||` propagates
+    # NULL — concat matches `||` exactly (code-review r6)
     paths = seq.filter(F.col("p2").isNotNull()).select(
-        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        F.concat("p2", F.lit(">"), "p1", F.lit(">"), "event_type").alias("path")
     )
     rank_w = W.orderBy(F.desc("n_occurrences"), F.asc("path"))
     return (

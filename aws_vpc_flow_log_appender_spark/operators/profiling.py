@@ -224,7 +224,12 @@ def dq_expectations(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     d = load(spark, sf_dir, "documents")
 
-    def report(name, n_checked_col, violation_col, frame):
+    # n_checked counts the frame's rows (for FK branches: post-join rows —
+    # a fanned-out duplicate key multi-counts, which is the desired signal
+    # strength when referential data is bad). The old signature carried an
+    # unused n_checked_col parameter that implied column-scoped counting it
+    # never did (code-review r6).
+    def report(name, violation_col, frame):
         return frame.agg(
             F.count(F.lit(1)).alias("n_checked"),
             F.sum(violation_col.cast("int")).cast("long").alias("n_violations"),
@@ -238,19 +243,19 @@ def dq_expectations(spark, sf_dir):
     lo = l.join(o, l.l_orderkey == o.o_orderkey, "left")
     oc = o.join(c, o.o_custkey == c.c_custkey, "left")
     branches = [
-        report("lineitem.orderkey_references_orders", "l_orderkey",
+        report("lineitem.orderkey_references_orders",
                F.col("o_orderkey").isNull(), lo),
-        report("orders.custkey_references_customer", "o_custkey",
+        report("orders.custkey_references_customer",
                F.col("c_custkey").isNull(), oc),
-        report("lineitem.quantity_in_1_to_50", "l_quantity",
+        report("lineitem.quantity_in_1_to_50",
                F.col("l_quantity").isNull()
                | (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), l),
-        report("lineitem.discount_in_0_to_0.1", "l_discount",
+        report("lineitem.discount_in_0_to_0.1",
                F.col("l_discount").isNull()
                | (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), l),
-        report("orders.orderdate_not_null", "o_orderdate",
+        report("orders.orderdate_not_null",
                F.col("o_orderdate").isNull(), o),
-        report("documents.text_not_empty", "text",
+        report("documents.text_not_empty",
                F.col("text").isNull() | (F.length("text") == 0), d),
     ]
     out = branches[0]

@@ -57,31 +57,28 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #  - slots 34-42: similarity/embedding (capped hot-cell path now
 #    deterministic and modeled in the oracles; _cos generalized) and the
 #    two shared-shingle textanalysis queries.
-#  - slots 43-48: earlier-r6 changes retained (hint-free dedup weights,
-#    clusters/curation, vocabulary unhints, exact dedup).
-#  - slots 49-50: stale rotation (json_extract, set_union_all_tagged).
-# Deferred re-witnesses share code paths with retained window members (the
-# set/window/sort families), per the r5 rotation note.
+#  - slots 41-50: the fourth review pass's semantic changes (CC
+#    convergence probe, concat NULL semantics, floor day buckets, exact
+#    integer epochs, unified hash helpers, dq report signature) plus the
+#    earlier-r6 fan-out/hint changes (minhash/simhash pairs, dedup
+#    weights/clusters/curation, vocabulary unhints, exact dedup).
+# More queries changed in r6 than the window holds; every deferred
+# re-witness shares its changed code path with a retained member (the
+# seven deferred flowlog_* consumers share parse/enrich with the eleven
+# retained; json_extract/set_union_all_tagged's package.py is untouched).
 PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pair_stats",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "dedup_lsh_bucket_stats",
     "flowlog_enrich",
-    "flowlog_acl_flip_pairs",
     "flowlog_beaconing",
     "flowlog_blast_radius",
     "flowlog_byte_anomalies",
-    "flowlog_bytes_per_security_group",
-    "flowlog_chi2_protocol_action",
-    "flowlog_cidr_rollup",
-    "flowlog_conversations",
     "flowlog_cusum_drift",
     "flowlog_ddos_targets",
     "flowlog_incident_feed",
     "flowlog_port_scans",
-    "flowlog_rejected_by_port",
-    "flowlog_service_mix",
     "flowlog_top_talkers",
     "flowlog_traffic_by_direction",
     "agg_flowlog_domain",
@@ -111,8 +108,15 @@ PRIORITY_ORDER: list[str] = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "dedup_exact",
-    "json_extract",
-    "set_union_all_tagged",
+    "events_top_paths",
+    "retention_cohorts",
+    "sample_mix_epochs",
+    "sample_temperature",
+    "dq_expectations",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sample_weighted_reservoir",
+    "sample_holdout_split",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

@@ -65,6 +65,17 @@ def firehose_sink(stream_name: str,
                 chunk = [
                     rec for rec, r in zip(chunk, responses) if r.get("ErrorCode")
                 ]
+                # the per-record ErrorCodes must account for EVERY failure
+                # the batch header claims — if they don't (entries missing
+                # ErrorCode), records AWS reported failed would be neither
+                # retried nor surfaced (code-review r6: same never-silently-
+                # drop rule as the length-mismatch guard above)
+                if len(chunk) != resp["FailedPutCount"]:
+                    raise RuntimeError(
+                        "firehose response inconsistent: FailedPutCount="
+                        f"{resp['FailedPutCount']} but {len(chunk)} entries "
+                        "carry an ErrorCode — refusing to silently drop"
+                    )
                 attempt += 1
                 if attempt >= max_attempts:
                     raise RuntimeError(

@@ -468,6 +468,32 @@ def test_connected_components_rejects_null_endpoints(spark):
             connected_components(edges, small_edge_cap=cap).collect()
 
 
+def test_connected_components_string_ids_both_paths(spark):
+    """String node ids through BOTH execution paths (code-review r6: the
+    distributed loop's convergence probe was F.sum("comp") — numeric-only,
+    so string-id graphs either "converged" after one round with wrong
+    labels under lenient casting or threw under ANSI, a silent behavioral
+    fork the operator's own docstring forbids). A 5-node chain needs
+    several propagation rounds, so a premature round-1 exit would be
+    caught here."""
+    from aws_vpc_flow_log_appender_spark.ext.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    fast = {
+        (r.doc_id, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    distributed = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges, small_edge_cap=0).collect()
+    }
+    assert fast == distributed
+    assert fast == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                    ("e", "a"), ("x", "x"), ("y", "x")}
+
+
 def test_connected_components_paths_agree(spark):
     """The driver union-find fast path and the distributed pointer-jumping
     loop must label identically. The fixture-scale sweeps only ever exercise

@@ -38,6 +38,30 @@ def test_firehose_sink_chunks_at_500(spark, tmp_path):
     assert all(s == "test-stream" for s, _ in calls)
 
 
+def test_firehose_sink_refuses_inconsistent_failed_count(spark, tmp_path):
+    """A Firehose response claiming FailedPutCount > 0 whose per-record
+    entries carry NO ErrorCode must raise, not return success — the old
+    code filtered the retry chunk to empty and silently dropped the
+    records AWS reported failed (code-review r6)."""
+
+    def make_client():
+        class LyingFirehose:
+            def put_record_batch(self, DeliveryStreamName, Records):
+                return {
+                    "FailedPutCount": 1,
+                    "RequestResponses": [
+                        {"RecordId": str(i)} for i in range(len(Records))
+                    ],
+                }
+
+        return LyingFirehose()
+
+    df = spark.createDataFrame([(str(i),) for i in range(10)], ["Data"]).coalesce(1)
+    sink = firehose_sink("test-stream", client_factory=make_client)
+    with pytest.raises(Exception, match="inconsistent|ErrorCode"):
+        sink(df, epoch_id=0)
+
+
 class FakeEC2:
     def describe_network_interfaces(self, **kwargs):
         if "NextToken" not in kwargs:
