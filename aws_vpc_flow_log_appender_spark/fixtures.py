@@ -100,7 +100,19 @@ def geo_dim_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, GEO_DIM_SCHEMA)
 
 
-_GEO_FLAT_CACHE: dict[int, DataFrame] = {}
+import threading as _threading
+import weakref as _weakref
+from collections import OrderedDict as _OrderedDict
+
+# Same guarded shape as registry._SCAN_CACHE (code-review r6: the previous
+# bare {id(sc): df} dict had no liveness probe — after a context restart,
+# CPython id reuse could hand back a checkpointed DataFrame bound to a DEAD
+# SparkContext — no bound, and no lock for multi-threaded drivers).
+_GEO_FLAT_CACHE: "_OrderedDict[int, tuple[_weakref.ref, DataFrame]]" = (
+    _OrderedDict()
+)
+_GEO_FLAT_MAX = 4
+_GEO_FLAT_LOCK = _threading.Lock()
 
 
 def geo_dim_flat_df(spark: SparkSession) -> DataFrame:
@@ -112,13 +124,27 @@ def geo_dim_flat_df(spark: SparkSession) -> DataFrame:
     every query invocation bills its fixed dim-prep stages to each query.
     The streaming path (streaming/flowlog.py) already pre-flattens for the
     same reason; this is the batch twin. Deterministic, so memoizing across
-    invocations cannot change results; keyed by SparkContext identity so a
-    driver-created fresh session gets its own materialization."""
+    invocations cannot change results; keyed by SparkContext identity (with
+    a weakref liveness probe against id reuse) so a driver-created fresh
+    session gets its own materialization."""
     from .enrich import flatten_geo_dim
 
-    key = id(spark.sparkContext)
-    cached = _GEO_FLAT_CACHE.get(key)
-    if cached is None:
-        cached = flatten_geo_dim(geo_dim_df(spark)).localCheckpoint(eager=True)
-        _GEO_FLAT_CACHE[key] = cached
+    sc = spark.sparkContext
+    with _GEO_FLAT_LOCK:
+        dead = [k for k, (ref, _) in _GEO_FLAT_CACHE.items() if ref() is None]
+        for k in dead:
+            del _GEO_FLAT_CACHE[k]
+        key = id(sc)
+        ent = _GEO_FLAT_CACHE.get(key)
+        if ent is not None and ent[0]() is sc:  # liveness: id() can be reused
+            _GEO_FLAT_CACHE.move_to_end(key)
+            return ent[1]
+    # materialize OUTSIDE the lock (runs Spark jobs); recompute races are
+    # benign — the result is deterministic and last-writer-wins
+    cached = flatten_geo_dim(geo_dim_df(spark)).localCheckpoint(eager=True)
+    with _GEO_FLAT_LOCK:
+        _GEO_FLAT_CACHE[key] = (_weakref.ref(sc), cached)
+        _GEO_FLAT_CACHE.move_to_end(key)
+        while len(_GEO_FLAT_CACHE) > _GEO_FLAT_MAX:
+            _GEO_FLAT_CACHE.popitem(last=False)
     return cached

@@ -232,20 +232,26 @@ def map_funcs(spark, sf_dir):
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice >
+          floor(1.5 * (SELECT avg(o_totalprice) FROM orders) * 100.0 + 0.5) / 100.0
       AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
     """,
     tags=("subquery",),
 )
 def subquery_scalar_and_in(spark, sf_dir):
     """Scalar subquery + IN subquery (planned as a one-row broadcast and a
-    left-semi join)."""
+    left-semi join). The scalar threshold is rounded to 2dp on BOTH engines
+    before comparing (code-review r6: partition-parallel vs sequential
+    summation can differ in the last ulp, and an order within an ulp of
+    1.5*avg would flip between engines — the float-boundary rule every
+    other scalar-subquery threshold here already follows)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 1.5D * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice >
+              floor(1.5D * (SELECT avg(o_totalprice) FROM orders) * 100.0D + 0.5D) / 100.0D
           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
     """)
 

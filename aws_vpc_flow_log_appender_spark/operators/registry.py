@@ -79,7 +79,6 @@ PRIORITY_ORDER: list[str] = [
     "flowlog_ddos_targets",
     "flowlog_incident_feed",
     "flowlog_port_scans",
-    "flowlog_top_talkers",
     "flowlog_traffic_by_direction",
     "agg_flowlog_domain",
     "ingest_cloudwatch_decode",
@@ -117,6 +116,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "sample_weighted_reservoir",
     "sample_holdout_split",
+    "subquery_scalar_and_in",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of
