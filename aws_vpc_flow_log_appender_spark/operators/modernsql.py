@@ -100,22 +100,24 @@ def lateral_top_nations(spark, sf_dir):
     SELECT o.o_orderkey, o.o_custkey,
            floor((o.o_totalprice) * 100.0 + 0.5) / 100.0 AS totalprice
     FROM orders o
-    WHERE o.o_totalprice > 1.5 * (
+    WHERE o.o_totalprice > floor(1.5 * (
       SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-    )
+    ) * 100.0 + 0.5) / 100.0
     """,
     tags=("modernsql", "subquery"),
 )
 def correlated_scalar_subquery(spark, sf_dir):
     """Correlated scalar subquery (orders 50% above their own customer's
     average) — Catalyst decorrelates it into an aggregate + join; no per-row
-    re-execution."""
+    re-execution. Threshold rounded to 2dp on BOTH engines before comparing
+    (the float-boundary rule: partition-parallel vs sequential avg can
+    differ in the last ulp; code-review r6)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
         SELECT o.o_orderkey, o.o_custkey,
                floor(o.o_totalprice * 100.0D + 0.5D) / 100.0D AS totalprice
         FROM orders o
-        WHERE o.o_totalprice > 1.5D * (
+        WHERE o.o_totalprice > floor(1.5D * (
           SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-        )
+        ) * 100.0D + 0.5D) / 100.0D
     """)

@@ -74,7 +74,6 @@ PRIORITY_ORDER: list[str] = [
     "flowlog_enrich",
     "flowlog_beaconing",
     "flowlog_blast_radius",
-    "flowlog_byte_anomalies",
     "flowlog_cusum_drift",
     "flowlog_ddos_targets",
     "flowlog_incident_feed",
@@ -89,7 +88,6 @@ PRIORITY_ORDER: list[str] = [
     "ts_ewma",
     "ts_holt_trend",
     "ts_rolling_distinct",
-    "ts_gap_fill",
     "ts_interpolate_linear",
     "ts_autocorr",
     "sim_ivf_topk",
@@ -117,6 +115,8 @@ PRIORITY_ORDER: list[str] = [
     "sample_weighted_reservoir",
     "sample_holdout_split",
     "subquery_scalar_and_in",
+    "correlated_scalar_subquery",
+    "json_extract",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

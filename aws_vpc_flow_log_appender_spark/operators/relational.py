@@ -201,8 +201,10 @@ def scalar_conditional(spark, sf_dir):
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+           CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val,
+           CASE WHEN (CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) >= 50
                 THEN 'high' ELSE 'low' END AS k_band
     FROM events
     WHERE event_type = 'click'
@@ -211,14 +213,20 @@ def scalar_conditional(spark, sf_dir):
 )
 def json_extract(spark, sf_dir):
     """JSON family (reference S4/P13: envelope parse + stringify,
-    ingestor/index.js:128, decorator/index.js:222)."""
+    ingestor/index.js:128, decorator/index.js:222).
+
+    k_val is guarded by an integer-regex on BOTH engines (code-review r6):
+    a non-integer props.k would CRASH Spark's plain cast under ANSI while
+    DuckDB's CAST rounds — the regex gate makes both engines yield NULL for
+    anything but a pure integer literal, crash-proof and engine-exact."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     k = F.get_json_object("props", "$.k")
+    k_int = F.when(k.rlike("^-?[0-9]+$"), k.cast("long"))
     return e.select(
         "event_id",
         k.alias("k_str"),
-        k.cast("long").alias("k_val"),
-        F.when(k.cast("long") >= 50, "high").otherwise("low").alias("k_band"),
+        k_int.alias("k_val"),
+        F.when(k_int >= 50, "high").otherwise("low").alias("k_band"),
     )
 
 

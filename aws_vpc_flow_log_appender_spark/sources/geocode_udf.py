@@ -63,6 +63,15 @@ def make_geocode_udf(resolver: Callable[[str], dict] | None = None) -> Callable[
 
     @F.pandas_udf(T.StringType())
     def _geocode_json(ips: pd.Series) -> pd.Series:
+        # Negative cache scoped to THIS Arrow batch (code-review r6): a hot
+        # IP the resolver persistently errors on (unallocated range, 403
+        # after quota exhaustion — the reference's own README.md:145
+        # incident) would otherwise issue one live RPC per ROW, deepening
+        # the very quota exhaustion being handled. Batch-local scope keeps
+        # failures retryable on the NEXT batch (a durable negative cache
+        # would pin a transient outage forever), while bounding calls to
+        # one per failing IP per batch.
+        failed: set[str] = set()
         out = []
         for ip in ips:
             if ip is None:
@@ -71,11 +80,15 @@ def make_geocode_udf(resolver: Callable[[str], dict] | None = None) -> Callable[
             if ip in cache:
                 out.append(cache[ip])
                 continue
+            if ip in failed:
+                out.append(None)
+                continue
             try:
                 geo = resolve(ip)
                 value = json.dumps({k: geo.get(k) for k in _FIELDS})
-            except Exception:  # degrade, never fail the batch; do NOT cache
-                out.append(None)  # transient outages must stay retryable
+            except Exception:  # degrade, never fail the batch
+                failed.add(ip)  # don't re-RPC this IP within the batch
+                out.append(None)
                 continue
             if len(cache) >= max_cache:
                 cache.clear()  # crude but bounded; real deployments use an LRU

@@ -108,8 +108,17 @@ def test_get_parameter_memoizes():
     assert calls["n"] == 1  # memoized like geocode.js:31,:57
 
 
-def test_geocode_udf_memoizes_and_degrades(spark):
-    def resolver(ip):
+def test_geocode_udf_memoizes_and_degrades(spark, tmp_path):
+    # the resolver runs on executors: count invocations via marker files
+    calls_dir = tmp_path / "geo_calls"
+    calls_dir.mkdir()
+
+    def resolver(ip, calls_dir=str(calls_dir)):
+        import os
+        import uuid
+
+        with open(os.path.join(calls_dir, f"{ip}-{uuid.uuid4().hex}"), "w"):
+            pass
         if ip == "1.1.1.1":
             return {"country_code": "AU", "country_name": "Australia",
                     "region_code": "", "region_name": "", "city": "",
@@ -118,7 +127,8 @@ def test_geocode_udf_memoizes_and_degrades(spark):
 
     geocode = make_geocode_udf(resolver)
     df = spark.createDataFrame(
-        [("1.1.1.1",), ("9.9.9.9",), ("1.1.1.1",), (None,)], ["ip"]
+        [("1.1.1.1",), ("9.9.9.9",), ("1.1.1.1",), ("9.9.9.9",),
+         ("9.9.9.9",), (None,)], ["ip"]
     ).coalesce(1)
     out = df.select("ip", geocode(F.col("ip")).alias("geo")).collect()
     by_ip = {}
@@ -127,6 +137,12 @@ def test_geocode_udf_memoizes_and_degrades(spark):
     assert by_ip["1.1.1.1"]["country_code"] == "AU"
     assert by_ip["9.9.9.9"] is None  # degrade-don't-fail (README.md:145 fix)
     assert by_ip[None] is None
+    calls = [p.name.rsplit("-", 1)[0] for p in calls_dir.iterdir()]
+    # positive result resolved once (memoized); the persistently-FAILING
+    # hot IP also resolved once per batch (negative cache, code-review r6:
+    # one RPC per row would deepen the quota exhaustion being handled)
+    assert calls.count("1.1.1.1") == 1
+    assert calls.count("9.9.9.9") == 1
 
 
 def test_geocode_default_resolver_is_stubbed(spark):
