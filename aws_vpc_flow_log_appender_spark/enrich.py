@@ -41,16 +41,24 @@ def ip_to_int(col: Column | str) -> Column:
     try_cast per octet: the flow-line regex's address capture is an
     unbounded ``\\d+`` quad, so a regex-valid line can carry an octet that
     overflows int64 — under Spark 4 ANSI defaults a plain cast would crash
-    the batch; try_cast degrades the address to NULL, which falls into the
-    geo-miss ''/0 default path like any other unresolvable address
-    (code-review r6)."""
+    the batch. Octets are additionally RANGE-CHECKED to 0..255: an address
+    like '1.2.3.300' is regex-valid but its positional arithmetic would
+    alias onto a DIFFERENT valid address's integer (1.2.4.44) and geolocate
+    the row to a concrete wrong range, where the reference's geocoder gets
+    no data and degrades to the ''/0 defaults (code-review r6) — any
+    out-of-range or overflowing octet now yields NULL and falls into the
+    geo-miss path."""
     c = F.col(col) if isinstance(col, str) else col
     o = F.split(c, r"\.")
-    return (
-        o.getItem(0).try_cast("long") * F.lit(16777216)
-        + o.getItem(1).try_cast("long") * F.lit(65536)
-        + o.getItem(2).try_cast("long") * F.lit(256)
-        + o.getItem(3).try_cast("long")
+    octs = [o.getItem(i).try_cast("long") for i in range(4)]
+    valid = None
+    for oc in octs:
+        ok = oc.isNotNull() & (oc >= 0) & (oc <= 255)
+        valid = ok if valid is None else (valid & ok)
+    return F.when(
+        valid,
+        octs[0] * F.lit(16777216) + octs[1] * F.lit(65536)
+        + octs[2] * F.lit(256) + octs[3],
     )
 
 
@@ -177,11 +185,17 @@ def flatten_geo_dim(geo_dim: DataFrame) -> DataFrame:
         & (iv["f_start"] >= exploded["start_ip_int"])
         & (iv["f_end"] <= exploded["end_ip_int"]),
     ).drop("__f_bkt", "__r_bkt")
-    most_specific = W.partitionBy("f_start").orderBy(
-        F.asc(F.col("end_ip_int") - F.col("start_ip_int")), F.asc("start_ip_int")
-    )
     attrs = [f.name for f in geo_dim.schema.fields
              if f.name not in ("start_ip_int", "end_ip_int")]
+    # tie-break THROUGH the attribute columns: a dirty feed carrying the
+    # same [start, end] twice with conflicting attributes would otherwise
+    # pick an arbitrary winner per shuffle (the flip-flop hazard
+    # first_match_dim eliminates for the ENI dim; code-review r6)
+    most_specific = W.partitionBy("f_start").orderBy(
+        F.asc(F.col("end_ip_int") - F.col("start_ip_int")),
+        F.asc("start_ip_int"),
+        *[F.asc_nulls_last(a) for a in attrs],
+    )
     return (
         covered.withColumn("__rn", F.row_number().over(most_specific))
         .filter(F.col("__rn") == 1)

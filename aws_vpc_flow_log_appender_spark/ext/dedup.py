@@ -94,9 +94,17 @@ def _spread_input(docs):
 
 
 def _shingled_for(docs):
-    """(doc_id, sh) — distinct 3-word shingles per documents-shaped frame."""
+    """(doc_id, sh) — distinct 3-word shingles per documents-shaped frame.
+
+    NULL-text docs are filtered EXPLICITLY (code-review r6): DuckDB's
+    list_distinct drops NULL elements while Spark's array_distinct keeps
+    one, so without the filter a NULL-text doc emitted a NULL shingle row
+    -> NULL minhash windows -> a phantom NULL band bucket the oracle never
+    sees (inflating dedup_lsh_bucket_stats' occupancy and candidate mass
+    with pairs the equality pair-join can never produce anyway)."""
     return (
-        _spread_input(docs).withColumn("words", F.split("text", " "))
+        _spread_input(docs).filter(F.col("text").isNotNull())
+        .withColumn("words", F.split("text", " "))
         .select("doc_id", F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("sh"))
     )
 
@@ -116,22 +124,38 @@ _SQL_SHINGLED = f"""
     "dedup_exact",
     oracle="""
     SELECT doc_id, md5(text) AS text_hash,
-           CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INTEGER) AS dup_rank,
-           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+           CAST(row_number() OVER (PARTITION BY
+             CASE WHEN text IS NOT NULL THEN md5(text)
+                  ELSE 'null:' || CAST(doc_id AS VARCHAR) END
+             ORDER BY doc_id) AS INTEGER) AS dup_rank,
+           CAST(count(*) OVER (PARTITION BY
+             CASE WHEN text IS NOT NULL THEN md5(text)
+                  ELSE 'null:' || CAST(doc_id AS VARCHAR) END) AS BIGINT) AS group_size
     FROM documents
     """,
     tags=("dedup", "exact"),
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup via content-hash groupBy: dup_rank 1 = the kept
-    representative, >1 = drops. One shuffle on the hash."""
+    representative, >1 = drops. One shuffle on the hash.
+
+    NULL-text docs get a per-doc key (never collapse): md5(NULL) is NULL
+    and window partitioning groups NULLs TOGETHER, so without the fallback
+    every NULL-text doc would silently merge into one survivor group —
+    the exact bug the streaming twin (streaming/dedup.py) documents and
+    guards; the batch operator and its oracle now share the same contract
+    (code-review r6). text_hash itself stays NULL for NULL text, so the
+    dead-letterable rows remain identifiable."""
     d = load(spark, sf_dir, "documents")
     h = F.md5(F.encode("text", "utf-8"))
+    key = F.when(
+        F.col("text").isNotNull(), h
+    ).otherwise(F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
     return d.select(
         "doc_id",
         h.alias("text_hash"),
-        F.row_number().over(W.partitionBy(h).orderBy("doc_id")).alias("dup_rank"),
-        F.count("*").over(W.partitionBy(h)).alias("group_size"),
+        F.row_number().over(W.partitionBy(key).orderBy("doc_id")).alias("dup_rank"),
+        F.count("*").over(W.partitionBy(key)).alias("group_size"),
     )
 
 
@@ -592,28 +616,10 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
     ).localCheckpoint(eager=False)
+    from .similarity import _cos
+
     a = e.alias("a")
     b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding").cast("array<double>"),
-            F.col("b.embedding").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.zip_with(
-                F.col(f"{side}.embedding").cast("array<double>"),
-                F.col(f"{side}.embedding").cast("array<double>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     pairs = (
         a.join(
             b,
@@ -624,7 +630,11 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nn_id"),
-            round_half_up(dot / (norm("a") * norm("b")), 6).alias("cos_sim"),
+            # similarity._cos — the ONE rounded-cosine definition shared
+            # with every similarity query and oracle (code-review r6: a
+            # local re-implementation here could drift from a rounding
+            # fix applied there)
+            _cos("a.embedding", "b.embedding").alias("cos_sim"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
@@ -681,27 +691,9 @@ def _embedding_pairs(e, threshold: float = 0.35,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
     ).localCheckpoint(eager=False)
+    from .similarity import _cos
+
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding").cast("array<double>"),
-            F.col("b.embedding").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def norm(side):
-        v = F.col(f"{side}.embedding").cast("array<double>")
-        return F.sqrt(
-            F.aggregate(
-                F.zip_with(v, v, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
     return (
         a.join(
             b,
@@ -712,7 +704,8 @@ def _embedding_pairs(e, threshold: float = 0.35,
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            round_half_up(dot / (norm("a") * norm("b")), 6).alias("cos_sim"),
+            # shared rounded-cosine definition (see _embedding_nn)
+            _cos("a.embedding", "b.embedding").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -75,7 +75,6 @@ PRIORITY_ORDER: list[str] = [
     "flowlog_beaconing",
     "flowlog_blast_radius",
     "flowlog_cusum_drift",
-    "flowlog_ddos_targets",
     "flowlog_incident_feed",
     "flowlog_port_scans",
     "flowlog_traffic_by_direction",
@@ -88,7 +87,6 @@ PRIORITY_ORDER: list[str] = [
     "ts_ewma",
     "ts_holt_trend",
     "ts_rolling_distinct",
-    "ts_interpolate_linear",
     "ts_autocorr",
     "sim_ivf_topk",
     "sim_ivf_multiprobe",
@@ -117,6 +115,8 @@ PRIORITY_ORDER: list[str] = [
     "subquery_scalar_and_in",
     "correlated_scalar_subquery",
     "json_extract",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

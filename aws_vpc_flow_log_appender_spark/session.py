@@ -38,6 +38,13 @@ def get_spark(app_name: str = "aws_vpc_flow_log_appender_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     spark = builder.getOrCreate()
+    # getOrCreate silently returns ANY pre-existing session with every
+    # builder config ignored — including the UTC timezone the oracle
+    # comparison requires. Re-apply the runtime-settable subset so a
+    # session created elsewhere first still meets the engine's contract
+    # (code-review r6); static confs (master, memory) genuinely cannot
+    # change post-start and stay as the first creator set them.
+    configure_existing(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

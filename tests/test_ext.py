@@ -701,3 +701,62 @@ def test_capped_cell_path_matches_oracle_when_active(spark, sf_dir):
     # the cap must actually bite: fewer candidate pairs than uncapped
     uncapped = con.execute(_embedding_pairs_oracle_sql()).df()
     assert len(spark_pairs) <= len(uncapped)
+
+
+def test_null_text_dedup_contracts(spark):
+    """NULL-text docs (code-review r6 pair): (a) dedup_exact must give each
+    NULL-text doc its OWN group — md5(NULL) is NULL and window partitioning
+    groups NULLs together, so without the per-doc fallback key k NULL docs
+    silently collapsed to one survivor (the exact bug the streaming twin
+    guards); (b) the shingle path must DROP NULL-text docs entirely,
+    matching DuckDB's list_distinct (Spark's array_distinct keeps a NULL,
+    which minted phantom NULL band buckets the oracle never sees)."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        _minhash_bands_for,
+        _shingled_for,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None),
+         (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    # (b) shingles: NULL-text docs contribute nothing
+    sh = _shingled_for(docs)
+    assert sh.filter(F.col("doc_id").isin(2, 3)).count() == 0
+    assert sh.filter(F.col("sh").isNull()).count() == 0
+    bands = _minhash_bands_for(docs)
+    assert bands.filter(F.col("doc_id").isin(2, 3)).count() == 0
+
+    # (a) exact dedup: the two NULL docs are separate singleton groups,
+    # while the two identical texts form one group of 2
+    from aws_vpc_flow_log_appender_spark.operators.registry import QUERY_REGISTRY
+    import tempfile, shutil
+    tmp = tempfile.mkdtemp(prefix="nulldedup_")
+    try:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")).withColumn("n_chars", F.length("text")
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = {r["doc_id"]: (r["dup_rank"], r["group_size"])
+               for r in QUERY_REGISTRY["dedup_exact"].fn(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[2] == (1, 1) and out[3] == (1, 1)  # never collapse
+    assert out[1] == (1, 2) and out[4] == (2, 2)
+
+
+def test_ip_to_int_rejects_out_of_range_octets(spark):
+    """'1.2.3.300' is regex-valid but must yield NULL, not alias onto
+    1.2.4.44's integer and geolocate to a concrete WRONG range (the
+    reference's geocoder gets no data for it and degrades to defaults)."""
+    from aws_vpc_flow_log_appender_spark.enrich import ip_to_int
+
+    rows = [("1.2.3.300",), ("1.2.4.44",), ("256.1.1.1",), ("0.0.0.0",),
+            ("255.255.255.255",)]
+    got = {r["ip"]: r["n"] for r in spark.createDataFrame(rows, ["ip"])
+           .select("ip", ip_to_int("ip").alias("n")).collect()}
+    assert got["1.2.3.300"] is None
+    assert got["256.1.1.1"] is None
+    assert got["1.2.4.44"] == (1 << 24) + (2 << 16) + (4 << 8) + 44
+    assert got["0.0.0.0"] == 0
+    assert got["255.255.255.255"] == (1 << 32) - 1
