@@ -777,3 +777,197 @@ def embed_decontaminate(spark, sf_dir):
             F.max("cos").alias("max_cos"),
         )
     )
+
+
+# --- k-means coarse-quantizer training (Lloyd's, fixed rounds) --------------
+
+KM_K = 8          # trained cells (a bounded constant, like any codebook size)
+KM_ITERS = 2      # fixed Lloyd rounds — unrolled verbatim in the oracle
+KM_SCALE = 1000000.0  # 1e-6 rounding/scaling grid (the engine-parity grid)
+
+
+def _km_dot_sql(x: str, y: str) -> str:
+    """Sequential left-fold dot product as Spark-SQL text — the same
+    operation order DuckDB's list_dot_product uses, so both engines produce
+    bit-identical doubles on identical inputs (the _SQL_COS parity rule,
+    shared here by the k-means distance)."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (xx, yy) -> xx * yy), 0.0D, "
+        "(acc, ww) -> acc + ww)"
+    )
+
+
+def _km_assign_sql(cent: str, i: int) -> str:
+    """One unrolled Lloyd assignment as DuckDB CTEs: squared-L2 distance to
+    every centroid, argmin with (distance, cid) lexicographic tie-break —
+    the same total order the Spark side's min(struct(d, cid)) induces.
+    The per-vector and per-centroid self-dots are factored out of the
+    K-way cross product (computed once per row, not once per pair) —
+    identically on the Spark side, so d stays bit-identical."""
+    return f"""
+    sc{i} AS (
+      SELECT v.vec_id, v.v, c.cid,
+             (v.vv - 2 * list_dot_product(v.v, c.c) + c.cc) AS d
+      FROM vecs v CROSS JOIN (
+        SELECT cid, c, list_dot_product(c, c) AS cc FROM {cent}
+      ) c
+    ),
+    a{i} AS (
+      SELECT vec_id, v, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM sc{i}
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(i: int) -> str:
+    """Centroid update: per-(cid, position) mean, rounded on the 1e-6 grid
+    BEFORE re-assembly — the float-boundary rule: engine-internal summation
+    order differs at the last ulp, and rounding far above that noise floor
+    (mean components are O(1), fixture sums are thousands of terms, double
+    error ~1e-13 << 5e-7 grid) makes the next iteration's inputs identical
+    on both engines."""
+    return f"""
+    ce{i} AS (
+      SELECT cid, p, floor(avg(v[p]) * {KM_SCALE} + 0.5) / {KM_SCALE} AS m
+      FROM a{i}, pos GROUP BY cid, p
+    ),
+    c{i + 1} AS (SELECT cid, list(m ORDER BY p) AS c FROM ce{i} GROUP BY cid)"""
+
+
+def _kmeans_oracle_sql() -> str:
+    parts = [f"""
+    WITH vecs AS (
+      SELECT vec_id, v, list_dot_product(v, v) AS vv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    pos AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS p),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS c
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
+    )"""]
+    for i in range(KM_ITERS):
+        parts.append("," + _km_assign_sql(f"c{i}", i))
+        parts.append("," + _km_update_sql(i))
+    fin = KM_ITERS
+    parts.append("," + _km_assign_sql(f"c{fin}", fin))
+    parts.append(f"""
+    SELECT a.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(a.d * {KM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+             / {KM_SCALE} AS inertia,
+           floor(sqrt(list_dot_product(c.c, c.c)) * {KM_SCALE} + 0.5)
+             / {KM_SCALE} AS centroid_norm
+    FROM a{fin} a JOIN c{fin} c ON a.cid = c.cid
+    GROUP BY a.cid, centroid_norm
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_kmeans_cells",
+    oracle=_kmeans_oracle_sql(),
+    tags=("similarity", "kmeans", "iterative"),
+)
+def sim_kmeans_cells(spark, sf_dir):
+    """Distributed Lloyd's k-means (KM_ITERS fixed rounds, KM_K cells) — the
+    TRAINED coarse quantizer behind an IVF index, as pure DataFrame ops.
+    sim_ivf_topk consumes a precomputed cell label; this operator is how
+    such labels are built from raw vectors at corpus scale.
+
+    Per round: ONE corpus pass. Assignment is a broadcast of the K-row
+    centroid table (bounded by the codebook constant, never the corpus)
+    against the vectors, reduced per vec_id with min(struct(d, cid)) — a
+    partial-aggregable argmin with a deterministic (distance, cid)
+    tie-break, no window shuffle. The update is 64 avg() aggregates in one
+    groupBy(cid) — map-side partial aggregation of K x 64 cells, NO
+    posexplode row multiplication. The round count is a FIXED constant
+    (unlike the data-dependent CC/pagerank loops), so the unrolled lazy
+    plan is bounded and needs no per-round checkpoint.
+
+    Engine parity for an ITERATIVE float algorithm: distances are
+    sequential-fold dot products (bit-identical to DuckDB's
+    list_dot_product on identical inputs), and each round's centroid means
+    are rounded on the 1e-6 grid before reuse, so per-round drift (engine
+    summation order, last-ulp) is squashed at every iteration boundary
+    instead of compounding. Inertia is summed as exact scaled integers
+    (the EWMA/Holt discipline): per-row rounded distance -> bigint ->
+    exact sum -> one final double division.
+
+    Empty cells (a centroid losing every member) simply drop out of the
+    next round's codebook on BOTH engines — the standard Lloyd behavior,
+    not an error.
+
+    The whole unrolled plan is ONE Spark-SQL string parsed JVM-side: the
+    update step is a 64-wide rounded-avg array per round, and composing
+    that through the Column API costs hundreds of py4j round trips per
+    round (the dedup_simhash lesson, ext/dedup.py:540 — measured there at
+    ~6x construction cost; here the Column form took minutes, the SQL form
+    milliseconds)."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def assign(i: int) -> str:
+        # argmin via min(struct(d, cid)): partial-aggregable (map-side
+        # combine, no window shuffle), deterministic (distance, cid)
+        # tie-break — the same total order the oracle's row_number gives.
+        # first(v) is deterministic by value: v is functionally dependent
+        # on vec_id, every row in the group carries the same vector.
+        return f"""
+    sc{i} AS (
+      SELECT /*+ BROADCAST(c) */ vecs.vec_id, vecs.v, c.cid,
+             (vecs.vv - 2.0D * {_km_dot_sql("vecs.v", "c.c")} + c.cc) AS d
+      FROM vecs CROSS JOIN (
+        SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{i}
+      ) c
+    ),
+    a{i} AS (
+      SELECT vec_id, v, best.cid AS cid, best.d AS d FROM (
+        SELECT vec_id, first(v) AS v, min(struct(d, cid)) AS best
+        FROM sc{i} GROUP BY vec_id
+      )
+    )"""
+
+    def update(i: int) -> str:
+        # 64 rounded avg() terms assembled into the next codebook array in
+        # ONE aggregate — map-side partial aggregation of K x 64 cells, no
+        # posexplode row multiplication.
+        terms = ", ".join(
+            f"floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) / {KM_SCALE}D"
+            for p in range(EMB_DIM)
+        )
+        return f"""
+    c{i + 1} AS (SELECT cid, array({terms}) AS c FROM a{i} GROUP BY cid)"""
+
+    parts = [f"""
+    WITH vecs AS (
+      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
+      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}})
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS c
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
+    )"""]
+    for i in range(KM_ITERS):
+        parts.append("," + assign(i))
+        parts.append("," + update(i))
+    fin = KM_ITERS
+    parts.append("," + assign(fin))
+    parts.append(f"""
+    SELECT a.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(a.d * {KM_SCALE}D + 0.5D) AS BIGINT)) AS DOUBLE)
+             / {KM_SCALE}D AS inertia,
+           cn.centroid_norm
+    FROM a{fin} a JOIN (
+      SELECT cid,
+             floor(sqrt({_km_dot_sql("c", "c")}) * {KM_SCALE}D + 0.5D)
+               / {KM_SCALE}D AS centroid_norm
+      FROM c{fin}
+    ) cn ON a.cid = cn.cid
+    GROUP BY a.cid, cn.centroid_norm
+    """)
+    return _sql_over(e, "kmeans", "".join(parts))

@@ -62,6 +62,12 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    integer epochs, unified hash helpers, dq report signature) plus the
 #    earlier-r6 fan-out/hint changes (minhash/simhash pairs, dedup
 #    weights/clusters/curation, vocabulary unhints, exact dedup).
+#  - slot 50: sim_kmeans_cells, ADDED at end-of-round — a new query must
+#    be driver-witnessed in its birth round (the r5/r6 practice for all
+#    prior additions). It displaced dedup_containment, whose changed code
+#    path (_SQL_SHINGLED / shared shingle helpers) stays witnessed through
+#    three retained members: dedup_ngram_jaccard (slot 49),
+#    dedup_minhash_lsh (slot 42) and dedup_lsh_bucket_stats (slot 4).
 # More queries changed in r6 than the window holds; every deferred
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
@@ -116,7 +122,7 @@ PRIORITY_ORDER: list[str] = [
     "correlated_scalar_subquery",
     "json_extract",
     "dedup_ngram_jaccard",
-    "dedup_containment",
+    "sim_kmeans_cells",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

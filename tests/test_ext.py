@@ -760,3 +760,27 @@ def test_ip_to_int_rejects_out_of_range_octets(spark):
     assert got["1.2.4.44"] == (1 << 24) + (2 << 16) + (4 << 8) + 44
     assert got["0.0.0.0"] == 0
     assert got["255.255.255.255"] == (1 << 32) - 1
+
+
+def test_sim_kmeans_cells_partitions_corpus(spark, sf_dir):
+    """Lloyd's invariants: the final assignment partitions the corpus (cell
+    counts sum to the vector count), cells are a subset of the K seeded
+    ids, inertia is non-negative, and the whole training run is
+    deterministic on re-execution (fixed seeds, fixed rounds, rounded
+    boundaries — no rand(), no arrival-order dependence)."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        KM_K,
+        sim_kmeans_cells,
+    )
+
+    out = sim_kmeans_cells(spark, sf_dir)
+    rows = {r["cluster_id"]: r for r in out.collect()}
+    n_vecs_total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows.values()) == n_vecs_total
+    assert set(rows) <= set(range(KM_K))
+    assert all(r["inertia"] >= 0.0 for r in rows.values())
+    assert all(r["centroid_norm"] > 0.0 for r in rows.values())
+    rows2 = {r["cluster_id"]: r for r in sim_kmeans_cells(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in rows2.items()
+    }
