@@ -835,7 +835,11 @@ def _km_update_sql(i: int) -> str:
     c{i + 1} AS (SELECT cid, list(m ORDER BY p) AS c FROM ce{i} GROUP BY cid)"""
 
 
-def _kmeans_oracle_sql() -> str:
+def _km_oracle_train_parts() -> list[str]:
+    """The unrolled DuckDB training prefix through the final assignment
+    ``a{KM_ITERS}`` — shared by the sim_kmeans_cells oracle (which reports
+    per-cell stats) and the sim_ivf_trained_topk oracle (which searches
+    within the trained cells)."""
     parts = [f"""
     WITH vecs AS (
       SELECT vec_id, v, list_dot_product(v, v) AS vv
@@ -850,8 +854,13 @@ def _kmeans_oracle_sql() -> str:
     for i in range(KM_ITERS):
         parts.append("," + _km_assign_sql(f"c{i}", i))
         parts.append("," + _km_update_sql(i))
+    parts.append("," + _km_assign_sql(f"c{KM_ITERS}", KM_ITERS))
+    return parts
+
+
+def _kmeans_oracle_sql() -> str:
+    parts = _km_oracle_train_parts()
     fin = KM_ITERS
-    parts.append("," + _km_assign_sql(f"c{fin}", fin))
     parts.append(f"""
     SELECT a.cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vecs,
@@ -863,6 +872,63 @@ def _kmeans_oracle_sql() -> str:
     GROUP BY a.cid, centroid_norm
     """)
     return "".join(parts)
+
+
+def _km_assign_spark(i: int) -> str:
+    """One unrolled Lloyd assignment as Spark-SQL CTEs. argmin via
+    min(struct(d, cid)): partial-aggregable (map-side combine, no window
+    shuffle), deterministic (distance, cid) tie-break — the same total
+    order the oracle's row_number gives. first(v) is deterministic by
+    value: v is functionally dependent on vec_id, every row in the group
+    carries the same vector."""
+    return f"""
+    sc{i} AS (
+      SELECT /*+ BROADCAST(c) */ vecs.vec_id, vecs.v, c.cid,
+             (vecs.vv - 2.0D * {_km_dot_sql("vecs.v", "c.c")} + c.cc) AS d
+      FROM vecs CROSS JOIN (
+        SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{i}
+      ) c
+    ),
+    a{i} AS (
+      SELECT vec_id, v, best.cid AS cid, best.d AS d FROM (
+        SELECT vec_id, first(v) AS v, min(struct(d, cid)) AS best
+        FROM sc{i} GROUP BY vec_id
+      )
+    )"""
+
+
+def _km_update_spark(i: int) -> str:
+    """Centroid update as Spark SQL: EMB_DIM rounded avg() terms assembled
+    into the next codebook array in ONE aggregate — map-side partial
+    aggregation of K x EMB_DIM cells, no posexplode row multiplication."""
+    terms = ", ".join(
+        f"floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) / {KM_SCALE}D"
+        for p in range(EMB_DIM)
+    )
+    return f"""
+    c{i + 1} AS (SELECT cid, array({terms}) AS c FROM a{i} GROUP BY cid)"""
+
+
+def _km_train_parts_spark() -> list[str]:
+    """The unrolled Spark-SQL training prefix through the final assignment
+    ``a{KM_ITERS}`` over the ``{v}`` placeholder view — shared by
+    sim_kmeans_cells (per-cell stats) and sim_ivf_trained_topk (in-cell
+    search over the trained quantizer)."""
+    parts = [f"""
+    WITH vecs AS (
+      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
+      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}})
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS c
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
+    )"""]
+    for i in range(KM_ITERS):
+        parts.append("," + _km_assign_spark(i))
+        parts.append("," + _km_update_spark(i))
+    parts.append("," + _km_assign_spark(KM_ITERS))
+    return parts
 
 
 @query(
@@ -908,54 +974,8 @@ def sim_kmeans_cells(spark, sf_dir):
     from .dedup import _sql_over
 
     e = load(spark, sf_dir, "embeddings")
-
-    def assign(i: int) -> str:
-        # argmin via min(struct(d, cid)): partial-aggregable (map-side
-        # combine, no window shuffle), deterministic (distance, cid)
-        # tie-break — the same total order the oracle's row_number gives.
-        # first(v) is deterministic by value: v is functionally dependent
-        # on vec_id, every row in the group carries the same vector.
-        return f"""
-    sc{i} AS (
-      SELECT /*+ BROADCAST(c) */ vecs.vec_id, vecs.v, c.cid,
-             (vecs.vv - 2.0D * {_km_dot_sql("vecs.v", "c.c")} + c.cc) AS d
-      FROM vecs CROSS JOIN (
-        SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{i}
-      ) c
-    ),
-    a{i} AS (
-      SELECT vec_id, v, best.cid AS cid, best.d AS d FROM (
-        SELECT vec_id, first(v) AS v, min(struct(d, cid)) AS best
-        FROM sc{i} GROUP BY vec_id
-      )
-    )"""
-
-    def update(i: int) -> str:
-        # 64 rounded avg() terms assembled into the next codebook array in
-        # ONE aggregate — map-side partial aggregation of K x 64 cells, no
-        # posexplode row multiplication.
-        terms = ", ".join(
-            f"floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) / {KM_SCALE}D"
-            for p in range(EMB_DIM)
-        )
-        return f"""
-    c{i + 1} AS (SELECT cid, array({terms}) AS c FROM a{i} GROUP BY cid)"""
-
-    parts = [f"""
-    WITH vecs AS (
-      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
-      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}})
-    ),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-             v AS c
-      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
-    )"""]
-    for i in range(KM_ITERS):
-        parts.append("," + assign(i))
-        parts.append("," + update(i))
+    parts = _km_train_parts_spark()
     fin = KM_ITERS
-    parts.append("," + assign(fin))
     parts.append(f"""
     SELECT a.cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vecs,
@@ -971,3 +991,83 @@ def sim_kmeans_cells(spark, sf_dir):
     GROUP BY a.cid, cn.centroid_norm
     """)
     return _sql_over(e, "kmeans", "".join(parts))
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """sim_ivf_trained_topk's oracle: the shared unrolled k-means training
+    prefix, then the standard in-cell top-k (the _ivf_oracle_sql shape)
+    over the TRAINED assignment instead of the precomputed label."""
+    parts = _km_oracle_train_parts()
+    fin = KM_ITERS
+    parts.append(f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS_V} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY {_SQL_COS_V} DESC, c.vec_id) AS INTEGER) AS rank
+      FROM a{fin} q JOIN a{fin} c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_ivf_trained_topk",
+    oracle=_ivf_trained_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def sim_ivf_trained_topk(spark, sf_dir):
+    """The full IVF lifecycle composed end-to-end: TRAIN the coarse
+    quantizer (the sim_kmeans_cells Lloyd rounds, shared builders), ASSIGN
+    every vector its trained cell, then SEARCH top-k within the query's own
+    cell — where sim_ivf_topk trusts a precomputed label column, this is
+    the index a user builds when no label exists.
+
+    The trained assignment is ONE unrolled lazy SQL plan (per-round
+    broadcast of the K-row codebook, partial-aggregable argmin),
+    localCheckpoint'ed because BOTH sides of the in-cell join derive from
+    it — without the materialization the query branch and the corpus
+    branch would each re-run the full training (the _ivf_topk checkpoint
+    discipline, one corpus-row-bounded table). The search itself is the
+    proven IVF shape: broadcast the N_QUERIES-row query set (bounded by
+    the query-batch constant), equi-join on the trained cell, 1e-6-rounded
+    fold-order-stable cosine, per-query window top-k.
+
+    At 100 TB: training cost is KM_ITERS corpus passes with K x EMB_DIM
+    partial-agg state; search probes corpus/K rows per query instead of
+    the corpus. Cell imbalance bounds: the probe side is capped by the
+    query-set constant, so a hot trained cell costs N_QUERIES x cell_n
+    comparisons (linear in the cell), never cell_n^2 — the quadratic
+    hot-cell risk that forces with_capped_cell onto the PAIRWISE queries
+    does not arise for a bounded query batch."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    fin = KM_ITERS
+    parts = _km_train_parts_spark()
+    parts.append(f" SELECT vec_id, v, cid FROM a{fin}")
+    assigned = _sql_over(e, "kmtrain", "".join(parts)).localCheckpoint(
+        eager=False
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("q_cid"),
+        F.col("v").alias("q_v"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("c_cid"),
+        F.col("v").alias("c_v"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("c_cid") == F.col("q_cid"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", _cos("q_v", "c_v").alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

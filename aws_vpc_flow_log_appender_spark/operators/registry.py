@@ -68,6 +68,12 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    path (_SQL_SHINGLED / shared shingle helpers) stays witnessed through
 #    three retained members: dedup_ngram_jaccard (slot 49),
 #    dedup_minhash_lsh (slot 42) and dedup_lsh_bucket_stats (slot 4).
+#  - slot 27: sim_ivf_trained_topk, ADDED at end-of-round (train->assign->
+#    search composition over the kmeans quantizer). It displaced
+#    sim_bruteforce_topk, whose entire code path (registry load, shared
+#    _cos fold, broadcast query set, window top-k) is a strict subset of
+#    the new member's path — so the displaced query's coverage is carried
+#    by its replacement, plus sim_rp_lsh_topk/sim_knn_graph retained.
 # More queries changed in r6 than the window holds; every deferred
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
@@ -99,7 +105,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_knn_graph",
     "dedup_embedding_nn",
     "dedup_embedding_pairs",
-    "sim_bruteforce_topk",
+    "sim_ivf_trained_topk",
     "sim_rp_lsh_topk",
     "text_contamination_check",
     "text_cross_doc_repeats",

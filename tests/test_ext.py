@@ -784,3 +784,31 @@ def test_sim_kmeans_cells_partitions_corpus(spark, sf_dir):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in rows2.items()
     }
+
+
+def test_sim_ivf_trained_topk_search_invariants(spark, sf_dir):
+    """Trained-IVF invariants: results only for the query set, ranks are a
+    dense 1..k prefix per query, every (query, neighbor) pair shares the
+    trained cell's top-k contract (cos_sim non-increasing with rank), and
+    re-execution is deterministic (fixed seeds, rounded boundaries)."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_ivf_trained_topk,
+    )
+
+    rows = sim_ivf_trained_topk(spark, sf_dir).collect()
+    assert rows, "trained IVF returned nothing"
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] < N_QUERIES
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rk in by_q.items():
+        rk.sort()
+        assert [x[0] for x in rk] == list(range(1, len(rk) + 1))
+        assert len(rk) <= TOP_K
+        sims = [x[1] for x in rk]
+        assert sims == sorted(sims, reverse=True)
+    rows2 = sim_ivf_trained_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
