@@ -6,7 +6,10 @@ the broadcast threshold), (c) nothing collapses to a driver-side bottleneck,
 and — r5, VERDICT_r04 ask #3 — (d) the ITERATIVE family holds: the
 distributed connected-components loop (forced above the union-find
 short-circuit) converges in O(log diameter) rounds and agrees with the exact
-union-find labels, and pagerank's unrolled plan stays sane at scale.
+union-find labels, and pagerank's unrolled plan stays sane at scale. r6 adds
+(e) the trained quantizer: k-means cell stats must match their duplication
+closed form exactly and the trained search must rank perfect-match copies
+first.
 
 Usage: python tools/scale_smoke.py [multiplier] [json_artifact_out]
 """
@@ -736,6 +739,94 @@ def main() -> int:
         }
     finally:
         shutil.rmtree(ftmp, ignore_errors=True)
+
+    # 7) trained quantizer at scale (r6 addition): k-means over a corpus of
+    # mult IDENTICAL copies (vec_ids offset; base ids stay the smallest so
+    # the seeded codebook c0 is unchanged) has a CLOSED FORM — identical
+    # vectors assign identically under the deterministic (d, cid) tie-break,
+    # per-cell means are unchanged by duplication, so cell counts and the
+    # integer-scaled inertia must scale EXACTLY by mult while the centroid
+    # norms stay bit-identical. Then the trained search must put a perfect
+    # match (cosine 1.0 — the query's own copies) at rank 1 for every
+    # query, which requires training to have assigned every copy to its
+    # original's cell.
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        KM_SCALE,
+        N_QUERIES,
+        TOP_K,
+        sim_ivf_trained_topk,
+        sim_kmeans_cells,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    memb = (
+        emb.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__copy") * F.lit(10 ** 10))
+        .drop("__copy")
+    )
+    ktmp = tempfile.mkdtemp(prefix="scale_kmeans_")
+    try:
+        memb.write.mode("overwrite").parquet(f"{ktmp}/embeddings.parquet")
+        base_cells = {
+            r["cluster_id"]: r for r in sim_kmeans_cells(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        big_cells = {
+            r["cluster_id"]: r for r in sim_kmeans_cells(spark, ktmp).collect()
+        }
+        t_km = time.perf_counter() - t0
+        km_ok = set(big_cells) == set(base_cells)
+        for cid, b in base_cells.items():
+            g = big_cells.get(cid)
+            if g is None:
+                km_ok = False
+                continue
+            if g["n_vecs"] != b["n_vecs"] * mult:
+                km_ok = False
+            if round(g["inertia"] * KM_SCALE) != mult * round(
+                b["inertia"] * KM_SCALE
+            ):
+                km_ok = False
+            if g["centroid_norm"] != b["centroid_norm"]:
+                km_ok = False
+        if not km_ok:
+            print(f"FAIL kmeans closed-form scaling at mult={mult}")
+            ok = False
+        n_emb = emb.count() * mult
+        t0 = time.perf_counter()
+        topk_rows = sim_ivf_trained_topk(spark, ktmp).collect()
+        t_topk = time.perf_counter() - t0
+        by_q: dict = {}
+        for r in topk_rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        search_ok = len(by_q) == N_QUERIES
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            if len(rows) != TOP_K:
+                search_ok = False  # every trained cell holds >= mult members
+            if mult >= 2 and rows[0]["cos_sim"] != 1.0:
+                search_ok = False  # a perfect-match copy must win rank 1
+        if not search_ok:
+            print(f"FAIL trained search: malformed top-k at mult={mult}")
+            ok = False
+        print(
+            f"scale_smoke kmeans mult={mult}: {n_emb:,} vectors trained in "
+            f"{t_km:.1f}s (cell counts + scaled inertia exactly x{mult}, "
+            f"centroid norms bit-identical: {'YES' if km_ok else 'NO'}); "
+            f"trained search {len(topk_rows)} rows in {t_topk:.1f}s, "
+            f"rank-1 perfect matches: {'YES' if search_ok else 'NO'}; "
+            f"{'ALL OK' if ok else 'FAILURES'}"
+        )
+        artifact["kmeans_trained"] = {
+            "vectors": n_emb,
+            "closed_form_exact": km_ok,
+            "t_train_s": round(t_km, 2),
+            "search_rows": len(topk_rows),
+            "search_rank1_perfect": search_ok,
+            "t_search_s": round(t_topk, 2),
+        }
+    finally:
+        shutil.rmtree(ktmp, ignore_errors=True)
 
     artifact["ok"] = ok
     if json_out:
