@@ -8,7 +8,13 @@ degrade to deterministic synthetic fakes — the Spark-side plumbing (schemas,
 batch iteration, partitioning) is real and tested in tests/test_ext.py.
 Uncompressed BMP, however, is decoded FOR REAL in-container by a pure-stdlib
 parser (``decode_bmp_stats``; r6, VERDICT r5 #5) — header structs + padded
-pixel rows, oracle-verified end to end.
+pixel rows, oracle-verified end to end — as are PCM WAV
+(``decode_wav_stats``) and, going beyond uncompressed formats, PNG
+(``decode_png_stats``): stdlib ``zlib`` provides real DEFLATE, so chunk
+walking, CRC-32 validation, inflate, and scanline unfiltering
+(None/Sub/Up/Average/Paeth) make a genuine compressed-image decoder with
+zero external deps. The PIL gate remains for JPEG/MP4 and rich PNG forms
+(palette/interlace).
 """
 
 from __future__ import annotations
@@ -782,4 +788,256 @@ def multimodal_chunk_manifest(spark, sf_dir):
         (F.col("chunk_id") * _CHUNK_CHARS).cast("long").alias("char_offset"),
         F.length(piece).cast("long").alias("chunk_chars"),
         F.md5(piece).alias("chunk_md5"),
+    )
+
+
+# --- Real COMPRESSED-format decode: pure-Python PNG (r6) --------------------
+# The BMP/WAV paths prove header-struct parsing but decode no compression.
+# PNG closes that gap with zero external deps: stdlib ``zlib`` is a real
+# DEFLATE implementation, so signature check + chunk walk + CRC-32
+# validation + inflate + scanline unfiltering is a genuine compressed-image
+# decoder for 8-bit grayscale non-interlaced PNGs — any compliant such file,
+# not just our synthetic ones (golden-bytes + all-five-filters tests in
+# tests/test_ext.py). PIL stays gated for palette/interlace/JPEG/MP4.
+
+PNG_STATS_SCHEMA = (
+    "media_id long, magic string, width int, height int, bit_depth int, "
+    "color_type int, n_chunks int, n_pixels long, pixel_byte_sum long, "
+    "header_ok boolean"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(payload_bytes: bytes) -> bytes:
+    """Build a valid 8-bit grayscale non-interlaced PNG whose pixel stream
+    is the input bytes cycled to fill width*height (dims derived from the
+    length). Scanlines rotate through filter types None/Sub/Up by row, so
+    the decoder's unfilter step does real work on every image — a
+    zlib-round-trip alone would not prove it. Pure stdlib; deterministic
+    (fixed compression level)."""
+    import struct
+    import zlib
+
+    n = len(payload_bytes)
+    if n == 0:
+        raise ValueError("encode_png: empty payload")
+    w, h = 1 + n % 23, 1 + n % 11
+    k = w * h
+    cyc = (payload_bytes * (k // n + 1))[:k]
+    prev = bytes(w)
+    filtered = bytearray()
+    for y in range(h):
+        row = cyc[y * w:(y + 1) * w]
+        ft = y % 3
+        if ft == 0:
+            body = row
+        elif ft == 1:  # Sub: delta vs left neighbor
+            body = bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 255 for i in range(w)
+            )
+        else:  # Up: delta vs the row above
+            body = bytes((row[i] - prev[i]) & 255 for i in range(w))
+        filtered.append(ft)
+        filtered += body
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """REAL PNG decode as a mapInPandas kernel: signature check, chunk walk
+    with per-chunk CRC-32 validation, IHDR parse, multi-IDAT concatenation,
+    stdlib-zlib inflate, and full scanline unfiltering — all FIVE filter
+    types (None/Sub/Up/Average/Paeth), so any compliant 8-bit grayscale
+    non-interlaced PNG decodes, whatever filters its encoder chose. Emits
+    header fields, the chunk count, and pixel-level stats; rich forms
+    (palette, RGB, 16-bit, interlace) surface their PARSED header with
+    header_ok=false, and malformed payloads degrade to all-NULL
+    header_ok=false rows instead of failing the batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def parse(raw: bytes):
+            if len(raw) < 8 or raw[:8] != _PNG_SIG:
+                return None
+            off = 8
+            ihdr = None
+            idat = bytearray()
+            n_chunks = 0
+            structural_ok = True
+            saw_iend = False
+            while off + 8 <= len(raw):
+                length, typ = struct.unpack_from(">I4s", raw, off)
+                if off + 12 + length > len(raw):
+                    structural_ok = False  # truncated chunk
+                    break
+                data = raw[off + 8:off + 8 + length]
+                crc = struct.unpack_from(">I", raw, off + 8 + length)[0]
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    structural_ok = False
+                n_chunks += 1
+                if typ == b"IHDR":
+                    ihdr = data
+                elif typ == b"IDAT":
+                    idat += data
+                off += 12 + length
+                if typ == b"IEND":
+                    saw_iend = True
+                    break
+            if ihdr is None or len(ihdr) < 13:
+                return None
+            w, h, depth, ctype, comp, fmeth, inter = struct.unpack(
+                ">IIBBBBB", ihdr[:13]
+            )
+            bad = (
+                "PNG", w, h, depth, ctype, n_chunks, None, None, False,
+            )
+            # decode contract: 8-bit grayscale, standard compression/filter
+            # method, non-interlaced (parsed header preserved otherwise)
+            if (depth != 8 or ctype != 0 or comp != 0 or fmeth != 0
+                    or inter != 0 or w <= 0 or h <= 0):
+                return bad
+            if not (structural_ok and saw_iend and idat):
+                return bad
+            try:
+                dec = zlib.decompress(bytes(idat))
+            except zlib.error:
+                return bad
+            if len(dec) != h * (w + 1):
+                return bad
+            prev = bytes(w)
+            total = 0
+            pos = 0
+            for _y in range(h):
+                ft = dec[pos]
+                row_f = dec[pos + 1:pos + 1 + w]
+                pos += w + 1
+                if ft > 4:
+                    return bad
+                cur = bytearray(w)
+                for i in range(w):
+                    x = row_f[i]
+                    a = cur[i - 1] if i else 0
+                    b = prev[i]
+                    if ft == 0:
+                        r = x
+                    elif ft == 1:  # Sub
+                        r = (x + a) & 255
+                    elif ft == 2:  # Up
+                        r = (x + b) & 255
+                    elif ft == 3:  # Average
+                        r = (x + ((a + b) >> 1)) & 255
+                    else:  # Paeth
+                        c = prev[i - 1] if i else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c)
+                        )
+                        r = (x + pred) & 255
+                    cur[i] = r
+                    total += r
+                prev = bytes(cur)
+            return ("PNG", w, h, depth, ctype, n_chunks, w * h, total, True)
+
+        cols = ["magic", "width", "height", "bit_depth", "color_type",
+                "n_chunks", "n_pixels", "pixel_byte_sum", "header_ok"]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    rows.append((None,) * 8 + (False,))
+                    continue
+                parsed = parse(bytes(payload))
+                rows.append(parsed if parsed is not None
+                            else (None,) * 8 + (False,))
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, PNG_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    ),
+    geo AS (
+      SELECT media_id, text, n,
+             CAST(1 + n % 23 AS INTEGER) AS width,
+             CAST(1 + n % 11 AS INTEGER) AS height,
+             CAST((1 + n % 23) * (1 + n % 11) AS BIGINT) AS k
+      FROM src WHERE n > 0
+    ),
+    sums AS (
+      SELECT g.media_id,
+             CAST(sum(ascii(substring(g.text, CAST(t.i AS INTEGER), 1)))
+                  AS BIGINT) AS s_total,
+             CAST(sum(CASE WHEN t.i <= g.k % g.n
+                           THEN ascii(substring(g.text, CAST(t.i AS INTEGER), 1))
+                           ELSE 0 END) AS BIGINT) AS s_prefix
+      FROM geo g, unnest(range(1, g.n + 1)) AS t(i)
+      GROUP BY g.media_id
+    )
+    SELECT g.media_id, 'PNG' AS magic, g.width, g.height,
+           CAST(8 AS INTEGER) AS bit_depth, CAST(0 AS INTEGER) AS color_type,
+           CAST(3 AS INTEGER) AS n_chunks,
+           CAST(g.width * g.height AS BIGINT) AS n_pixels,
+           CAST((g.k // g.n) * s.s_total + s.s_prefix AS BIGINT)
+             AS pixel_byte_sum,
+           TRUE AS header_ok
+    FROM geo g JOIN sums s USING (media_id)
+    """,
+    tags=("multimodal", "decode", "udf"),
+)
+def multimodal_png_decode(spark, sf_dir):
+    """Compressed-format sibling of multimodal_bmp_decode: each document's
+    bytes become the pixel stream of a filtered, DEFLATE-compressed 8-bit
+    grayscale PNG (encoder rotates None/Sub/Up filters per scanline), then
+    the pure-stdlib PNG parser walks chunks, validates every CRC-32,
+    INFLATES the IDAT stream, and UNFILTERS the scanlines back to pixels.
+    The oracle recomputes dims and the cycled pixel byte sum from the
+    source text alone (per-char ascii; the fixture corpus is pure ASCII) —
+    it never sees the compressed bytes, so a hash-green row proves the
+    decompression and unfiltering recovered the exact original pixels.
+    The predictable chunk count (IHDR/IDAT/IEND) pins the chunk walk.
+    Plan: one scan -> encode mapInPandas -> decode mapInPandas, zero
+    shuffles; at 100 TB the kernels stream Arrow batches executor-side."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "payload": [encode_png(t.encode("utf-8")) for t in pdf["text"]],
+            })
+
+    return decode_png_stats(
+        d.mapInPandas(enc, "media_id long, payload binary")
     )

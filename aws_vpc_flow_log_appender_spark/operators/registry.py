@@ -74,6 +74,11 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    _cos fold, broadcast query set, window top-k) is a strict subset of
 #    the new member's path — so the displaced query's coverage is carried
 #    by its replacement, plus sim_rp_lsh_topk/sim_knn_graph retained.
+#  - slot 21: multimodal_png_decode, ADDED at end-of-round (real DEFLATE
+#    decode: CRC walk + inflate + scanline unfilter, oracle-recomputed
+#    pixel sums). It displaced the unchanged r4-era ts_autocorr
+#    re-witness; the timeseries code path stays witnessed through ts_ewma
+#    (slot 18), ts_holt_trend (slot 19) and ts_rolling_distinct (slot 20).
 # More queries changed in r6 than the window holds; every deferred
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
@@ -99,7 +104,7 @@ PRIORITY_ORDER: list[str] = [
     "ts_ewma",
     "ts_holt_trend",
     "ts_rolling_distinct",
-    "ts_autocorr",
+    "multimodal_png_decode",
     "sim_ivf_topk",
     "sim_ivf_multiprobe",
     "sim_knn_graph",

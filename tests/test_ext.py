@@ -812,3 +812,124 @@ def test_sim_ivf_trained_topk_search_invariants(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
     rows2 = sim_ivf_trained_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_png_parser_golden_bytes_all_filters(spark):
+    """The pure-stdlib PNG decoder must decode a REFERENCE file built
+    byte-by-byte from the spec (not by our own encoder), using the two
+    filter types the engine's encoder never emits (Average=3, Paeth=4) —
+    proving the kernel is a real decoder for any compliant 8-bit grayscale
+    PNG. Malformed payloads (bad CRC, truncation, garbage, NULL) degrade
+    to header_ok=false; unsupported color types keep their parsed header."""
+    import struct
+    import zlib
+
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_stats,
+    )
+
+    # 3x2 grayscale; true pixel rows chosen so Average and Paeth predictors
+    # both take non-trivial branches
+    rows = [bytes([10, 20, 30]), bytes([40, 60, 90])]
+    # row 0: Average filter (up = 0): filt[i] = x - (left + 0)//2
+    r0 = bytes([(rows[0][0] - 0) & 255,
+                (rows[0][1] - (rows[0][0] // 2)) & 255,
+                (rows[0][2] - (rows[0][1] // 2)) & 255])
+    # row 1: Paeth filter: pred = paeth(left, up, upleft)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    r1 = bytes([
+        (rows[1][0] - paeth(0, rows[0][0], 0)) & 255,
+        (rows[1][1] - paeth(rows[1][0], rows[0][1], rows[0][0])) & 255,
+        (rows[1][2] - paeth(rows[1][1], rows[0][2], rows[0][1])) & 255,
+    ])
+    filtered = bytes([3]) + r0 + bytes([4]) + r1
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    golden = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+              + _png_chunk(b"IDAT", zlib.compress(filtered))
+              + _png_chunk(b"IEND", b""))
+    # corrupt ONE payload byte inside the IDAT data so its CRC fails
+    bad_crc = bytearray(golden)
+    bad_crc[len(_PNG_SIG) + 25 + 10] ^= 0xFF
+    # RGB (color type 2) header: parsed fields preserved, header_ok false
+    rgb = (_PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+           + _png_chunk(b"IEND", b""))
+    media = spark.createDataFrame(
+        [(1, bytearray(golden)), (2, bytes(bad_crc)),
+         (3, bytearray(golden[:40])), (4, bytearray(b"not a png")),
+         (5, None), (6, bytearray(rgb))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_png_stats(media).collect()}
+    g = got[1]
+    assert (g["magic"], g["width"], g["height"]) == ("PNG", 3, 2)
+    assert (g["bit_depth"], g["color_type"], g["n_chunks"]) == (8, 0, 3)
+    assert g["n_pixels"] == 6
+    assert g["pixel_byte_sum"] == sum(rows[0]) + sum(rows[1])
+    assert g["header_ok"] is True
+    assert got[2]["header_ok"] is False and got[2]["pixel_byte_sum"] is None
+    assert got[3]["header_ok"] is False
+    assert got[4]["header_ok"] is False
+    assert got[5]["header_ok"] is False
+    r6 = got[6]
+    assert (r6["width"], r6["height"], r6["color_type"]) == (5, 4, 2)
+    assert r6["header_ok"] is False and r6["n_pixels"] is None
+
+
+def test_png_encode_decode_roundtrip_values(spark):
+    """encode_png -> decode_png_stats round-trip on a known string: dims,
+    chunk count, and the cycled pixel byte sum match hand computation —
+    through real DEFLATE compression and per-row None/Sub/Up filtering."""
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import (
+        decode_png_stats,
+        encode_png,
+    )
+
+    data = b"hello png inflate"
+    n = len(data)
+    w, h = 1 + n % 23, 1 + n % 11
+    k = w * h
+    exp_sum = (k // n) * sum(data) + sum(data[: k % n])
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_png(data)))], "media_id long, payload binary"
+    )
+    r = decode_png_stats(media).collect()[0]
+    assert (r["width"], r["height"], r["n_chunks"]) == (w, h, 3)
+    assert r["n_pixels"] == k
+    assert r["pixel_byte_sum"] == exp_sum and r["header_ok"] is True
+
+
+def test_sim_kmeans_sub_k_corpus(spark, tmp_path):
+    """Corpus SMALLER than K: Lloyd's degenerates gracefully — each distinct
+    vector seeds its own centroid and keeps it, so every cell is a
+    singleton with zero inertia, and the trained in-cell search finds no
+    neighbors (empty result, not an error). Pinned because LIMIT K with
+    fewer rows is the classic off-by-one edge for unrolled plans."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        KM_K,
+        sim_ivf_trained_topk,
+        sim_kmeans_cells,
+    )
+
+    n = KM_K - 3
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(64)], f"s{i % 2}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    cells = sim_kmeans_cells(spark, str(tmp_path)).collect()
+    assert len(cells) == n
+    assert all(r["n_vecs"] == 1 for r in cells)
+    assert all(r["inertia"] == 0.0 for r in cells)
+    assert sim_ivf_trained_topk(spark, str(tmp_path)).count() == 0
