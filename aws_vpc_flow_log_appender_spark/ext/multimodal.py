@@ -807,6 +807,12 @@ PNG_STATS_SCHEMA = (
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_I32_MAX = (1 << 31) - 1
+# Per-row decode ceiling: filtered scanline bytes h*(w+1). 64 MiB bounds one
+# hostile (or merely huge) image's executor allocation; the fixture images
+# are KBs. Larger legitimate images degrade to header-only, which is the
+# right scale posture for a row-wise kernel — tile-split upstream instead.
+_PNG_DECODE_CAP = 1 << 26
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -907,21 +913,39 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
             w, h, depth, ctype, comp, fmeth, inter = struct.unpack(
                 ">IIBBBBB", ihdr[:13]
             )
+            # IHDR dims are UNSIGNED 32-bit but the schema's width/height
+            # columns are int32: a hostile header declaring >= 2^31 would
+            # fail the whole Arrow batch on conversion (code-review r6), so
+            # out-of-range dims degrade to NULL in the preserved header.
             bad = (
-                "PNG", w, h, depth, ctype, n_chunks, None, None, False,
+                "PNG",
+                w if w <= _I32_MAX else None,
+                h if h <= _I32_MAX else None,
+                depth, ctype, n_chunks, None, None, False,
             )
             # decode contract: 8-bit grayscale, standard compression/filter
-            # method, non-interlaced (parsed header preserved otherwise)
+            # method, non-interlaced, and a decoded size within the kernel's
+            # per-row memory cap (parsed header preserved otherwise)
             if (depth != 8 or ctype != 0 or comp != 0 or fmeth != 0
-                    or inter != 0 or w <= 0 or h <= 0):
+                    or inter != 0 or w <= 0 or h <= 0
+                    or h * (w + 1) > _PNG_DECODE_CAP):
                 return bad
             if not (structural_ok and saw_iend and idat):
                 return bad
+            expected = h * (w + 1)
+            # Bounded inflate (code-review r6): zlib.decompress would fully
+            # expand a decompression bomb BEFORE the size check rejected it;
+            # capping at expected+1 bounds the allocation to the declared
+            # image size. Trailing bytes after a complete stream land in
+            # unused_data (tolerated, matching zlib.decompress); a stream
+            # that is truncated (eof False) or oversized (len > expected)
+            # degrades like any other malformed payload.
             try:
-                dec = zlib.decompress(bytes(idat))
+                d = zlib.decompressobj()
+                dec = d.decompress(bytes(idat), expected + 1)
             except zlib.error:
                 return bad
-            if len(dec) != h * (w + 1):
+            if len(dec) != expected or not d.eof:
                 return bad
             prev = bytes(w)
             total = 0

@@ -272,7 +272,7 @@ def _ivf_topk(e, cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS):
     )
 
 
-N_PROBE = 2  # cells examined per query in the multi-probe variant
+N_PROBE = 2  # cells examined per query in the multi-probe variants
 
 
 @query(
@@ -1062,6 +1062,105 @@ def sim_ivf_trained_topk(spark, sf_dir):
     )
     scored = c.join(
         F.broadcast(q),
+        (F.col("c_cid") == F.col("q_cid"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", _cos("q_v", "c_v").alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _ivf_trained_multiprobe_oracle_sql() -> str:
+    """sim_ivf_trained_multiprobe's oracle: the shared unrolled training
+    prefix, then probe selection straight from the final scoring CTE
+    sc{fin} (every query x centroid distance is already there — the
+    assignment is just its rn=1 slice), then top-k over the union of the
+    N_PROBE probed cells."""
+    parts = _km_oracle_train_parts()
+    fin = KM_ITERS
+    parts.append(f"""
+    , probe AS (
+      SELECT vec_id AS query_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) AS prank
+        FROM sc{fin} WHERE vec_id < {N_QUERIES}
+      ) WHERE prank <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS_V} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY {_SQL_COS_V} DESC, c.vec_id) AS INTEGER) AS rank
+      FROM probe q JOIN a{fin} c ON c.cid = q.cid AND c.vec_id <> q.query_id
+    ) WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_ivf_trained_multiprobe",
+    oracle=_ivf_trained_multiprobe_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def sim_ivf_trained_multiprobe(spark, sf_dir):
+    """Multi-probe search over the TRAINED quantizer: each query examines
+    its N_PROBE nearest trained cells instead of only its own — the
+    standard IVF recall lever for queries that land near a cell boundary
+    (their true neighbors often sit just across it). sim_ivf_multiprobe
+    probes precomputed-label cells; this probes the cells the engine itself
+    trained, completing the train/assign/search lifecycle at nprobe > 1.
+
+    The probe ranking is NOT a second distance computation: the training
+    plan's final scoring CTE sc{fin} already holds every (vector, centroid,
+    distance) pair — the assignment is its argmin — so the query-side probe
+    list is just that CTE's rows restricted to the query set, ranked by the
+    SAME (d, cid) total order training uses. One unrolled plan therefore
+    emits BOTH tables the search needs — the corpus assignment a{fin} and
+    the query probe candidates — as a kind-tagged union, localCheckpoint'ed
+    ONCE: without the tag trick the two branches would each re-run the full
+    KM_ITERS training over the corpus (the sim_ivf_trained_topk checkpoint
+    discipline, extended to two heterogeneous consumers).
+
+    At 100 TB: the checkpointed union is corpus + N_QUERIES x KM_K rows —
+    the probe side adds a constant-bounded sliver. Search scans N_PROBE
+    cells per query (~N_PROBE/KM_K of the corpus across the bounded query
+    batch); candidates never duplicate across probes because each corpus
+    vector lives in exactly one trained cell. The probe-pair table
+    (N_QUERIES x N_PROBE rows) broadcasts by the query-batch-constant
+    bound."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    fin = KM_ITERS
+    parts = _km_train_parts_spark()
+    parts.append(f"""
+    SELECT 0 AS kind, vec_id, v, cid, CAST(NULL AS DOUBLE) AS d FROM a{fin}
+    UNION ALL
+    SELECT 1 AS kind, vec_id, v, cid, d FROM sc{fin}
+    WHERE vec_id < {N_QUERIES}
+    """)
+    both = _sql_over(e, "kmprobe", "".join(parts)).localCheckpoint(eager=False)
+    pw = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (
+        both.filter(F.col("kind") == 1)
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("q_cid"),
+            F.col("v").alias("q_v"),
+        )
+    )
+    c = both.filter(F.col("kind") == 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("c_cid"),
+        F.col("v").alias("c_v"),
+    )
+    scored = c.join(
+        F.broadcast(probes),
         (F.col("c_cid") == F.col("q_cid"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", _cos("q_v", "c_v").alias("cos_sim"))

@@ -79,6 +79,12 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    pixel sums). It displaced the unchanged r4-era ts_autocorr
 #    re-witness; the timeseries code path stays witnessed through ts_ewma
 #    (slot 18), ts_holt_trend (slot 19) and ts_rolling_distinct (slot 20).
+#  - slot 27: sim_ivf_trained_multiprobe, ADDED at end-of-round (nprobe>1
+#    over the trained quantizer; kind-tagged union checkpoint). It
+#    displaced flowlog_port_scans, whose changed paths stay witnessed
+#    through shared members: the detector plan builders through
+#    flowlog_incident_feed (slot 9) and flowlog_beaconing (slot 6),
+#    parse/enrich through the ten other retained flowlog_* members.
 # More queries changed in r6 than the window holds; every deferred
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
@@ -93,7 +99,6 @@ PRIORITY_ORDER: list[str] = [
     "flowlog_blast_radius",
     "flowlog_cusum_drift",
     "flowlog_incident_feed",
-    "flowlog_port_scans",
     "flowlog_traffic_by_direction",
     "agg_flowlog_domain",
     "ingest_cloudwatch_decode",
@@ -111,6 +116,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_embedding_nn",
     "dedup_embedding_pairs",
     "sim_ivf_trained_topk",
+    "sim_ivf_trained_multiprobe",
     "sim_rp_lsh_topk",
     "text_contamination_check",
     "text_cross_doc_repeats",

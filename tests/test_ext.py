@@ -882,6 +882,51 @@ def test_png_parser_golden_bytes_all_filters(spark):
     assert r6["header_ok"] is False and r6["n_pixels"] is None
 
 
+def test_png_hostile_payloads_degrade_not_crash(spark):
+    """Adversarial PNGs must degrade PER-ROW, never fail the Arrow batch
+    (code-review r6): (a) an IHDR declaring width >= 2^31 overflows the
+    int32 schema column unless NULLed; (b) a decompression bomb (tiny dims,
+    IDAT inflating far past them) must be rejected by the BOUNDED inflate,
+    not fully expanded first; (c) dims past the decode cap keep their
+    parsed header. A valid row rides in the same batch to prove isolation."""
+    import struct
+    import zlib
+
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import (
+        _PNG_DECODE_CAP,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_stats,
+        encode_png,
+    )
+
+    def png(ihdr_fields, idat_raw):
+        return (_PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+                + _png_chunk(b"IDAT", idat_raw)
+                + _png_chunk(b"IEND", b""))
+
+    # (a) unsigned width 2^31: valid CRCs, hostile header
+    overflow = png((0x80000000, 2, 8, 0, 0, 0, 0), zlib.compress(b"\x00" * 8))
+    # (b) bomb: declares 4x4 but IDAT inflates to 8 MiB of zeros
+    bomb = png((4, 4, 8, 0, 0, 0, 0), zlib.compress(b"\x00" * (8 << 20), 9))
+    assert len(bomb) < 20_000  # the whole point: tiny payload, huge inflate
+    # (c) in-int32-range dims whose decode exceeds the cap
+    big_w = _PNG_DECODE_CAP  # h*(w+1) = 2*(cap+1) > cap
+    big = png((big_w, 2, 8, 0, 0, 0, 0), zlib.compress(b"\x00" * 8))
+    media = spark.createDataFrame(
+        [(1, bytearray(overflow)), (2, bytearray(bomb)),
+         (3, bytearray(big)), (4, bytearray(encode_png(b"ok")))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_png_stats(media).collect()}
+    assert got[1]["width"] is None and got[1]["height"] == 2
+    assert got[1]["header_ok"] is False
+    assert got[2]["header_ok"] is False and got[2]["width"] == 4
+    assert got[3]["header_ok"] is False and got[3]["width"] == big_w
+    assert got[4]["header_ok"] is True  # batch survived the hostile rows
+
+
 def test_png_encode_decode_roundtrip_values(spark):
     """encode_png -> decode_png_stats round-trip on a known string: dims,
     chunk count, and the cycled pixel byte sum match hand computation —
@@ -933,3 +978,38 @@ def test_sim_kmeans_sub_k_corpus(spark, tmp_path):
     assert all(r["n_vecs"] == 1 for r in cells)
     assert all(r["inertia"] == 0.0 for r in cells)
     assert sim_ivf_trained_topk(spark, str(tmp_path)).count() == 0
+    # multiprobe on the same degenerate corpus DISCRIMINATES from in-cell:
+    # probe rank 1 is the query's own singleton (self excluded), rank 2 is
+    # the nearest OTHER singleton — exactly one neighbor per query
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        sim_ivf_trained_multiprobe,
+    )
+
+    mp = sim_ivf_trained_multiprobe(spark, str(tmp_path)).collect()
+    assert len(mp) == n
+    assert {r["query_id"] for r in mp} == set(range(n))
+    assert all(r["rank"] == 1 and r["neighbor_id"] != r["query_id"] for r in mp)
+
+
+def test_sim_trained_multiprobe_dominates_in_cell(spark, sf_dir):
+    """Probe rank 1 under the (d, cid) order IS the training assignment, so
+    the multiprobe candidate set is a superset of the in-cell one — at
+    every (query, rank) the multiprobe cosine must be >= the in-cell
+    cosine, and per-query row counts never shrink. Pinned because it is
+    the entire point of nprobe > 1: recall can only go up."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        sim_ivf_trained_multiprobe,
+        sim_ivf_trained_topk,
+    )
+
+    one = {}
+    for r in sim_ivf_trained_topk(spark, sf_dir).collect():
+        one.setdefault(r["query_id"], {})[r["rank"]] = r["cos_sim"]
+    multi = {}
+    for r in sim_ivf_trained_multiprobe(spark, sf_dir).collect():
+        multi.setdefault(r["query_id"], {})[r["rank"]] = r["cos_sim"]
+    assert set(one) <= set(multi)
+    for qid, ranks in one.items():
+        assert len(multi[qid]) >= len(ranks)
+        for rank, cs in ranks.items():
+            assert multi[qid][rank] >= cs
