@@ -1170,3 +1170,254 @@ def sim_ivf_trained_multiprobe(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --- Product quantization (the IVF-PQ storage path) -------------------------
+#
+# PQ is how a 100 TB ANN index actually fits: each EMB_DIM-double vector
+# (512 B here; 3 KB at dim 768) compresses to PQ_M small codes (one byte
+# each at PQ_K <= 256) by training an independent tiny codebook per
+# contiguous subspace, and search scores compressed codes against an
+# UNCOMPRESSED query through a per-query lookup table (asymmetric distance
+# computation, ADC) — no decompression, no full-vector reads.
+
+PQ_M = 4                      # subspaces
+PQ_SUB = EMB_DIM // PQ_M      # dims per subspace
+PQ_K = 4                      # centroids per subspace codebook
+PQ_ITERS = 2                  # fixed Lloyd rounds (the KM_ITERS discipline)
+
+
+def _pq_assign_sql(cent: str, i: int) -> str:
+    """One PQ Lloyd assignment as DuckDB CTEs: per (vector, subspace),
+    squared-L2 argmin over that subspace's codebook with the (d, cid)
+    tie-break — the km shape with the grouping key widened to
+    (vec_id, m)."""
+    return f"""
+    psc{i} AS (
+      SELECT s.vec_id, s.m, s.sv, c.cid,
+             (s.svv - 2 * list_dot_product(s.sv, c.c) + c.cc) AS d
+      FROM sub s JOIN (
+        SELECT m, cid, c, list_dot_product(c, c) AS cc FROM {cent}
+      ) c ON s.m = c.m
+    ),
+    pa{i} AS (
+      SELECT vec_id, m, sv, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, cid) AS rn
+        FROM psc{i}
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_sql(i: int) -> str:
+    return f"""
+    pce{i} AS (
+      SELECT m, cid, p, floor(avg(sv[p]) * {KM_SCALE} + 0.5) / {KM_SCALE} AS mu
+      FROM pa{i}, ppos GROUP BY m, cid, p
+    ),
+    pc{i + 1} AS (
+      SELECT m, cid, list(mu ORDER BY p) AS c FROM pce{i} GROUP BY m, cid
+    )"""
+
+
+def _pq_oracle_train_parts() -> list[str]:
+    """Unrolled DuckDB PQ training through the final per-subspace scoring
+    CTE psc{PQ_ITERS} and assignment pa{PQ_ITERS} (the codes)."""
+    parts = [f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    ppos AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS p),
+    sub AS (
+      SELECT vec_id, m, sv, list_dot_product(sv, sv) AS svv FROM (
+        SELECT vec_id, m,
+               list_slice(v, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sv
+        FROM vecs CROSS JOIN ms
+      )
+    ),
+    pc0 AS (
+      SELECT m, CAST(rn - 1 AS INTEGER) AS cid, sv AS c FROM (
+        SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        FROM sub
+      ) WHERE rn <= {PQ_K}
+    )"""]
+    for i in range(PQ_ITERS):
+        parts.append("," + _pq_assign_sql(f"pc{i}", i))
+        parts.append("," + _pq_update_sql(i))
+    parts.append("," + _pq_assign_sql(f"pc{PQ_ITERS}", PQ_ITERS))
+    return parts
+
+
+def _pq_assign_spark(cent: str, i: int) -> str:
+    """One PQ Lloyd assignment as Spark-SQL CTEs: min(struct(d, cid)) argmin
+    per (vec_id, m) — partial-aggregable, same (d, cid) total order as the
+    oracle's row_number. first(sv) is deterministic by value (sv is
+    functionally dependent on the (vec_id, m) group key)."""
+    return f"""
+    psc{i} AS (
+      SELECT /*+ BROADCAST(c) */ s.vec_id, s.m, s.sv, c.cid,
+             (s.svv - 2.0D * {_km_dot_sql("s.sv", "c.c")} + c.cc) AS d
+      FROM sub s JOIN (
+        SELECT m, cid, c, {_km_dot_sql("c", "c")} AS cc FROM {cent}
+      ) c ON s.m = c.m
+    ),
+    pa{i} AS (
+      SELECT vec_id, m, sv, best.cid AS cid, best.d AS d FROM (
+        SELECT vec_id, m, first(sv) AS sv, min(struct(d, cid)) AS best
+        FROM psc{i} GROUP BY vec_id, m
+      )
+    )"""
+
+
+def _pq_update_spark(i: int) -> str:
+    terms = ", ".join(
+        f"floor(avg(sv[{p}]) * {KM_SCALE}D + 0.5D) / {KM_SCALE}D"
+        for p in range(PQ_SUB)
+    )
+    return f"""
+    pc{i + 1} AS (
+      SELECT m, cid, array({terms}) AS c FROM pa{i} GROUP BY m, cid
+    )"""
+
+
+def _pq_train_parts_spark() -> list[str]:
+    parts = [f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}}
+    ),
+    sub AS (
+      SELECT vec_id, m, sv, {_km_dot_sql("sv", "sv")} AS svv FROM (
+        SELECT vec_id, m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv
+        FROM vecs
+        LATERAL VIEW explode(sequence(0, {PQ_M - 1})) AS m
+      )
+    ),
+    pc0 AS (
+      SELECT m, CAST(rn - 1 AS INT) AS cid, sv AS c FROM (
+        SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        FROM sub
+      ) WHERE rn <= {PQ_K}
+    )"""]
+    for i in range(PQ_ITERS):
+        parts.append("," + _pq_assign_spark(f"pc{i}", i))
+        parts.append("," + _pq_update_spark(i))
+    parts.append("," + _pq_assign_spark(f"pc{PQ_ITERS}", PQ_ITERS))
+    return parts
+
+
+def _pq_adc_oracle_sql() -> str:
+    """sim_pq_adc's oracle: unrolled PQ training, then ADC — the per-query
+    distance table is the final scoring CTE restricted to the query set
+    (every query x subspace x centroid distance is already there), summed
+    as exact scaled integers over the corpus codes."""
+    parts = _pq_oracle_train_parts()
+    fin = PQ_ITERS
+    parts.append(f"""
+    , lut AS (
+      SELECT vec_id, m, cid, d FROM psc{fin} WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(adc_i AS DOUBLE) / {KM_SCALE} AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_i, neighbor_id) AS INTEGER) AS rank
+      FROM (
+        SELECT l.vec_id AS query_id, x.vec_id AS neighbor_id,
+               CAST(sum(CAST(floor(l.d * {KM_SCALE} + 0.5) AS BIGINT))
+                    AS BIGINT) AS adc_i
+        FROM pa{fin} x JOIN lut l
+          ON l.m = x.m AND l.cid = x.cid AND x.vec_id <> l.vec_id
+        GROUP BY 1, 2
+      )
+    ) WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_pq_adc",
+    oracle=_pq_adc_oracle_sql(),
+    tags=("similarity", "ann", "pq", "kmeans"),
+)
+def sim_pq_adc(spark, sf_dir):
+    """Product quantization with asymmetric distance computation — the
+    IVF-PQ storage path that makes 100 TB ANN indexes fit: train PQ_M
+    independent PQ_K-centroid codebooks (one per contiguous PQ_SUB-dim
+    subspace), ENCODE every vector to PQ_M small codes, then score
+    compressed codes against uncompressed queries via per-query distance
+    lookup tables, never touching a full corpus vector at search time.
+
+    Training is the sim_kmeans_cells Lloyd discipline with the grouping
+    key widened to (vec_id, m): ALL PQ_M subspace codebooks train in the
+    SAME fixed rounds — per round one pass over the exploded subvector
+    table, broadcast of the (PQ_M x PQ_K)-row codebook (bounded constant),
+    partial-aggregable min(struct(d, cid)) argmin, per-(m, cid) rounded
+    means. Centroid components round on the 1e-6 grid each round and
+    distances are factored (svv - 2<sv,c> + cc) sequential folds, so both
+    engines see bit-identical inputs at every iteration boundary.
+
+    ADC: the per-query lookup table is NOT a second distance pass — the
+    training plan's final scoring CTE psc{fin} already holds every
+    (vector, subspace, centroid, distance) row; restricted to the bounded
+    query set it IS the table (N_QUERIES x PQ_M x PQ_K rows). One
+    kind-tagged union (corpus codes + query LUT) localCheckpoints the
+    training once for both consumers (the sim_ivf_trained_multiprobe
+    discipline). Approximate distance = sum over subspaces of the LUT
+    entry for the stored code, summed as EXACT floor-scaled integers
+    (the EWMA/Holt rule: engine summation order can't perturb ranking),
+    one final double division for display.
+
+    At 100 TB: the index table is corpus x PQ_M rows of (id, m, code) —
+    with PQ_K <= 256 that is PQ_M BYTES of payload per vector vs
+    EMB_DIM x 8 raw (64x smaller here; 512x at dim-768/M-96 production
+    shapes). The scoring join broadcasts the LUT (query-batch x codebook
+    constant) against the code table and partial-aggregates the per-pair
+    sums map-side; no shuffle carries a full vector. Recall follows
+    codebook quality (the standard PQ trade); this is the honest
+    exhaustive-ADC scan — compose with the trained IVF cells to prune
+    candidates before scoring (IVF-PQ proper)."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    fin = PQ_ITERS
+    parts = _pq_train_parts_spark()
+    parts.append(f"""
+    SELECT 0 AS kind, vec_id, m, cid, CAST(NULL AS DOUBLE) AS d FROM pa{fin}
+    UNION ALL
+    SELECT 1 AS kind, vec_id, m, cid, d FROM psc{fin}
+    WHERE vec_id < {N_QUERIES}
+    """)
+    both = _sql_over(e, "pqtrain", "".join(parts)).localCheckpoint(eager=False)
+    codes = both.filter(F.col("kind") == 0).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cid"
+    )
+    lut = both.filter(F.col("kind") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("l_m"),
+        F.col("cid").alias("l_cid"),
+        F.floor(F.col("d") * F.lit(KM_SCALE) + F.lit(0.5))
+        .cast("long")
+        .alias("term"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("l_m"))
+            & (F.col("cid") == F.col("l_cid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("term").alias("adc_i"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_i").cast("double") / F.lit(KM_SCALE)).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -85,6 +85,13 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    through shared members: the detector plan builders through
 #    flowlog_incident_feed (slot 9) and flowlog_beaconing (slot 6),
 #    parse/enrich through the ten other retained flowlog_* members.
+#  - slot 43: sim_pq_adc, ADDED at end-of-round (product quantization +
+#    asymmetric distance — the IVF-PQ storage path). It displaced
+#    sample_weighted_reservoir, whose own body is unchanged this round;
+#    the round's only sampling.py change (the shared hash-helper header)
+#    stays witnessed through sample_holdout_split (slot 44),
+#    sample_mix_epochs (slot 38), sample_temperature (slot 39) and
+#    dedup_exact (slot 36).
 # More queries changed in r6 than the window holds; every deferred
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
@@ -133,7 +140,7 @@ PRIORITY_ORDER: list[str] = [
     "dq_expectations",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
-    "sample_weighted_reservoir",
+    "sim_pq_adc",
     "sample_holdout_split",
     "subquery_scalar_and_in",
     "correlated_scalar_subquery",

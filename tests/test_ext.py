@@ -1013,3 +1013,70 @@ def test_sim_trained_multiprobe_dominates_in_cell(spark, sf_dir):
         assert len(multi[qid]) >= len(ranks)
         for rank, cs in ranks.items():
             assert multi[qid][rank] >= cs
+
+
+def test_sim_pq_adc_two_pattern_corpus(spark, tmp_path):
+    """End-to-end PQ quality on a corpus where the right answer is exact:
+    two strongly separated vector patterns, interleaved so the codebook
+    seeds see both. Training must converge to one centroid per pattern in
+    every subspace (empties drop out), so codes collapse to the pattern
+    id, ADC distance between same-pattern vectors is exactly 0, and every
+    query's full top-k is same-pattern. Pinned because it exercises the
+    whole train -> encode -> LUT -> scaled-integer-sum path with verifiable
+    values, not just oracle agreement."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        TOP_K,
+        sim_pq_adc,
+    )
+
+    pat = {
+        0: [5.0 if j % 2 == 0 else -3.0 for j in range(64)],
+        1: [-4.0 if j % 3 == 0 else 2.0 for j in range(64)],
+    }
+    n = 16  # 8 per pattern: every query has 7 same-pattern others (> TOP_K)
+    rows = [(i, pat[i % 2], f"s{i % 2}") for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = sim_pq_adc(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        assert len(rs) == TOP_K
+        for r in rs:
+            assert r["neighbor_id"] % 2 == qid % 2
+            assert r["adc_dist"] == 0.0
+
+
+def test_sim_pq_adc_sub_k_corpus(spark, tmp_path):
+    """Corpus smaller than PQ_K: every subspace codebook degenerates to one
+    singleton centroid per vector (LIMIT-K with fewer rows — the unrolled
+    plan's classic off-by-one edge). Search still returns each query's
+    n-1 ranked neighbors rather than erroring."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        PQ_K,
+        sim_pq_adc,
+    )
+
+    n = PQ_K - 1
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) - 8.0 for j in range(64)], "s0")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = sim_pq_adc(spark, str(tmp_path)).collect()
+    assert len(got) == n * (n - 1)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["rank"])
+    assert all(ranks == set(range(1, n)) for ranks in by_q.values())

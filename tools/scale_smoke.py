@@ -863,6 +863,48 @@ def main() -> int:
             "multiprobe_dominates": mp_ok,
             "t_multiprobe_s": round(t_mp, 2),
         }
+
+        # 7b) PQ/ADC at scale, same duplicated corpus: the codebook seeds
+        # are the PQ_K smallest vec_ids (present unchanged in the copy
+        # corpus) and identical copies cannot move any per-(m, cid) mean,
+        # so training — hence every original vector's codes and ADC
+        # distances — is INVARIANT under duplication, while the copies add
+        # candidates: per-query rank-1 ADC distance at mult must be <= the
+        # base corpus's, and a query's own copies (identical codes => the
+        # global-minimum ADC distance) guarantee full result sets by the
+        # same copy-family bounds as the trained search.
+        from aws_vpc_flow_log_appender_spark.ext.similarity import sim_pq_adc
+
+        base_pq = {}
+        for r in sim_pq_adc(spark, SF_DIR).collect():
+            if r["rank"] == 1:
+                base_pq[r["query_id"]] = r["adc_dist"]
+        t0 = time.perf_counter()
+        pq_rows = sim_pq_adc(spark, ktmp).collect()
+        t_pq = time.perf_counter() - t0
+        pq_by_q: dict = {}
+        for r in pq_rows:
+            pq_by_q.setdefault(r["query_id"], []).append(r)
+        pq_ok = mult < 2 or set(pq_by_q) == set(base_pq)
+        for qid, rows in pq_by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            if mult >= TOP_K + 1 and len(rows) != TOP_K:
+                pq_ok = False
+            if qid in base_pq and rows[0]["adc_dist"] > base_pq[qid]:
+                pq_ok = False  # added copies can only improve rank-1
+        if not pq_ok:
+            print(f"FAIL pq adc at mult={mult}")
+            ok = False
+        print(
+            f"scale_smoke pq mult={mult}: ADC search {len(pq_rows)} rows in "
+            f"{t_pq:.1f}s, rank-1 monotone vs base: {'YES' if pq_ok else 'NO'}"
+        )
+        artifact["pq_adc"] = {
+            "vectors": n_emb,
+            "rows": len(pq_rows),
+            "rank1_monotone": pq_ok,
+            "t_search_s": round(t_pq, 2),
+        }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
 
