@@ -1220,13 +1220,20 @@ def _pq_update_sql(i: int) -> str:
     )"""
 
 
-def _pq_oracle_train_parts() -> list[str]:
+def _pq_oracle_train_parts(include_vecs: bool = True) -> list[str]:
     """Unrolled DuckDB PQ training through the final per-subspace scoring
-    CTE psc{PQ_ITERS} and assignment pa{PQ_ITERS} (the codes)."""
-    parts = [f"""
+    CTE psc{PQ_ITERS} and assignment pa{PQ_ITERS} (the codes).
+
+    ``include_vecs=False`` omits the leading WITH + vecs CTE so the chain
+    can be appended to another prefix that already defines ``vecs`` with at
+    least (vec_id, v) — how sim_ivfpq_topk composes the coarse and PQ
+    trainings into one statement (CTE namespaces are disjoint by
+    construction: c/sc/a vs pc/psc/pa)."""
+    head = f"""
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
+    ),""" if include_vecs else "\n    ,"
+    parts = [head + f"""
     ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
     ppos AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS p),
     sub AS (
@@ -1281,11 +1288,12 @@ def _pq_update_spark(i: int) -> str:
     )"""
 
 
-def _pq_train_parts_spark() -> list[str]:
-    parts = [f"""
+def _pq_train_parts_spark(include_vecs: bool = True) -> list[str]:
+    head = f"""
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}}
-    ),
+    ),""" if include_vecs else "\n    ,"
+    parts = [head + f"""
     sub AS (
       SELECT vec_id, m, sv, {_km_dot_sql("sv", "sv")} AS svv FROM (
         SELECT vec_id, m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv
@@ -1405,6 +1413,147 @@ def sim_pq_adc(spark, sf_dir):
             F.broadcast(lut),
             (F.col("m") == F.col("l_m"))
             & (F.col("cid") == F.col("l_cid"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("term").alias("adc_i"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_i").cast("double") / F.lit(KM_SCALE)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """sim_ivfpq_topk's oracle: BOTH unrolled trainings in one statement
+    (the coarse km chain defines vecs/pos/c*/sc*/a*; the PQ chain appended
+    with include_vecs=False reuses that vecs and owns ms/ppos/pc*/psc*/
+    pa*), then probe selection from sc{fin}, code attachment from
+    pa{PQ_ITERS}, and the exact scaled-integer ADC sum over probed-cell
+    candidates only."""
+    parts = _km_oracle_train_parts()
+    parts.extend(_pq_oracle_train_parts(include_vecs=False))
+    kfin, pfin = KM_ITERS, PQ_ITERS
+    parts.append(f"""
+    , probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) AS pr
+        FROM sc{kfin} WHERE vec_id < {N_QUERIES}
+      ) WHERE pr <= {N_PROBE}
+    ),
+    corpusx AS (
+      SELECT a.vec_id, a.cid AS cell, p.m, p.cid AS code
+      FROM a{kfin} a JOIN pa{pfin} p ON a.vec_id = p.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(adc_i AS DOUBLE) / {KM_SCALE} AS adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_i, neighbor_id) AS INTEGER) AS rank
+      FROM (
+        SELECT pr.query_id, x.vec_id AS neighbor_id,
+               CAST(sum(CAST(floor(l.d * {KM_SCALE} + 0.5) AS BIGINT))
+                    AS BIGINT) AS adc_i
+        FROM probe pr
+        JOIN corpusx x ON x.cell = pr.cell AND x.vec_id <> pr.query_id
+        JOIN (SELECT vec_id, m, cid, d FROM psc{pfin}
+              WHERE vec_id < {N_QUERIES}) l
+          ON l.vec_id = pr.query_id AND l.m = x.m AND l.cid = x.code
+        GROUP BY 1, 2
+      )
+    ) WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "kmeans"),
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ proper — the production 100 TB ANN index, composed from the
+    two trained structures this engine already builds: the coarse
+    quantizer PRUNES (each query examines only its N_PROBE nearest trained
+    cells) and the product quantizer SCORES (ADC over PQ_M-byte codes, no
+    full vector reads at search time). sim_ivf_trained_multiprobe scores
+    raw vectors inside probed cells; sim_pq_adc scores codes exhaustively;
+    this does both halves of the real thing.
+
+    BOTH trainings unroll into ONE Spark-SQL statement over one corpus
+    view (disjoint CTE namespaces; the PQ chain reuses the coarse chain's
+    vecs), and ONE kind-tagged union checkpoints everything search needs:
+      kind 0 — corpus rows (vec_id, coarse cell, m, code): the a{kfin} ⋈
+               pa{pfin} attachment, the statement's only corpus-x-corpus
+               join (co-keyed on vec_id; bucket both by vec_id at scale).
+      kind 1 — query-to-centroid distances from sc{kfin} (probe ranking).
+      kind 2 — query LUT rows from psc{pfin} (ADC terms).
+    Probe pairs ⋈ LUT compose driver-free into the broadcast table P of
+    N_QUERIES x N_PROBE x PQ_M x PQ_K rows (320 here — bounded by query
+    batch x codebook constants). Search is corpus ⋈ broadcast(P) on
+    (cell, m, code): each corpus vector in a probed cell contributes its
+    PQ_M exact scaled-integer terms, partial-aggregated map-side into the
+    per-(query, neighbor) sum, then the per-query window top-k.
+
+    At 100 TB: search touches ~N_PROBE/KM_K of the corpus per query batch
+    and reads only the (id, cell, m, code) index table — PQ_M bytes of
+    payload per vector. The two training costs are the documented km/pq
+    passes; everything downstream of the checkpoint is one broadcast
+    join + one partial agg + one bounded window."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    kfin, pfin = KM_ITERS, PQ_ITERS
+    parts = _km_train_parts_spark()
+    parts.extend(_pq_train_parts_spark(include_vecs=False))
+    parts.append(f"""
+    SELECT 0 AS kind, a.vec_id, a.cid AS cell, p.m, p.cid AS code,
+           CAST(NULL AS DOUBLE) AS d
+    FROM a{kfin} a JOIN pa{pfin} p ON a.vec_id = p.vec_id
+    UNION ALL
+    SELECT 1 AS kind, vec_id, cid AS cell, CAST(NULL AS INT) AS m,
+           CAST(NULL AS INT) AS code, d
+    FROM sc{kfin} WHERE vec_id < {N_QUERIES}
+    UNION ALL
+    SELECT 2 AS kind, vec_id, CAST(NULL AS INT) AS cell, m, cid AS code, d
+    FROM psc{pfin} WHERE vec_id < {N_QUERIES}
+    """)
+    both = _sql_over(e, "ivfpq", "".join(parts)).localCheckpoint(eager=False)
+    pw = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+    probes = (
+        both.filter(F.col("kind") == 1)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell"))
+    )
+    lut = both.filter(F.col("kind") == 2).select(
+        F.col("vec_id").alias("l_query"),
+        F.col("m").alias("l_m"),
+        F.col("code").alias("l_code"),
+        F.floor(F.col("d") * F.lit(KM_SCALE) + F.lit(0.5))
+        .cast("long")
+        .alias("term"),
+    )
+    p_tbl = probes.join(lut, F.col("query_id") == F.col("l_query")).select(
+        "query_id", "q_cell", "l_m", "l_code", "term"
+    )
+    corpus = both.filter(F.col("kind") == 0).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "m", "code"
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(p_tbl),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("m") == F.col("l_m"))
+            & (F.col("code") == F.col("l_code"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
         .groupBy("query_id", "neighbor_id")

@@ -92,6 +92,12 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    stays witnessed through sample_holdout_split (slot 44),
 #    sample_mix_epochs (slot 38), sample_temperature (slot 39) and
 #    dedup_exact (slot 36).
+#  - slot 30: sim_ivfpq_topk, ADDED at end-of-round (IVF-PQ proper: coarse
+#    prune + ADC scoring, both trainings in one statement). It displaced
+#    text_cross_doc_repeats, whose changed path (shared shingle helpers)
+#    stays witnessed through text_contamination_check (slot 29),
+#    dedup_ngram_jaccard (slot 49), dedup_minhash_lsh (slot 41) and
+#    dedup_lsh_bucket_stats (slot 4).
 # More queries changed in r6 than the window holds; every deferred
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
@@ -126,7 +132,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_ivf_trained_multiprobe",
     "sim_rp_lsh_topk",
     "text_contamination_check",
-    "text_cross_doc_repeats",
+    "sim_ivfpq_topk",
     "sample_dedup_weights",
     "dedup_clusters",
     "corpus_curation_pipeline",

@@ -1080,3 +1080,62 @@ def test_sim_pq_adc_sub_k_corpus(spark, tmp_path):
     for r in got:
         by_q.setdefault(r["query_id"], set()).add(r["rank"])
     assert all(ranks == set(range(1, n)) for ranks in by_q.values())
+
+
+def test_sim_ivfpq_pruning_dominance_vs_exhaustive(spark, sf_dir):
+    """IVF-PQ scores the SAME compressed codes as exhaustive ADC but over a
+    pruned candidate set, so at every (query, rank) its ADC distance must
+    be >= the exhaustive scan's — pruning can only push better candidates
+    out, never conjure closer ones. Both must return full result sets on
+    the fixture. Pinned as the composition contract between the coarse
+    prune and the PQ scorer."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        TOP_K,
+        sim_ivfpq_topk,
+        sim_pq_adc,
+    )
+
+    ex, pruned = {}, {}
+    for r in sim_pq_adc(spark, sf_dir).collect():
+        ex.setdefault(r["query_id"], {})[r["rank"]] = r["adc_dist"]
+    for r in sim_ivfpq_topk(spark, sf_dir).collect():
+        pruned.setdefault(r["query_id"], {})[r["rank"]] = r["adc_dist"]
+    assert set(pruned) == set(ex)
+    for qid, ranks in pruned.items():
+        assert len(ranks) == TOP_K and len(ex[qid]) == TOP_K
+        for rank, dist in ranks.items():
+            assert dist >= ex[qid][rank]
+
+
+def test_sim_ivfpq_two_pattern_corpus(spark, tmp_path):
+    """On the interleaved two-pattern corpus the coarse codebook collapses
+    to one surviving cell per pattern (empties drop out), so probing
+    nprobe=2 covers the whole corpus and IVF-PQ must agree with the exact
+    expectation: every query's full top-k is same-pattern at ADC distance
+    exactly 0."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        TOP_K,
+        sim_ivfpq_topk,
+    )
+
+    pat = {
+        0: [5.0 if j % 2 == 0 else -3.0 for j in range(64)],
+        1: [-4.0 if j % 3 == 0 else 2.0 for j in range(64)],
+    }
+    rows = [(i, pat[i % 2], f"s{i % 2}") for i in range(16)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = sim_ivfpq_topk(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        assert len(rs) == TOP_K
+        for r in rs:
+            assert r["neighbor_id"] % 2 == qid % 2
+            assert r["adc_dist"] == 0.0

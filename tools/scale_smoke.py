@@ -895,15 +895,42 @@ def main() -> int:
         if not pq_ok:
             print(f"FAIL pq adc at mult={mult}")
             ok = False
+        # IVF-PQ composition at scale: same codes, pruned candidates — at
+        # every (query, rank) present in both results the pruned ADC
+        # distance must be >= the exhaustive scan's (pruning can only push
+        # candidates out, never conjure closer ones).
+        from aws_vpc_flow_log_appender_spark.ext.similarity import (
+            sim_ivfpq_topk,
+        )
+
+        t0 = time.perf_counter()
+        ivfpq_rows = sim_ivfpq_topk(spark, ktmp).collect()
+        t_ivfpq = time.perf_counter() - t0
+        pq_rank = {
+            (r["query_id"], r["rank"]): r["adc_dist"] for r in pq_rows
+        }
+        ivfpq_ok = True
+        for r in ivfpq_rows:
+            exh = pq_rank.get((r["query_id"], r["rank"]))
+            if exh is not None and r["adc_dist"] < exh:
+                ivfpq_ok = False
+        if not ivfpq_ok:
+            print(f"FAIL ivfpq pruning dominance at mult={mult}")
+            ok = False
         print(
             f"scale_smoke pq mult={mult}: ADC search {len(pq_rows)} rows in "
             f"{t_pq:.1f}s, rank-1 monotone vs base: {'YES' if pq_ok else 'NO'}"
+            f"; ivfpq {len(ivfpq_rows)} rows in {t_ivfpq:.1f}s, dominance: "
+            f"{'YES' if ivfpq_ok else 'NO'}"
         )
         artifact["pq_adc"] = {
             "vectors": n_emb,
             "rows": len(pq_rows),
             "rank1_monotone": pq_ok,
             "t_search_s": round(t_pq, 2),
+            "ivfpq_rows": len(ivfpq_rows),
+            "ivfpq_dominates": ivfpq_ok,
+            "t_ivfpq_s": round(t_ivfpq, 2),
         }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
