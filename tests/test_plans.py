@@ -456,6 +456,8 @@ _BROADCAST_BOUNDS = {
     ("ext/similarity.py", "cent"): "centroid table, #cells rows",
     ("ext/similarity.py", "probes"): "query x nprobe fan-out",
     ("ext/similarity.py", "eval_set"): "eval suite (bounded by definition)",
+    ("ext/similarity.py", "lut"): "ADC lookup, query-batch x PQ_M x PQ_K rows",
+    ("ext/similarity.py", "p_tbl"): "probe x ADC LUT, query-batch x N_PROBE x PQ_M x PQ_K rows",
     ("ext/sampling.py", "tot"): "1-row total",
     ("ext/sampling.py", "n_min"): "1-row min-count scalar",
     ("ext/sampling.py", "mx"): "1-row max scalar",
