@@ -209,7 +209,13 @@ _SQL_BANDS = " UNION ALL ".join(
 def _minhash_bands_for(docs):
     """(doc_id, band_id, band_sig) LSH bands for a documents-shaped frame
     (shared by dedup_minhash_lsh and the curation pipeline)."""
-    sig = _minhash_sig_for(docs)
+    return _bands_from_sig(_minhash_sig_for(docs))
+
+
+def _bands_from_sig(sig):
+    """Bands from an already-built signature frame — split out (r6) so
+    dedup_minhash_est_jaccard can checkpoint the signature ONCE and derive
+    both the banding and the per-pair agreement counts from it."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -334,6 +340,149 @@ def dedup_lsh_bucket_stats(spark, sf_dir):
                 "n_colliding_buckets"
             ),
             F.col("candidate_mass").cast("long").alias("candidate_mass"),
+        )
+    )
+
+
+_SQL_SIG_EQ = " + ".join(
+    f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
+)
+_SQL_EST_U = "(za.n_sh + zb.n_sh - coalesce(i.n_common, 0))"
+
+
+@query(
+    "dedup_minhash_est_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sig AS ({_SQL_MINHASH_SIG}),
+    bands AS ({_SQL_BANDS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+      FROM shingled GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.doc_a
+      JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b, CAST({_SQL_SIG_EQ} AS INTEGER) AS n_eq
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.n_eq,
+           e.n_eq / {float(N_MINHASH)} AS est_jaccard,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           floor((coalesce(i.n_common, 0) / ({_SQL_EST_U} + 0.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS true_jaccard,
+           floor((abs(e.n_eq * {_SQL_EST_U}
+                      - {N_MINHASH} * coalesce(i.n_common, 0))
+                  / ({float(N_MINHASH)} * ({_SQL_EST_U} + 0.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+    """,
+    tags=("dedup", "minhash", "lsh", "jaccard", "quality"),
+)
+def dedup_minhash_est_jaccard(spark, sf_dir):
+    """Sketch-quality audit for the MinHash LSH: per candidate pair, the
+    Jaccard ESTIMATE the signature implies (matching components / 8)
+    against the TRUE shingle Jaccard, with the absolute error — the
+    measurement that decides whether 8 minhashes are enough before a
+    100 TB dedup run stakes its candidate recall on them (the sketch's
+    standard error is ~sqrt(j(1-j)/8) ≈ 0.17 at j=0.5; a corpus whose
+    observed errors blow past that has a banding/shingling bug, not
+    noise).
+
+    Shape: the signature table is built ONCE and checkpointed (1 short
+    row per doc) — the banding, the candidate self-join, and the per-pair
+    agreement counts all derive from it; candidate pairs are the LSH
+    bucket join (never all-pairs) and are checkpointed for their three
+    consumers (agreement join x2 sides via sig, intersection, final).
+    True Jaccard reuses the dedup_ngram_jaccard discipline: a shingle
+    equi-join restricted to candidate pairs. The error column is computed
+    from an INTEGER numerator |n_eq*u - 8*n_common| over (8*u) — one
+    double division on integer-exact operands, so both engines see the
+    identical quotient (no est-minus-rounded-true double-rounding).
+    n_common coalesces to 0: band equality virtually implies a shared
+    min-shingle, but a truncated-hash collision can pair shingle-disjoint
+    docs and the audit must report est=k/8 vs true=0, not drop the row."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents")
+    sig = (
+        _minhash_sig_for(docs).repartition(par).localCheckpoint(eager=False)
+    )
+    bands = _bands_from_sig(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .repartition(par)
+        .localCheckpoint(eager=False)
+    )
+    sh = _shingled_for(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ga = sig.alias("ga")
+    gb = sig.alias("gb")
+    n_eq = sum(
+        F.when(F.col(f"ga.m{j}") == F.col(f"gb.m{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    ).cast("int")
+    est = (
+        pairs.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    nc = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    u = F.col("za.n_sh") + F.col("zb.n_sh") - nc
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_eq",
+            (F.col("n_eq") / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+            nc.cast("long").alias("n_common"),
+            round_half_up(nc / u.cast("double"), 6).alias("true_jaccard"),
+            round_half_up(
+                F.abs(F.col("n_eq") * u - F.lit(N_MINHASH) * nc)
+                / (F.lit(float(N_MINHASH)) * u.cast("double")),
+                6,
+            ).alias("abs_err"),
         )
     )
 

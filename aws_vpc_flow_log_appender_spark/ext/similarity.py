@@ -1431,17 +1431,15 @@ def sim_pq_adc(spark, sf_dir):
     )
 
 
-def _ivfpq_oracle_sql() -> str:
-    """sim_ivfpq_topk's oracle: BOTH unrolled trainings in one statement
-    (the coarse km chain defines vecs/pos/c*/sc*/a*; the PQ chain appended
-    with include_vecs=False reuses that vecs and owns ms/ppos/pc*/psc*/
-    pa*), then probe selection from sc{fin}, code attachment from
-    pa{PQ_ITERS}, and the exact scaled-integer ADC sum over probed-cell
-    candidates only."""
-    parts = _km_oracle_train_parts()
-    parts.extend(_pq_oracle_train_parts(include_vecs=False))
+def _ivfpq_oracle_search_ctes() -> str:
+    """The IVF-PQ search tail as DuckDB CTEs appended to the combined
+    km + pq training prefix: probe selection from sc{kfin}, code attachment
+    from pa{pfin}, the exact scaled-integer ADC sum over probed-cell
+    candidates only, and the ranked result ``ivfpq_ranked`` — shared by
+    sim_ivfpq_topk's oracle (which selects the top-k) and
+    sim_recall_eval's (which joins the top-k against the exact scan)."""
     kfin, pfin = KM_ITERS, PQ_ITERS
-    parts.append(f"""
+    return f"""
     , probe AS (
       SELECT vec_id AS query_id, cid AS cell FROM (
         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -1452,24 +1450,38 @@ def _ivfpq_oracle_sql() -> str:
     corpusx AS (
       SELECT a.vec_id, a.cid AS cell, p.m, p.cid AS code
       FROM a{kfin} a JOIN pa{pfin} p ON a.vec_id = p.vec_id
-    )
-    SELECT query_id, neighbor_id, adc_dist, rank FROM (
-      SELECT query_id, neighbor_id,
-             CAST(adc_i AS DOUBLE) / {KM_SCALE} AS adc_dist,
+    ),
+    adc AS (
+      SELECT pr.query_id, x.vec_id AS neighbor_id,
+             CAST(sum(CAST(floor(l.d * {KM_SCALE} + 0.5) AS BIGINT))
+                  AS BIGINT) AS adc_i
+      FROM probe pr
+      JOIN corpusx x ON x.cell = pr.cell AND x.vec_id <> pr.query_id
+      JOIN (SELECT vec_id, m, cid, d FROM psc{pfin}
+            WHERE vec_id < {N_QUERIES}) l
+        ON l.vec_id = pr.query_id AND l.m = x.m AND l.cid = x.code
+      GROUP BY 1, 2
+    ),
+    ivfpq_ranked AS (
+      SELECT query_id, neighbor_id, adc_i,
              CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY adc_i, neighbor_id) AS INTEGER) AS rank
-      FROM (
-        SELECT pr.query_id, x.vec_id AS neighbor_id,
-               CAST(sum(CAST(floor(l.d * {KM_SCALE} + 0.5) AS BIGINT))
-                    AS BIGINT) AS adc_i
-        FROM probe pr
-        JOIN corpusx x ON x.cell = pr.cell AND x.vec_id <> pr.query_id
-        JOIN (SELECT vec_id, m, cid, d FROM psc{pfin}
-              WHERE vec_id < {N_QUERIES}) l
-          ON l.vec_id = pr.query_id AND l.m = x.m AND l.cid = x.code
-        GROUP BY 1, 2
-      )
-    ) WHERE rank <= {TOP_K}
+      FROM adc
+    )"""
+
+
+def _ivfpq_oracle_sql() -> str:
+    """sim_ivfpq_topk's oracle: BOTH unrolled trainings in one statement
+    (the coarse km chain defines vecs/pos/c*/sc*/a*; the PQ chain appended
+    with include_vecs=False reuses that vecs and owns ms/ppos/pc*/psc*/
+    pa*), then the shared search tail (_ivfpq_oracle_search_ctes)."""
+    parts = _km_oracle_train_parts()
+    parts.extend(_pq_oracle_train_parts(include_vecs=False))
+    parts.append(_ivfpq_oracle_search_ctes())
+    parts.append(f"""
+    SELECT query_id, neighbor_id,
+           CAST(adc_i AS DOUBLE) / {KM_SCALE} AS adc_dist, rank
+    FROM ivfpq_ranked WHERE rank <= {TOP_K}
     """)
     return "".join(parts)
 
@@ -1527,6 +1539,22 @@ def sim_ivfpq_topk(spark, sf_dir):
     FROM psc{pfin} WHERE vec_id < {N_QUERIES}
     """)
     both = _sql_over(e, "ivfpq", "".join(parts)).localCheckpoint(eager=False)
+    return _ivfpq_search(both).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("adc_i").cast("double") / F.lit(KM_SCALE)).alias("adc_dist"),
+        "rank",
+    )
+
+
+def _ivfpq_search(both):
+    """The IVF-PQ search over a checkpointed kind-tagged union carrying at
+    least (kind, vec_id, cell, m, code, d): probe ranking from the kind-1
+    query-to-centroid distances, LUT from the kind-2 query scoring rows,
+    corpus codes from kind 0; returns the top-k (query_id, neighbor_id,
+    adc_i, rank) frame — shared by sim_ivfpq_topk (which formats the
+    distance) and sim_recall_eval (which joins it against the exact
+    scan)."""
     pw = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
     probes = (
         both.filter(F.col("kind") == 1)
@@ -1560,13 +1588,202 @@ def sim_ivfpq_topk(spark, sf_dir):
         .agg(F.sum("term").alias("adc_i"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+def _pq_distortion_oracle_sql() -> str:
+    parts = _pq_oracle_train_parts()
+    fin = PQ_ITERS
+    parts.append(f"""
+    SELECT CAST(m AS INTEGER) AS m,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(d * {KM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+             / {KM_SCALE} AS total_distortion,
+           CAST(sum(CAST(floor(d * {KM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / {KM_SCALE} AS avg_distortion,
+           CAST(max(CAST(floor(d * {KM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+             / {KM_SCALE} AS max_distortion
+    FROM pa{fin} GROUP BY m
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_pq_distortion",
+    oracle=_pq_distortion_oracle_sql(),
+    tags=("similarity", "ann", "pq", "kmeans", "quality"),
+)
+def sim_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ quantization distortion — the codebook-quality
+    metric an operator checks BEFORE deploying a PQ index over 100 TB:
+    pa{fin}.d is each subvector's squared-L2 distance to its assigned
+    centroid (the reconstruction error PQ will bake into every ADC score),
+    so per subspace m this reports member count, total/average/max
+    distortion. A subspace whose avg_distortion dwarfs the others means
+    its slice of the embedding carries structure PQ_K centroids can't
+    capture (raise PQ_K or re-split subspaces); a max >> avg flags outlier
+    vectors that will silently mis-rank at search time.
+
+    Zero cost beyond training: the distances are the training plan's own
+    final assignment CTE — this is ONE partial-aggregable groupBy over it
+    (PQ_M output rows), no second corpus pass, no join. Sums are exact
+    floor-scaled integers (the inertia discipline from sim_kmeans_cells),
+    one final double division per displayed column."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    fin = PQ_ITERS
+    parts = _pq_train_parts_spark()
+    parts.append(f"""
+    SELECT CAST(m AS INTEGER) AS m,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(d * {KM_SCALE}D + 0.5D) AS BIGINT)) AS DOUBLE)
+             / {KM_SCALE}D AS total_distortion,
+           CAST(sum(CAST(floor(d * {KM_SCALE}D + 0.5D) AS BIGINT)) AS DOUBLE)
+             / count(*) / {KM_SCALE}D AS avg_distortion,
+           CAST(max(CAST(floor(d * {KM_SCALE}D + 0.5D) AS BIGINT)) AS DOUBLE)
+             / {KM_SCALE}D AS max_distortion
+    FROM pa{fin} GROUP BY m
+    """)
+    return _sql_over(e, "pqdist", "".join(parts))
+
+
+def _recall_eval_oracle_sql() -> str:
+    """sim_recall_eval's oracle: the combined km + pq training prefix, the
+    shared IVF-PQ search tail, an exact squared-L2 top-k over the same
+    vecs CTE (factored fold-order distances on the scaled-integer grid,
+    neighbor_id tie-break), and the per-query hit count between the two."""
+    parts = _km_oracle_train_parts()
+    parts.extend(_pq_oracle_train_parts(include_vecs=False))
+    parts.append(_ivfpq_oracle_search_ctes())
+    parts.append(f"""
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(floor((c.vv - 2 * list_dot_product(q.v, c.v) + q.vv)
+                      * {KM_SCALE} + 0.5) AS BIGINT),
+                 c.vec_id) AS rnk
+        FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           floor(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {float(TOP_K)} * {KM_SCALE} + 0.5) / {KM_SCALE}
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM ivfpq_ranked
+               WHERE rank <= {TOP_K}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_recall_eval",
+    oracle=_recall_eval_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "quality"),
+)
+def sim_recall_eval(spark, sf_dir):
+    """Recall@k of the IVF-PQ index against the exact scan — the number
+    that decides whether an ANN index is deployable at all: per query,
+    how many of the true top-k nearest neighbors (exact squared-L2 over
+    raw vectors) the compressed, cell-pruned search actually returned.
+    Production ANN tuning is a loop over (KM_K, N_PROBE, PQ_M, PQ_K)
+    driven by exactly this measurement on a sampled query batch; an
+    engine that can build the index but not grade it leaves the user
+    flying blind.
+
+    ONE unrolled plan trains both quantizers (the sim_ivfpq_topk
+    statement) and its kind-tagged checkpoint grows a kind-3 slice:
+    the raw vectors with their self-dots (vv rides in the d column) —
+    so the exact baseline, the probe ranking, the LUT, and the corpus
+    codes all come from a single corpus-rows-bounded materialization.
+    The exact side is the brute-force discipline (broadcast the bounded
+    query batch, one corpus scan) with squared-L2 on the scaled-integer
+    grid: d_i = floor((c.vv - 2<q,c> + q.vv) * 1e6 + 0.5) — factored
+    fold-order dots, integer ranking, neighbor_id tie-break — so the
+    ground truth itself is engine-reproducible. Recall joins the two
+    bounded top-k sets (N_QUERIES x TOP_K rows each) and counts hits
+    per query; at 100 TB the exact baseline costs one corpus scan over
+    the sampled query batch — the standard price of ground truth, paid
+    once per tuning run, while the index under test reads only codes."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    kfin, pfin = KM_ITERS, PQ_ITERS
+    parts = _km_train_parts_spark()
+    parts.extend(_pq_train_parts_spark(include_vecs=False))
+    parts.append(f"""
+    SELECT 0 AS kind, a.vec_id, a.cid AS cell, p.m, p.cid AS code,
+           CAST(NULL AS DOUBLE) AS d, CAST(NULL AS ARRAY<DOUBLE>) AS v
+    FROM a{kfin} a JOIN pa{pfin} p ON a.vec_id = p.vec_id
+    UNION ALL
+    SELECT 1 AS kind, vec_id, cid AS cell, CAST(NULL AS INT) AS m,
+           CAST(NULL AS INT) AS code, d, CAST(NULL AS ARRAY<DOUBLE>) AS v
+    FROM sc{kfin} WHERE vec_id < {N_QUERIES}
+    UNION ALL
+    SELECT 2 AS kind, vec_id, CAST(NULL AS INT) AS cell, m, cid AS code, d,
+           CAST(NULL AS ARRAY<DOUBLE>) AS v
+    FROM psc{pfin} WHERE vec_id < {N_QUERIES}
+    UNION ALL
+    SELECT 3 AS kind, vec_id, CAST(NULL AS INT) AS cell,
+           CAST(NULL AS INT) AS m, CAST(NULL AS INT) AS code, vv AS d, v
+    FROM vecs
+    """)
+    both = _sql_over(e, "recall", "".join(parts)).localCheckpoint(eager=False)
+    vec3 = both.filter(F.col("kind") == 3).select(
+        "vec_id", "v", F.col("d").alias("vv")
+    )
+    q = vec3.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("vv").alias("q_vv"),
+    )
+    c = vec3.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("c_v"),
+        F.col("vv").alias("c_vv"),
+    )
+    d_i = (
+        F.floor(
+            (
+                F.col("c_vv")
+                - F.lit(2.0) * F.expr(_km_dot_sql("q_v", "c_v"))
+                + F.col("q_vv")
+            )
+            * F.lit(KM_SCALE)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("d_i")
+    )
+    we = W.partitionBy("query_id").orderBy(F.asc("d_i"), F.asc("neighbor_id"))
+    exact = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d_i)
+        .withColumn("rnk", F.row_number().over(we))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = _ivfpq_search(both).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("adc_i").cast("double") / F.lit(KM_SCALE)).alias("adc_dist"),
-            "rank",
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            n_hits.cast("long").alias("n_hits"),
+            round_half_up(
+                n_hits.cast("double") / F.lit(float(TOP_K)), 6
+            ).alias("recall_at_k"),
         )
     )

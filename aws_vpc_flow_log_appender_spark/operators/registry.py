@@ -133,6 +133,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_rp_lsh_topk",
     "text_contamination_check",
     "sim_ivfpq_topk",
+    "sim_recall_eval",
     "sample_dedup_weights",
     "dedup_clusters",
     "corpus_curation_pipeline",
@@ -145,12 +146,11 @@ PRIORITY_ORDER: list[str] = [
     "sample_temperature",
     "dq_expectations",
     "dedup_minhash_lsh",
+    "dedup_minhash_est_jaccard",
     "dedup_simhash_pairs",
     "sim_pq_adc",
-    "sample_holdout_split",
-    "subquery_scalar_and_in",
+    "sim_pq_distortion",
     "correlated_scalar_subquery",
-    "json_extract",
     "dedup_ngram_jaccard",
     "sim_kmeans_cells",
 ]

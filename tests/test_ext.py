@@ -1139,3 +1139,152 @@ def test_sim_ivfpq_two_pattern_corpus(spark, tmp_path):
         for r in rs:
             assert r["neighbor_id"] % 2 == qid % 2
             assert r["adc_dist"] == 0.0
+
+
+def test_sim_pq_distortion_two_pattern_corpus(spark, tmp_path):
+    """On the interleaved two-pattern corpus every subspace codebook
+    converges to one centroid per pattern (empties drop out), so every
+    subvector sits exactly on its centroid and the distortion metric must
+    report 0 everywhere — pinning that the metric reads the training's own
+    assignment distances rather than recomputing anything."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        PQ_M,
+        sim_pq_distortion,
+    )
+
+    pat = {
+        0: [5.0 if j % 2 == 0 else -3.0 for j in range(64)],
+        1: [-4.0 if j % 3 == 0 else 2.0 for j in range(64)],
+    }
+    n = 16
+    rows = [(i, pat[i % 2], f"s{i % 2}") for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = sim_pq_distortion(spark, str(tmp_path)).collect()
+    assert {r["m"] for r in got} == set(range(PQ_M))
+    for r in got:
+        assert r["n_vecs"] == n
+        assert r["total_distortion"] == 0.0
+        assert r["avg_distortion"] == 0.0
+        assert r["max_distortion"] == 0.0
+
+
+def test_sim_pq_distortion_consistency(spark, sf_dir):
+    """On the fixture: per-subspace invariants — counts cover the corpus,
+    avg * n == total within the 1e-6 grid, max >= avg >= 0."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        PQ_M,
+        sim_pq_distortion,
+    )
+
+    got = sim_pq_distortion(spark, sf_dir).collect()
+    assert len(got) == PQ_M
+    for r in got:
+        assert r["n_vecs"] > 0
+        assert 0.0 <= r["avg_distortion"] <= r["max_distortion"]
+        assert abs(r["avg_distortion"] * r["n_vecs"] - r["total_distortion"]) < 1e-3
+
+
+def test_sim_recall_eval_two_pattern_corpus(spark, tmp_path):
+    """On the two-pattern corpus the exact L2 top-k and the IVF-PQ top-k
+    coincide: same-pattern vectors are at raw distance 0 AND ADC distance 0,
+    both sides break ties by neighbor_id, and each pattern has more members
+    than TOP_K — so recall must be exactly 1.0 for every query."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        TOP_K,
+        sim_recall_eval,
+    )
+
+    pat = {
+        0: [5.0 if j % 2 == 0 else -3.0 for j in range(64)],
+        1: [-4.0 if j % 3 == 0 else 2.0 for j in range(64)],
+    }
+    rows = [(i, pat[i % 2], f"s{i % 2}") for i in range(16)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = sim_recall_eval(spark, str(tmp_path)).collect()
+    assert {r["query_id"] for r in got} == set(range(10))
+    for r in got:
+        assert r["n_hits"] == TOP_K
+        assert r["recall_at_k"] == 1.0
+
+
+def test_sim_recall_eval_bounds(spark, sf_dir):
+    """On the fixture: one row per query, n_hits in [0, TOP_K], and the
+    recall column is exactly n_hits / TOP_K."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_recall_eval,
+    )
+
+    got = sim_recall_eval(spark, sf_dir).collect()
+    assert len(got) == N_QUERIES
+    for r in got:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9
+
+
+def test_dedup_minhash_est_jaccard_identical_docs(spark, tmp_path):
+    """Identical documents must audit perfectly: all 8 signature components
+    agree (est 1.0), true Jaccard 1.0, error exactly 0 — while a pair of
+    disjoint docs can never appear at all (no shared band)."""
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        dedup_minhash_est_jaccard,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different words describing some other topic entirely here"
+    rows = [
+        (1, text_a, "s0", "2024-01-01"),
+        (2, text_a, "s0", "2024-01-02"),
+        (3, text_b, "s1", "2024-01-03"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source", "crawl_date"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = dedup_minhash_est_jaccard(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_eq"] == 8
+    assert r["est_jaccard"] == 1.0
+    assert r["true_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+
+
+def test_dedup_minhash_est_jaccard_error_formula(spark, sf_dir):
+    """On the fixture: every row's abs_err recomputes from its own integer
+    columns (|n_eq*u - 8*n_common| / (8u), 1e-6 grid) and the estimate is
+    n_eq/8 — pinning the integer-exact error discipline against silent
+    drift, and est/true both in [0, 1]."""
+    import math
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        dedup_minhash_est_jaccard,
+    )
+
+    got = dedup_minhash_est_jaccard(spark, sf_dir).collect()
+    assert got, "fixture corpus has near-dup candidates"
+    for r in got:
+        assert r["est_jaccard"] == r["n_eq"] / 8.0
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["true_jaccard"] <= 1.0
+        # reconstruct u from the rounded true jaccard is lossy; instead use
+        # the row's n_common with the fixture's shingle profile implied by
+        # true_jaccard: u = n_common / true_jaccard on the same grid
+        if r["true_jaccard"] > 0:
+            u = r["n_common"] / r["true_jaccard"]
+            want = abs(r["n_eq"] * u - 8 * r["n_common"]) / (8.0 * u)
+            assert math.isclose(r["abs_err"], want, abs_tol=5e-4)
