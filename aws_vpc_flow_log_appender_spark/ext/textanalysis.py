@@ -559,6 +559,115 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method): documents are
+# scored by the log-likelihood ratio between a TARGET domain's hashed-token
+# distribution and the rest of the corpus's, over a fixed bucket table. The
+# bucket count is the method's collision/variance knob; 1024 keeps the
+# per-bucket stats table a broadcastable constant at any corpus size.
+DSIR_BUCKETS = 1024
+
+# token -> bucket: top 32 bits of md5, mod the bucket constant. Engine twins
+# of the same value (the simhash chunk-parse idiom, dedup.py:603-606).
+_DSIR_B_SQL = (
+    f"(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {DSIR_BUCKETS})"
+)
+_DSIR_B_SPARK = (
+    "(CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
+    f" % {DSIR_BUCKETS})"
+)
+
+# shared tail: everything downstream of the tokenizer+bucketizer is identical
+# SQL text on both engines (counts, smoothing, per-bucket quantized log-ratio,
+# per-doc integer sum)
+_DSIR_TAIL = f"""
+    counts AS (
+      SELECT b, CAST(sum(is_t) AS BIGINT) AS cnt_t,
+             CAST(sum(1 - is_t) AS BIGINT) AS cnt_r
+      FROM tb GROUP BY b
+    ),
+    tots AS (
+      SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+             CAST(sum(cnt_r) AS BIGINT) AS tot_r
+      FROM counts
+    ),
+    delta AS (
+      SELECT b,
+             CAST(floor((ln((cnt_t + 0.5) / (tot_t + {DSIR_BUCKETS / 2.0}))
+                       - ln((cnt_r + 0.5) / (tot_r + {DSIR_BUCKETS / 2.0})))
+                  * 1000000.0 + 0.5) AS BIGINT) AS dq
+      FROM counts, tots
+    )
+    SELECT {{hint}}t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(d.dq) AS DOUBLE) / 1000000.0 AS dsir_logratio
+    FROM tb t JOIN delta d ON d.b = t.b
+    GROUP BY t.doc_id
+"""
+
+
+@query(
+    "text_dsir_importance",
+    oracle=f"""
+    WITH tgt AS (SELECT min(source) AS t FROM documents),
+    tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, {_DSIR_B_SQL} AS b,
+             CASE WHEN source = (SELECT t FROM tgt) THEN 1 ELSE 0 END AS is_t
+      FROM tok
+    ),
+    {_DSIR_TAIL.format(hint="")}
+    """,
+    tags=("text", "quality", "curation", "dsir"),
+)
+def text_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weight per document — the data-selection score
+    behind targeted pre-training mixes (Xie et al. 2023, public method):
+    hash every token into one of {DSIR_BUCKETS} buckets, estimate the
+    target domain's bucket distribution vs the rest of the corpus's
+    (add-0.5 smoothing so unseen buckets stay finite), and score each doc
+    by the summed per-token log-likelihood ratio. High scores = documents
+    that look like the target domain; resampling by these weights is how
+    a 100 TB crawl gets shaped toward a quality/domain target without a
+    trained classifier. The target here is min(source) — deterministic at
+    every SF; in production it is the user's curated seed corpus.
+
+    Shape at 100 TB: the token stream reduces IMMEDIATELY to the
+    {DSIR_BUCKETS}-row bucket-stats table (one partial-aggregable groupBy;
+    the bucket constant caps the state, never vocabulary-sized — exactly
+    the Heaps'-law hazard that forced text_unigram_logprob's vocab join to
+    drop its broadcast hint, designed away here by hashing). Scoring is a
+    second corpus pass joined to the {DSIR_BUCKETS}-row quantized
+    log-ratio table (broadcast by the bucket-constant bound) and one
+    per-doc integer sum. Per-bucket log-ratios are floor-quantized to the
+    1e-6 grid ONCE ({DSIR_BUCKETS} ln() calls total, not per token), so
+    the per-doc aggregation is exact integer arithmetic — immune to float
+    summation order across partitions and engines. The target-source
+    marker is a scalar subquery (1-row broadcast). NULL-text docs tokenize
+    to nothing and simply don't appear (the text_unigram_logprob
+    contract)."""
+    from .dedup import _sql_over
+
+    d = load(spark, sf_dir, "documents")
+    sql = f"""
+    WITH tgt AS (SELECT min(source) AS t FROM {{v}}),
+    tok AS (
+      SELECT doc_id, source, token
+      FROM {{v}} LATERAL VIEW explode(split(text, ' ')) AS token
+    ),
+    tb AS (
+      SELECT doc_id, {_DSIR_B_SPARK} AS b,
+             CASE WHEN source = (SELECT t FROM tgt) THEN 1 ELSE 0 END AS is_t
+      FROM tok
+    ),
+    {_DSIR_TAIL.format(hint="/*+ BROADCAST(d) */ ")}
+    """
+    return _sql_over(d, "dsir", sql)
+
+
 @query(
     "text_inverted_index",
     oracle="""

@@ -102,6 +102,25 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 # re-witness shares its changed code path with a retained member (the
 # seven deferred flowlog_* consumers share parse/enrich with the eleven
 # retained; json_extract/set_union_all_tagged's package.py is untouched).
+#  - late-r6 quality-eval rotation: sim_recall_eval, sim_pq_distortion,
+#    dedup_minhash_est_jaccard and text_dsir_importance ADDED at
+#    end-of-round (every in-round addition gets a birth-round driver row).
+#    Displaced, all with r6-UNCHANGED bodies:
+#    * sample_holdout_split — the round's sampling.py change (shared hash
+#      helpers) stays witnessed through sample_mix_epochs (its hunk),
+#      sample_temperature (its hunk) and sample_dedup_weights;
+#    * agg_flowlog_domain — package.py has NO r6 diff at all;
+#    * ts_rolling_distinct — no r6 hunk touches it (the _hourly_spine
+#      refactor lands in gap_fill/interpolate/autocorr; the EWMA/Holt
+#      hunks stay witnessed through ts_ewma and ts_holt_trend);
+#    * flowlog_traffic_by_direction — no r6 hunk in its body; its shared
+#      upstream (synth/parse/enrich) stays witnessed through
+#      flowlog_enrich, stream_flowlog_enrich and eight other retained
+#      flowlog members.
+#    json_extract and subquery_scalar_and_in (both CHANGED in r6 — the
+#    regex-gated cast and the 2dp-rounded threshold) are RETAINED; an
+#    earlier draft of this rotation displaced them, caught by re-checking
+#    every displacement against the round diff before commit.
 PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pair_stats",
     "multimodal_bmp_decode",
@@ -112,8 +131,7 @@ PRIORITY_ORDER: list[str] = [
     "flowlog_blast_radius",
     "flowlog_cusum_drift",
     "flowlog_incident_feed",
-    "flowlog_traffic_by_direction",
-    "agg_flowlog_domain",
+    "text_dsir_importance",
     "ingest_cloudwatch_decode",
     "stream_tumbling_window",
     "stream_session_window",
@@ -121,7 +139,6 @@ PRIORITY_ORDER: list[str] = [
     "stream_flowlog_enrich",
     "ts_ewma",
     "ts_holt_trend",
-    "ts_rolling_distinct",
     "multimodal_png_decode",
     "sim_ivf_topk",
     "sim_ivf_multiprobe",
@@ -150,7 +167,9 @@ PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "sim_pq_adc",
     "sim_pq_distortion",
+    "subquery_scalar_and_in",
     "correlated_scalar_subquery",
+    "json_extract",
     "dedup_ngram_jaccard",
     "sim_kmeans_cells",
 ]

@@ -1288,3 +1288,58 @@ def test_dedup_minhash_est_jaccard_error_formula(spark, sf_dir):
             u = r["n_common"] / r["true_jaccard"]
             want = abs(r["n_eq"] * u - 8 * r["n_common"]) / (8.0 * u)
             assert math.isclose(r["abs_err"], want, abs_tol=5e-4)
+
+
+def test_text_dsir_importance_separates_domains(spark, tmp_path):
+    """Target-exclusive documents must score strictly positive,
+    rest-exclusive documents strictly negative, and every score must
+    reconstruct from the add-0.5-smoothed per-bucket log-ratio formula
+    within the 1e-6-per-token quantization — pinning the DSIR math, the
+    min(source) target selection, and the hashed-bucket counting."""
+    import math
+
+    import pandas as pd
+
+    from aws_vpc_flow_log_appender_spark.ext.textanalysis import (
+        DSIR_BUCKETS,
+        text_dsir_importance,
+    )
+
+    rows = [
+        (1, "alpha alpha alpha", "a", "2024-01-01"),
+        (2, "alpha alpha alpha", "a", "2024-01-02"),
+        (3, "beta beta beta", "b", "2024-01-03"),
+        (4, "beta beta beta", "b", "2024-01-04"),
+        (5, "alpha beta alpha", "b", "2024-01-05"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source", "crawl_date"])
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in text_dsir_importance(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert all(got[i]["n_tokens"] == 3 for i in got)
+
+    # recompute the expected per-bucket log-ratios: target = min(source)='a'
+    # alpha: 6 target occurrences, 2 rest (doc 5); beta: 0 target, 7 rest
+    half_b = DSIR_BUCKETS / 2.0
+    tot_t, tot_r = 6.0, 9.0
+
+    def dq(cnt_t, cnt_r):
+        return math.log((cnt_t + 0.5) / (tot_t + half_b)) - math.log(
+            (cnt_r + 0.5) / (tot_r + half_b)
+        )
+
+    d_alpha, d_beta = dq(6, 2), dq(0, 7)
+    assert d_alpha > 0 > d_beta
+    want = {
+        1: 3 * d_alpha,
+        2: 3 * d_alpha,
+        3: 3 * d_beta,
+        4: 3 * d_beta,
+        5: 2 * d_alpha + d_beta,
+    }
+    for i, w in want.items():
+        assert math.isclose(got[i]["dsir_logratio"], w, abs_tol=5e-6)
+    assert got[1]["dsir_logratio"] > 0 > got[3]["dsir_logratio"]
+    assert got[3]["dsir_logratio"] < got[5]["dsir_logratio"] < got[1]["dsir_logratio"]
