@@ -611,6 +611,61 @@ def main() -> int:
         artifact["segment_scrub"] = {
             "docs": n_scrub, "t_s": round(t_scrub, 2),
         }
+
+        # 4c) minhash sketch-quality audit at scale (late-r6 addition): the
+        # est-vs-true Jaccard comparison over the scaled LSH candidate set.
+        # All checks run as ONE Spark-side aggregate (the pair set grows
+        # ~mult^2 per near-dup family — collecting it would be the driver
+        # bottleneck this smoke exists to catch): estimates and truths must
+        # stay in [0, 1], and every row's |abs_err - |est - true|| must sit
+        # within the 1e-6 double-rounding envelope (est is exact, true is
+        # grid-rounded, abs_err is computed from the unrounded integers).
+        from aws_vpc_flow_log_appender_spark.ext.dedup import (
+            dedup_minhash_est_jaccard,
+        )
+
+        t0 = time.perf_counter()
+        ej = dedup_minhash_est_jaccard(spark, tmpdir)
+        ej_stats = ej.agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("est_jaccard") < 0) | (F.col("est_jaccard") > 1)
+                    | (F.col("true_jaccard") < 0) | (F.col("true_jaccard") > 1),
+                    1,
+                ).otherwise(0)
+            ).alias("n_range_bad"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("abs_err")
+                        - F.abs(F.col("est_jaccard") - F.col("true_jaccard"))
+                    )
+                    > 2e-6,
+                    1,
+                ).otherwise(0)
+            ).alias("n_err_bad"),
+            round_half_up(F.avg("abs_err"), 6).alias("mean_abs_err"),
+        ).collect()[0]
+        t_ej = time.perf_counter() - t0
+        if ej_stats["n_range_bad"] or ej_stats["n_err_bad"]:
+            print(
+                f"FAIL est_jaccard audit: {ej_stats['n_range_bad']} range / "
+                f"{ej_stats['n_err_bad']} error-formula violations"
+            )
+            ok = False
+        print(
+            f"scale_smoke est_jaccard mult={mult}: {ej_stats['n_pairs']:,} "
+            f"candidate pairs audited in {t_ej:.1f}s, mean |err| "
+            f"{ej_stats['mean_abs_err']}; {'OK' if ok else 'FAILURES'}"
+        )
+        artifact["est_jaccard"] = {
+            "pairs": ej_stats["n_pairs"],
+            "range_violations": ej_stats["n_range_bad"],
+            "err_formula_violations": ej_stats["n_err_bad"],
+            "mean_abs_err": ej_stats["mean_abs_err"],
+            "t_s": round(t_ej, 2),
+        }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
@@ -932,8 +987,110 @@ def main() -> int:
             "ivfpq_dominates": ivfpq_ok,
             "t_ivfpq_s": round(t_ivfpq, 2),
         }
+
+        # 7c) recall evaluation at scale (late-r6 addition): one plan
+        # trains both quantizers AND produces the exact ground truth over
+        # the duplicated corpus. Shape checks only — recall VALUES on a
+        # copy-saturated corpus honestly reflect the tiny fixture codebook
+        # (many vectors share PQ codes, ties break toward small ids), and
+        # value correctness is the oracle's job at the fixture SFs; what
+        # scale must preserve is one row per query with n_hits in range.
+        from aws_vpc_flow_log_appender_spark.ext.similarity import (
+            sim_recall_eval,
+        )
+
+        t0 = time.perf_counter()
+        rec_rows = sim_recall_eval(spark, ktmp).collect()
+        t_rec = time.perf_counter() - t0
+        rec_ok = len(rec_rows) == N_QUERIES and all(
+            0 <= r["n_hits"] <= TOP_K for r in rec_rows
+        )
+        mean_recall = (
+            sum(r["recall_at_k"] for r in rec_rows) / len(rec_rows)
+            if rec_rows
+            else 0.0
+        )
+        if not rec_ok:
+            print(f"FAIL recall_eval shape at mult={mult}")
+            ok = False
+        print(
+            f"scale_smoke recall_eval mult={mult}: {len(rec_rows)} queries "
+            f"in {t_rec:.1f}s, mean recall@{TOP_K} {mean_recall:.2f}; "
+            f"{'OK' if rec_ok else 'FAIL'}"
+        )
+        artifact["recall_eval"] = {
+            "queries": len(rec_rows),
+            "mean_recall": round(mean_recall, 3),
+            "shape_ok": rec_ok,
+            "t_s": round(t_rec, 2),
+        }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
+
+    # 8) DSIR importance at scale: EXACT document copies (same text, same
+    # source, distinct ids) must score IDENTICALLY — the per-family
+    # max==min check exercises the full two-pass pipeline (bucket counts,
+    # smoothed log-ratio table, per-doc integer sums) at mult x corpus and
+    # pins profile-invariance as one distributed aggregate.
+    from aws_vpc_flow_log_appender_spark.ext.textanalysis import (
+        text_dsir_importance,
+    )
+
+    ddocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dcopies = (
+        ddocs.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__copy") * F.lit(10 ** 10))
+        .drop("__copy")
+    )
+    dtmp = tempfile.mkdtemp(prefix="scale_dsir_")
+    try:
+        dcopies.write.mode("overwrite").parquet(f"{dtmp}/documents.parquet")
+        n_text_docs = mult * ddocs.filter(F.col("text").isNotNull()).count()
+        t0 = time.perf_counter()
+        ds = text_dsir_importance(spark, dtmp)
+        ds_stats = (
+            ds.groupBy((F.col("doc_id") % F.lit(10 ** 10)).alias("fam"))
+            .agg(
+                F.count("*").alias("n"),
+                (F.max("dsir_logratio") - F.min("dsir_logratio")).alias("spread"),
+            )
+            .agg(
+                F.sum("n").alias("rows"),
+                F.sum(F.when(F.col("n") != mult, 1).otherwise(0)).alias(
+                    "n_fam_bad"
+                ),
+                F.sum(F.when(F.col("spread") != 0.0, 1).otherwise(0)).alias(
+                    "n_spread_bad"
+                ),
+            )
+            .collect()[0]
+        )
+        t_ds = time.perf_counter() - t0
+        ds_ok = (
+            ds_stats["rows"] == n_text_docs
+            and ds_stats["n_fam_bad"] == 0
+            and ds_stats["n_spread_bad"] == 0
+        )
+        if not ds_ok:
+            print(
+                f"FAIL dsir at mult={mult}: rows={ds_stats['rows']} "
+                f"(want {n_text_docs}), bad families "
+                f"{ds_stats['n_fam_bad']}, nonzero spreads "
+                f"{ds_stats['n_spread_bad']}"
+            )
+            ok = False
+        print(
+            f"scale_smoke dsir mult={mult}: {ds_stats['rows']:,} docs scored "
+            f"in {t_ds:.1f}s, copy families score-identical: "
+            f"{'YES' if ds_ok else 'NO'}"
+        )
+        artifact["dsir"] = {
+            "docs": ds_stats["rows"],
+            "family_identical": ds_ok,
+            "t_s": round(t_ds, 2),
+        }
+    finally:
+        shutil.rmtree(dtmp, ignore_errors=True)
 
     artifact["ok"] = ok
     if json_out:
