@@ -42,6 +42,52 @@ _SQL_SHINGLES = """
 # spreading was a profiled 36% win for dedup_minhash_lsh).
 _MIN_SPREAD_BYTES_PER_TASK = 8 << 10
 
+# The derived-table fan-out (bands / per-doc profiles, below) has a higher
+# break-even than the input spread: it buys parallelism only for the
+# candidate-expansion join downstream of a frozen checkpoint, and that
+# expansion is small exactly when the corpus is small. Interleaved A/B at
+# round-start (AB_r06_session2.json): the unconditional repartition put
+# dedup_minhash_lsh at 1.36x the r5 checkout on the 594 KB sf0.1 corpus,
+# while the 10x smoke (5.9 MB) showed it as a 15% win — so gate on source
+# bytes per core, crossover ~2 MB total at 32 cores.
+_MIN_FANOUT_BYTES_PER_TASK = 64 << 10
+
+
+def _plan_bytes(df):
+    """Catalyst's size estimate for a plan, or None when the JVM
+    introspection is unavailable (mocked sessions, future API drift).
+    Estimation only — used to pick a partitioning strategy, never to
+    change results."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return None
+
+
+def _fan_out_derived(derived, source):
+    """Round-robin a small DERIVED table (LSH bands, per-doc shingle
+    profiles) up to cluster parallelism before its checkpoint — but only
+    when ``source`` (the corpus frame it derives from) is large enough
+    that the quadratic candidate expansion downstream of the frozen
+    checkpoint outweighs one extra exchange.
+
+    Why gate on the SOURCE, not the derived frame: Catalyst's estimate for
+    a post-aggregate plan is unreliable (column-width heuristics), while
+    the corpus scan estimate is parquet-footer-accurate; and the hazard
+    being sized — bucket-occupancy-quadratic pair expansion — scales with
+    corpus mass, not with the few-MB derived table. Below the threshold
+    the expansion is too small for single-core execution to matter
+    (measured: r5's un-spread plan ran the sf0.1 minhash join in 1.1 s);
+    above it, AQE's byte-based coalescing would freeze the tiny derived
+    table at ~1 partition and serialize an expansion that is far larger
+    than its input (measured 15% win at 10x, growing with scale)."""
+    par = derived.sparkSession.sparkContext.defaultParallelism
+    size = _plan_bytes(source) if source is not None else None
+    if size is not None and size < par * _MIN_FANOUT_BYTES_PER_TASK:
+        return derived
+    return derived.repartition(par)
+
 
 def _spread_input(docs):
     """Repartition a small-file input up to cluster parallelism before
@@ -65,10 +111,8 @@ def _spread_input(docs):
     row-set-preserving."""
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
-    try:
-        raw = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = raw if isinstance(raw, int) else int(raw.toString())
-    except Exception:  # non-JVM-introspectable plan: keep the old behavior
+    size = _plan_bytes(docs)
+    if size is None:  # non-JVM-introspectable plan: keep the old behavior
         return docs.repartition(par)
     if size < par * _MIN_SPREAD_BYTES_PER_TASK:
         return docs
@@ -243,14 +287,16 @@ def _minhash_pairs_for(docs):
     across AQE stage boundaries). 4 short rows per doc, so the
     materialization is corpus-row-bounded (A/B'd ~1.5x at sf0.1).
 
-    Repartitioned before the checkpoint for the same fan-out reason as
+    Fanned out before the checkpoint for the same reason as
     _simhash_pairs (r6): AQE coalesces the few-MB banded table to ~1
     partition by bytes, the checkpoint freezes it, and the broadcast
     self-join's candidate expansion — quadratic in bucket occupancy, far
-    larger than the input — would run on that one core."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    larger than the input — would run on that one core. Gated on corpus
+    size (_fan_out_derived) because at bench scale the expansion is too
+    small for the extra exchange to pay (AB_r06_session2.json)."""
     bands = (
-        _minhash_bands_for(docs).repartition(par).localCheckpoint(eager=False)
+        _fan_out_derived(_minhash_bands_for(docs), docs)
+        .localCheckpoint(eager=False)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -418,10 +464,10 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
     n_common coalesces to 0: band equality virtually implies a shared
     min-shingle, but a truncated-hash collision can pair shingle-disjoint
     docs and the audit must report est=k/8 vs true=0, not drop the row."""
-    par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents")
     sig = (
-        _minhash_sig_for(docs).repartition(par).localCheckpoint(eager=False)
+        _fan_out_derived(_minhash_sig_for(docs), docs)
+        .localCheckpoint(eager=False)
     )
     bands = _bands_from_sig(sig)
     a = bands.alias("a")
@@ -435,9 +481,8 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .repartition(par)
-        .localCheckpoint(eager=False)
     )
+    pairs = _fan_out_derived(pairs, docs).localCheckpoint(eager=False)
     sh = _shingled_for(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
@@ -518,7 +563,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     hash). Intersections computed by a shingle equi-join restricted to
     candidate pairs — never materializes all-pairs."""
     sh = _shingled(spark, sf_dir)
-    inter, profile = _shingle_intersections(sh)
+    inter, profile = _shingle_intersections(sh, load(spark, sf_dir, "documents"))
     za = profile.alias("za")
     zb = profile.alias("zb")
     return (
@@ -539,7 +584,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _shingle_intersections(sh):
+def _shingle_intersections(sh, source=None):
     """Shared candidate-pair intersection machinery for the Jaccard and
     containment scorers: (inter, profile) where profile is one checkpointed
     row per doc (shingle count + min-shingle bucket, computed in a SINGLE
@@ -550,11 +595,12 @@ def _shingle_intersections(sh):
     intersection sides) to 3 (profile + both intersection sides); the
     checkpoint is 1 short row per doc, never corpus-byte-bounded.
 
-    Repartitioned before the checkpoint (r6, same fan-out hazard as
-    _simhash_pairs): the per-doc profile is tiny in bytes so AQE coalesces
-    it to ~1 frozen partition, and the b0-bucket broadcast self-join's
-    candidate expansion would then run single-core."""
-    par = sh.sparkSession.sparkContext.defaultParallelism
+    Fanned out before the checkpoint (r6, same hazard as _simhash_pairs):
+    the per-doc profile is tiny in bytes so AQE coalesces it to ~1 frozen
+    partition, and the b0-bucket broadcast self-join's candidate expansion
+    would then run single-core. Gated on the corpus frame ``source`` when
+    the caller provides it (_fan_out_derived: at bench scale the expansion
+    is too small for the extra exchange to pay)."""
     profile = (
         sh.groupBy("doc_id")
         .agg(
@@ -563,9 +609,8 @@ def _shingle_intersections(sh):
                 F.md5(F.encode(F.concat(F.lit("0:"), F.col("sh")), "utf-8"))
             ).alias("b0"),
         )
-        .repartition(par)
-        .localCheckpoint(eager=False)
     )
+    profile = _fan_out_derived(profile, source).localCheckpoint(eager=False)
     a = profile.alias("a")
     b = profile.alias("b")
     cand = a.join(
@@ -1182,7 +1227,7 @@ def dedup_containment(spark, sf_dir):
     dedup_ngram_jaccard (never all-pairs); the score just normalizes by the
     smaller shingle set, and contained_doc names the removal candidate."""
     sh = _shingled(spark, sf_dir)
-    inter, profile = _shingle_intersections(sh)
+    inter, profile = _shingle_intersections(sh, load(spark, sf_dir, "documents"))
     za = profile.alias("za")
     zb = profile.alias("zb")
     return (
