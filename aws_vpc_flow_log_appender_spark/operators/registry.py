@@ -121,6 +121,17 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    regex-gated cast and the 2dp-rounded threshold) are RETAINED; an
 #    earlier draft of this rotation displaced them, caught by re-checking
 #    every displacement against the round diff before commit.
+#  - session-2 fan-out gating (_fan_out_derived in ext/dedup.py): every
+#    consumer is retained (dedup_minhash_lsh 41, dedup_minhash_est_jaccard
+#    42, dedup_ngram_jaccard 49, dedup_lsh_bucket_stats 4,
+#    corpus_curation_pipeline 32) except dedup_containment, whose ONLY
+#    hunk (the _shingle_intersections gate + caller) is the identical
+#    hunk exercised by retained dedup_ngram_jaccard.
+#  - session-2 addition: stream_content_dedup (multi-epoch
+#    dropDuplicatesWithinWatermark, birth-round driver row). Displaces
+#    sample_temperature, whose only r6 hunk (the shared sampling.py hash
+#    helpers) stays witnessed through sample_mix_epochs (slot 38) and
+#    sample_dedup_weights (slot 30).
 PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pair_stats",
     "multimodal_bmp_decode",
@@ -160,7 +171,7 @@ PRIORITY_ORDER: list[str] = [
     "events_top_paths",
     "retention_cohorts",
     "sample_mix_epochs",
-    "sample_temperature",
+    "stream_content_dedup",
     "dq_expectations",
     "dedup_minhash_lsh",
     "dedup_minhash_est_jaccard",

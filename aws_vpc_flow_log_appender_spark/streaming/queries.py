@@ -11,8 +11,10 @@ about the streaming engine: batch and stream agree on the same input.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -418,6 +420,173 @@ def stream_flowlog_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_sink(
         spark, lines, build, "append", "stream_flowlog_enrich"
     )
+
+
+_DEDUP_T0_US = 1_700_000_000_000_000  # fixed anchor: no wall-clock in data
+_DEDUP_DELAY_S = 600  # the 10-minute dropDuplicatesWithinWatermark horizon
+
+
+@query(
+    "stream_content_dedup",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN md5(text) END AS content_key
+      FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY
+                 CASE WHEN text IS NOT NULL THEN md5(text)
+                      ELSE 'null:' || CAST(doc_id AS VARCHAR) END
+                 ORDER BY doc_id) AS r
+        FROM documents
+      ) WHERE r = 1
+    )
+    SELECT doc_id, content_key, CAST(0 AS INTEGER) AS epoch,
+           CAST({_DEDUP_T0_US} AS BIGINT) AS ts_us
+    FROM r1
+    UNION ALL
+    SELECT doc_id, content_key, CAST(3 AS INTEGER) AS epoch,
+           CAST({_DEDUP_T0_US} + 3000 * CAST(1000000 AS BIGINT) AS BIGINT)
+             AS ts_us
+    FROM r1 WHERE content_key IS NOT NULL AND doc_id % 10 = 5
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content dedup (dropDuplicatesWithinWatermark) run across
+    FOUR real micro-batches and oracle-checked — the ingestion-side dedup
+    contract proven at the driver, not just in pytest: a re-delivery while
+    the first occurrence's state is live is DROPPED; a re-delivery after
+    the watermark evicted that state SURVIVES as a new first occurrence.
+
+    The arrival schedule is a deterministic re-delivery pattern synthesized
+    from the corpus itself (no wall clock, no randomness) so every scale
+    factor exercises both outcomes; one file per micro-batch
+    (``maxFilesPerTrigger=1``, mtime-pinned order — the
+    tests/test_streaming_epochs.py technique). One row per distinct text
+    (rank-1 by doc_id; duplicate-text siblings are excluded up front so the
+    within-batch survivor is never arrival-order ambiguous), then:
+
+     - epoch 0 (ts = T0): every distinct text's first delivery;
+     - epoch 1: re-deliveries of doc_id%10==0 at T0+5min (inside the
+       10-minute horizon -> dropped) and of doc_id%10==1 at T0+40min —
+       also dropped, WHICH IS THE DOCUMENTED BEST-EFFORT CONTRACT: their
+       event-time distance exceeds the horizon, but they process against
+       the epoch-0 watermark (T0-10min), which has not yet passed their
+       key's eviction bound, so the operator may dedup beyond the horizon
+       while the watermark lags. Their T0+40min event times advance the
+       watermark to T0+30min;
+     - epoch 2: re-deliveries of doc_id%10==2 at T0+41:40 — still dropped
+       (eviction is physical, at END of the batch whose in-effect
+       watermark passed the bound; lookups within that same batch still
+       see the state — pinned empirically: a 3-slice draft of this query
+       had the post-eviction re-deliveries arriving here, and they were
+       dropped). By this batch's end the T0+30min watermark has evicted
+       every epoch-0 key (bound T0+10min; even an implementation that
+       extends the bound on duplicate arrival stays below it, and the
+       surviving class below has no earlier re-delivery to extend with);
+     - epoch 3: re-deliveries of doc_id%10==5 at T0+50min — state gone,
+       so they SURVIVE and re-insert.
+
+    Survivors therefore: every epoch-0 row plus the %10==5 re-deliveries,
+    with staged epoch/ts as witness columns — exactly what the oracle
+    states in one pass. NULL-text docs follow streaming/dedup.py's
+    per-row-unique fallback key (never content-deduped; excluded from
+    re-delivery staging since a uuid-keyed re-delivery would trivially
+    survive anywhere). State scale: one row per distinct content key
+    within the horizon, evicted at the watermark — (horizon x arrival
+    rate)-bounded, never corpus-bounded."""
+    from .dedup import dedup_exact_within_watermark
+
+    docs = load(spark, sf_dir, "documents")
+    gkey = F.coalesce(
+        F.md5(F.encode("text", "utf-8")),
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+    )
+    from pyspark.sql import Window as W
+
+    r1 = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.md5(F.encode("text", "utf-8")).alias("content_key"),
+            F.row_number().over(W.partitionBy(gkey).orderBy("doc_id")).alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    mod = F.col("doc_id") % 10
+    redelivery_offset_s = (
+        F.when(mod == 0, 300)      # within horizon
+        .when(mod == 1, 2400)      # watermark advancer (still dropped)
+        .when(mod == 2, 2500)      # eviction-lag spacer (still dropped)
+        .when(mod == 5, 3000)      # post-eviction: survives
+    )
+    redeliveries = r1.filter(
+        F.col("content_key").isNotNull() & redelivery_offset_s.isNotNull()
+    ).select(
+        "doc_id",
+        "text",
+        "content_key",
+        F.when(mod == 5, 3).when(mod == 2, 2).otherwise(1)
+        .cast("int").alias("epoch"),
+        F.timestamp_micros(
+            F.lit(_DEDUP_T0_US) + redelivery_offset_s.cast("long") * 1_000_000
+        ).alias("ts"),
+    )
+    originals = r1.select(
+        "doc_id",
+        "text",
+        "content_key",
+        F.lit(0).cast("int").alias("epoch"),
+        F.timestamp_micros(F.lit(_DEDUP_T0_US)).alias("ts"),
+    )
+    staged = originals.unionByName(redeliveries)
+
+    staging = tempfile.mkdtemp(prefix="stream_content_dedup_src_")
+    out_dir = _track_sink("stream_content_dedup")
+    try:
+        now = time.time()
+        for e in range(4):
+            slice_dir = os.path.join(staging, f"slice_{e}.parquet")
+            staged.filter(F.col("epoch") == e).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(slice_dir)
+            for name in os.listdir(slice_dir):
+                os.utime(
+                    os.path.join(slice_dir, name),
+                    (now - 600 + e * 100, now - 600 + e * 100),
+                )
+
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging + "/slice_*.parquet")
+        )
+        out = dedup_exact_within_watermark(
+            stream, ts_col="ts", text_col="text",
+            delay=f"{_DEDUP_DELAY_S} seconds",
+        ).select(
+            "doc_id", "content_key", "epoch",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+
+        def write_epoch(df: DataFrame, _epoch_id: int) -> None:
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(write_epoch)
+            .queryName(f"stream_content_dedup_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_content_dedup did not finish in 300s")
+        return _read_back(spark, out_dir, out.schema)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 # The streaming flagship shares the batch flagship's oracle VERBATIM — one
