@@ -150,3 +150,32 @@ def test_null_text_rows_all_pass_through(spark, tmp_path):
         stream = spark.readStream.schema(SCHEMA).parquet(src)
         got = _run(spark, fn(stream, delay="10 minutes"), name)
         assert sorted(r["doc_id"] for r in got) == [1, 2, 3, 4]
+
+
+def test_stream_content_dedup_classes_on_synthetic_corpus(spark, tmp_path):
+    """Pins the registered stream_content_dedup's drop/evict/survive classes
+    end-to-end on a 20-doc corpus (every doc_id%10 class populated twice):
+    each emitted row carries its staged arrival epoch, and append-mode
+    emission is same-batch, so the result set itself is the per-batch
+    witness — epoch 0 = all first deliveries, epochs 1 and 2 EMPTY (the
+    in-horizon, watermark-lag, and eviction-lag drop classes), epoch 3 =
+    exactly the %10==5 post-eviction re-deliveries. This is the permanent
+    pin for the eviction-is-physical-at-batch-end behavior the query's
+    slice schedule is built around."""
+    from aws_vpc_flow_log_appender_spark.streaming.queries import (
+        stream_content_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", f"src{i % 3}", 10) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = stream_content_dedup(spark, str(tmp_path)).collect()
+    by_epoch: dict[int, list[int]] = {}
+    for r in got:
+        by_epoch.setdefault(r["epoch"], []).append(r["doc_id"])
+    assert sorted(by_epoch.pop(0)) == list(range(20))  # every first delivery
+    assert sorted(by_epoch.pop(3)) == [5, 15]          # post-eviction survivors
+    assert by_epoch == {}  # epochs 1/2 (both drop classes) emitted nothing
