@@ -365,3 +365,93 @@ def join_interval_events(spark, sf_dir):
             (F.col("p_us") - F.col("c_us")).alias("gap_us"),
         )
     )
+
+
+# --- storage-bucketed co-located join -------------------------------------
+#
+# One bucketed-table pair per (session, sf_dir): the setup write is the
+# expensive half of the technique (exactly like a real warehouse, where the
+# bucketed layout is written once and amortized over every downstream join),
+# so repeated calls within a bench/sweep session reuse the catalog tables.
+# Table names carry a per-process tag so concurrent sessions on one metastore
+# never collide; the data lives under a tempdir reclaimed at process exit.
+_BUCKETED_TABLES: dict = {}
+_BUCKETS = 8
+
+
+def _bucketed_pair(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED_TABLES:
+        return _BUCKETED_TABLES[key]
+    tag = _uuid.uuid4().hex[:8]
+    loc = tempfile.mkdtemp(prefix="bucketed_join_")
+    atexit.register(shutil.rmtree, loc, ignore_errors=True)
+    names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
+    for name, table, bucket_key in (
+        (names[0], "orders", "o_custkey"),
+        (names[1], "customer", "c_custkey"),
+    ):
+        (
+            load(spark, sf_dir, table)
+            .write.format("parquet")
+            .bucketBy(_BUCKETS, bucket_key)
+            .sortBy(bucket_key)
+            .option("path", f"{loc}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    _BUCKETED_TABLES[key] = names
+    return names
+
+
+def bucketed_join_frame(spark, sf_dir):
+    """The raw bucketed-table join (pre-aggregation), exposed so the plan
+    test can assert the shape: both scans carry SelectedBucketsCount and the
+    SortMergeJoin has NO Exchange on either side."""
+    orders_t, customer_t = _bucketed_pair(spark, sf_dir)
+    o = spark.table(orders_t)
+    c = spark.table(customer_t)
+    # merge hint: at fixture scale AQE would broadcast the small side and
+    # the co-location would go unused; production fact-fact joins at 100 TB
+    # are SMJ anyway, which is the plan being demonstrated
+    return o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "bucketed", "storage"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Storage-bucketed co-located join — the shuffle-elimination technique
+    for repeated fact-fact joins at 100 TB: both tables are WRITTEN
+    ``bucketBy(N, join_key)`` (here once per session, amortized like a real
+    warehouse layout), after which every join on that key is a
+    SortMergeJoin with ZERO Exchange on either side — the bucketed scan
+    itself provides the hash distribution, so a 100 TB fact table is never
+    re-shuffled for the join, join after join after join. The plan shape
+    (SelectedBucketsCount on both scans, no Exchange under the SMJ) is
+    pinned by tests/test_plans.py; at fixture scale the merge hint keeps
+    AQE from broadcasting the small side, since a broadcast would bypass
+    the co-location being demonstrated. Revenue is summed in exact integer
+    cents (floor(x*100+0.5) recovers the 2dp money values identically on
+    both engines; no float-accumulation-order hazard)."""
+    j = bucketed_join_frame(spark, sf_dir)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("revenue_cents"),
+    )

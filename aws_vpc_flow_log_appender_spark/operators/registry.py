@@ -132,6 +132,13 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    sample_temperature, whose only r6 hunk (the shared sampling.py hash
 #    helpers) stays witnessed through sample_mix_epochs (slot 38) and
 #    sample_dedup_weights (slot 30).
+#  - session-2 addition: join_bucketed_colocated (storage-bucketed
+#    Exchange-free SMJ, birth-round driver row). Displaces
+#    sim_ivf_multiprobe, whose r6 hunks are shared-machinery consumption
+#    only — the capped-cell CTE / _ivf_oracle_sql rebuild stays witnessed
+#    through sim_ivf_topk (slot 19) and the relocated RP helpers through
+#    sim_rp_lsh_topk (slot 26); its probe-ring core has no r6 hunk and its
+#    trained-layer twin sim_ivf_trained_multiprobe (slot 25) is retained.
 PRIORITY_ORDER: list[str] = [
     "dedup_simhash_pair_stats",
     "multimodal_bmp_decode",
@@ -152,7 +159,7 @@ PRIORITY_ORDER: list[str] = [
     "ts_holt_trend",
     "multimodal_png_decode",
     "sim_ivf_topk",
-    "sim_ivf_multiprobe",
+    "join_bucketed_colocated",
     "sim_knn_graph",
     "dedup_embedding_nn",
     "dedup_embedding_pairs",

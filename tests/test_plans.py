@@ -644,3 +644,23 @@ def test_fan_out_derived_gated_on_source_size(spark, sf_dir, tmp_path):
 
     # no source to introspect: conservative unconditional spread
     assert _fan_out_derived(derived, None) is not derived
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The storage-bucketed co-located join's whole point: both sides are
+    written bucketBy(join_key), so the SortMergeJoin consumes the bucketed
+    scans' hash distribution directly — ZERO Exchange anywhere in the join
+    plan (at 100 TB this is the difference between re-shuffling the fact
+    table per join and never shuffling it at all). Both scans must show
+    bucket selection."""
+    from aws_vpc_flow_log_appender_spark.operators.joins import (
+        bucketed_join_frame,
+    )
+
+    plan = (
+        bucketed_join_frame(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("SelectedBucketsCount") == 2
