@@ -1096,3 +1096,74 @@ def flowlog_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ip")
         .agg(F.min("hop").cast("int").alias("hop"))
     )
+
+
+# The reference's RFC1918 test splits into its two sub-predicates so the
+# loopback quirk is VISIBLE in the result rather than folded into 'private':
+# decorator/index.js:149-153 classifies 127/8 as RFC1918-private (kept
+# deliberately, SURVEY §2.2 P8; engine twin: enrich.is_rfc1918).
+_LOOPBACK_RE = r"^127\."
+_RFC1918_PROPER_RE = (
+    r"(^10\.)|(^172\.1[6-9]\.)|(^172\.2[0-9]\.)|(^172\.3[0-1]\.)|(^192\.168\.)"
+)
+
+
+@query(
+    "flowlog_rfc1918_classify",
+    oracle=f"""
+    WITH {_ORACLE_CTES}
+    , addrs AS (
+      SELECT 'src' AS addr_role, srcaddr AS addr FROM typed WHERE error_flag = 0
+      UNION ALL
+      SELECT 'dst' AS addr_role, destaddr AS addr FROM typed WHERE error_flag = 0
+    )
+    SELECT addr_role,
+           CASE WHEN regexp_matches(addr, '{_LOOPBACK_RE}')
+                  THEN 'loopback_as_private'
+                WHEN regexp_matches(addr, '{_RFC1918_PROPER_RE}')
+                  THEN 'rfc1918'
+                ELSE 'public' END AS ip_class,
+           CAST(count(*) AS BIGINT) AS n_flows,
+           CAST(count(DISTINCT addr) AS BIGINT) AS n_addrs
+    FROM addrs
+    GROUP BY addr_role, ip_class
+    """,
+    tags=("flowlog", "parity", "predicate"),
+)
+def flowlog_rfc1918_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 driver-proven: the reference's RFC1918 gate applied to every
+    src/dst address of the parsed flow stream, with the 127/8 loopback
+    quirk split out as its own class so the parity decision
+    (decorator/index.js:149-153 counts loopback as private; enrich.py:33
+    replicates it) is hash-checked rather than property-tested only. The
+    union of 'loopback_as_private' and 'rfc1918' is exactly the set the
+    enrichment gate (P9) skips geocoding for. One scan -> explode to
+    (role, addr) -> two-regex classify -> count + distinct count; every
+    step is a pure Column expression, and at 100 TB the cardinality of the
+    output is fixed (2 roles x 3 classes)."""
+    flows = _valid_parsed(spark, sf_dir)
+    addrs = flows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("src").alias("addr_role"),
+                    F.col("srcaddr").alias("addr"),
+                ),
+                F.struct(
+                    F.lit("dst").alias("addr_role"),
+                    F.col("destaddr").alias("addr"),
+                ),
+            )
+        ).alias("ra")
+    ).select("ra.addr_role", "ra.addr")
+    ip_class = (
+        F.when(F.col("addr").rlike(_LOOPBACK_RE), "loopback_as_private")
+        .when(F.col("addr").rlike(_RFC1918_PROPER_RE), "rfc1918")
+        .otherwise("public")
+    )
+    return addrs.groupBy(
+        "addr_role", ip_class.alias("ip_class")
+    ).agg(
+        F.count("*").alias("n_flows"),
+        F.countDistinct("addr").alias("n_addrs"),
+    )

@@ -132,6 +132,12 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    sample_temperature, whose only r6 hunk (the shared sampling.py hash
 #    helpers) stays witnessed through sample_mix_epochs (slot 38) and
 #    sample_dedup_weights (slot 30).
+#  - session-2 addition: flowlog_rfc1918_classify (P8 quirk driver-proven,
+#    birth-round row). Displaces flowlog_blast_radius, whose body has NO
+#    r6 hunk; the shared synth_flow_lines/_ORACLE_CTES hunks stay
+#    witnessed through flowlog_enrich (5), flowlog_beaconing (6),
+#    flowlog_cusum_drift (8), flowlog_incident_feed (9) and
+#    stream_flowlog_enrich (15).
 #  - session-2 addition: join_bucketed_colocated (storage-bucketed
 #    Exchange-free SMJ, birth-round driver row). Displaces
 #    sim_ivf_multiprobe, whose r6 hunks are shared-machinery consumption
@@ -146,7 +152,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_lsh_bucket_stats",
     "flowlog_enrich",
     "flowlog_beaconing",
-    "flowlog_blast_radius",
+    "flowlog_rfc1918_classify",
     "flowlog_cusum_drift",
     "flowlog_incident_feed",
     "text_dsir_importance",
