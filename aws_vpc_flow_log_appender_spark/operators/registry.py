@@ -138,6 +138,10 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    witnessed through flowlog_enrich (5), flowlog_beaconing (6),
 #    flowlog_cusum_drift (8), flowlog_incident_feed (9) and
 #    stream_flowlog_enrich (15).
+#  - session-2 addition: stream_simhash_dedup (near-dup streaming dedup,
+#    md5-kernel batch-parity, birth-round row). Displaces ts_holt_trend,
+#    whose ONLY r6 hunk is the NULL-user_id fold filter — the same hunk,
+#    same rationale comment, applied to retained ts_ewma (slot 16).
 #  - session-2 addition: join_bucketed_colocated (storage-bucketed
 #    Exchange-free SMJ, birth-round driver row). Displaces
 #    sim_ivf_multiprobe, whose r6 hunks are shared-machinery consumption
@@ -162,7 +166,7 @@ PRIORITY_ORDER: list[str] = [
     "stream_latest_per_key",
     "stream_flowlog_enrich",
     "ts_ewma",
-    "ts_holt_trend",
+    "stream_simhash_dedup",
     "multimodal_png_decode",
     "sim_ivf_topk",
     "join_bucketed_colocated",

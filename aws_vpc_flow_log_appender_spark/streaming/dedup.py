@@ -63,7 +63,8 @@ def dedup_exact_within_watermark(docs: DataFrame, ts_col: str = "ts",
 def dedup_simhash_within_watermark(docs: DataFrame, ts_col: str = "ts",
                                    text_col: str = "text",
                                    delay: str = "10 minutes",
-                                   key_bits: int = 64) -> DataFrame:
+                                   key_bits: int = 64,
+                                   word_hash: str = "xxhash64") -> DataFrame:
     """Near-dup streaming dedup: documents whose SimHash key collides within
     the horizon collapse to the first arrival. Same sign-sum sketch family
     as the batch dedup_simhash (ext/dedup.py:270) but computed per-row with
@@ -80,34 +81,21 @@ def dedup_simhash_within_watermark(docs: DataFrame, ts_col: str = "ts",
     the batch banded pair join (dedup_simhash_pairs). ``key_bits < 64``
     keys on the top SimHash bits instead: aggressive small-edit collapse
     at the cost of some false merges (prefix bits each flip independently
-    with low probability under small edits)."""
+    with low probability under small edits).
+
+    ``word_hash``: 'xxhash64' (default — the production key: one 64-bit
+    JVM hash per word, empty tokens filtered) or 'md5' — the EXACT per-row
+    twin of the batch dedup_simhash sketch (ext/dedup.py: md5 hex chunks
+    c0/c1, bit j of 64 taken MSB-first, every split token votes including
+    empties). The md5 mode exists so the streaming key is reproducible by
+    the DuckDB oracle AND provably equal to the batch fingerprint — the
+    registered stream_simhash_dedup query's group structure is computed
+    with the batch explode+groupBy machinery and its drops are decided by
+    this per-row fold; a hash-green row means the two formulations agree
+    on every document."""
     if not 1 <= key_bits <= 64:
         raise ValueError(f"key_bits must be in [1, 64], got {key_bits}")
-    # Hash each word ONCE, then run all 64 bit votes over the precomputed
-    # hash array (code-review r6: the previous formulation was 64
-    # independent F.aggregate folds each recomputing xxhash64(word) inside
-    # its lambda — Spark does not CSE across higher-order-function lambdas,
-    # so every ingested row paid 64x the necessary hashing). Staged
-    # withColumns keep each expensive alias referenced exactly once;
-    # CollapseProject declines to inline non-cheap aliases, so each stage
-    # evaluates once per row (verified against the optimized plan).
-    hashes = F.expr(
-        f"transform(filter(split({text_col}, ' '), w -> length(w) > 0), "
-        "w -> xxhash64(w))"
-    )
-    # one traversal: fold the hash array into a 64-long vote-count array
-    # (zip_with does the 64 +/-1 votes per word; shiftright takes a COLUMN
-    # shift amount in SQL, which the python F.shiftright API does not allow)
-    counts = F.expr(
-        "aggregate(__sh_hashes, array_repeat(0L, 64), "
-        "(acc, h) -> zip_with(acc, sequence(0, 63), "
-        "(a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)))"
-    )
-    # majority votes -> bits -> one BIGINT key (disjoint bits, OR-fold)
-    simhash = F.expr(
-        "aggregate(zip_with(__sh_counts, sequence(0, 63), "
-        "(c, i) -> IF(c > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
-    )
+    hashes, counts, simhash = simhash_fold_exprs(text_col, word_hash)
     if key_bits < 64:
         simhash = F.shiftright(simhash, 64 - key_bits)
     # NULL-payload guard (same rationale as dedup_exact_within_watermark),
@@ -131,3 +119,61 @@ def dedup_simhash_within_watermark(docs: DataFrame, ts_col: str = "ts",
         .dropDuplicatesWithinWatermark(["__simhash_key"])
         .drop("__simhash_key")
     )
+
+
+def simhash_fold_exprs(text_col: str, word_hash: str):
+    """(hashes, counts, simhash) Column expressions for the per-row SimHash
+    fold, staged as __sh_hashes -> __sh_counts -> key. Exposed separately so
+    tests can apply the EXACT production expressions to a batch frame and
+    cross-check the md5 mode against the batch explode+groupBy sketch
+    exhaustively (the oracle-parity claim of stream_simhash_dedup).
+
+    Hash each word ONCE, then run all 64 bit votes over the precomputed
+    hash array (code-review r6: the previous formulation was 64
+    independent F.aggregate folds each recomputing xxhash64(word) inside
+    its lambda — Spark does not CSE across higher-order-function lambdas,
+    so every ingested row paid 64x the necessary hashing). Staged
+    withColumns keep each expensive alias referenced exactly once;
+    CollapseProject declines to inline non-cheap aliases, so each stage
+    evaluates once per row (verified against the optimized plan)."""
+    if word_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"word_hash must be 'xxhash64' or 'md5', got {word_hash!r}")
+    if word_hash == "xxhash64":
+        hashes = F.expr(
+            f"transform(filter(split({text_col}, ' '), w -> length(w) > 0), "
+            "w -> xxhash64(w))"
+        )
+        # one traversal: fold the hash array into a 64-long vote-count array
+        # (zip_with does the 64 +/-1 votes per word; shiftright takes a
+        # COLUMN shift amount in SQL, which python F.shiftright does not)
+        counts = F.expr(
+            "aggregate(__sh_hashes, array_repeat(0L, 64), "
+            "(acc, h) -> zip_with(acc, sequence(0, 63), "
+            "(a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)))"
+        )
+        # majority votes -> bits -> one BIGINT key (disjoint bits, OR-fold)
+        simhash = F.expr(
+            "aggregate(zip_with(__sh_counts, sequence(0, 63), "
+            "(c, i) -> IF(c > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+        )
+    else:  # md5 — batch-sketch parity (no empty-token filter: batch votes
+        # md5('') for double spaces; bit j in 1..64 MSB-first from hex
+        # chunks c0 = bits 1-32, c1 = bits 33-64, exactly _SIMHASH_POS)
+        hashes = F.expr(
+            f"transform(split({text_col}, ' '), w -> named_struct("
+            "'c0', cast(conv(substring(md5(encode(w, 'utf-8')), 1, 8), 16, 10) as bigint), "
+            "'c1', cast(conv(substring(md5(encode(w, 'utf-8')), 9, 8), 16, 10) as bigint)))"
+        )
+        counts = F.expr(
+            "aggregate(__sh_hashes, array_repeat(0L, 64), "
+            "(acc, s) -> zip_with(acc, sequence(1, 64), "
+            "(a, j) -> a + IF((IF(j <= 32, shiftright(s.c0, 32 - j), "
+            "shiftright(s.c1, 64 - j)) & 1) = 1, 1L, -1L)))"
+        )
+        # shiftleft(1L, 63) IS java Long.MIN_VALUE, so the j=1 sign-bit case
+        # needs no special weight (matches _SPARK_SQL_SIMHASH_VAL's -2^63)
+        simhash = F.expr(
+            "aggregate(zip_with(__sh_counts, sequence(1, 64), "
+            "(c, j) -> IF(c > 0, shiftleft(1L, 64 - j), 0L)), 0L, (a, b) -> a | b)"
+        )
+    return hashes, counts, simhash

@@ -515,6 +515,23 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .drop("r")
     )
+    return _run_redelivery_dedup(
+        spark, r1, "content_key", dedup_exact_within_watermark,
+        "stream_content_dedup",
+    )
+
+
+def _run_redelivery_dedup(spark, r1, witness_col, dedup_builder, name):
+    """Shared harness for the re-delivery dedup queries: ``r1`` holds ONE
+    row per dedup group (doc_id, text, witness_col — the group key witness,
+    NULL for rows the dedup keys per-row instead). Stages the 4-slice
+    mtime-pinned schedule (originals at T0; doc_id%10 ∈ {0,1,2,5}
+    re-deliveries at T0+5min / +40min / +41:40 / +50min), runs
+    ``dedup_builder(stream)`` through one-file-per-micro-batch foreachBatch
+    append, and returns the durable (doc_id, witness, epoch, ts_us)
+    read-back. The timing/eviction analysis lives at stream_content_dedup's
+    docstring and holds for ANY equi-key dedup operator: drop decisions
+    depend only on key-state liveness, never on what the key hashes."""
     mod = F.col("doc_id") % 10
     redelivery_offset_s = (
         F.when(mod == 0, 300)      # within horizon
@@ -523,11 +540,11 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(mod == 5, 3000)      # post-eviction: survives
     )
     redeliveries = r1.filter(
-        F.col("content_key").isNotNull() & redelivery_offset_s.isNotNull()
+        F.col(witness_col).isNotNull() & redelivery_offset_s.isNotNull()
     ).select(
         "doc_id",
         "text",
-        "content_key",
+        witness_col,
         F.when(mod == 5, 3).when(mod == 2, 2).otherwise(1)
         .cast("int").alias("epoch"),
         F.timestamp_micros(
@@ -537,14 +554,14 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     originals = r1.select(
         "doc_id",
         "text",
-        "content_key",
+        witness_col,
         F.lit(0).cast("int").alias("epoch"),
         F.timestamp_micros(F.lit(_DEDUP_T0_US)).alias("ts"),
     )
     staged = originals.unionByName(redeliveries)
 
-    staging = tempfile.mkdtemp(prefix="stream_content_dedup_src_")
-    out_dir = _track_sink("stream_content_dedup")
+    staging = tempfile.mkdtemp(prefix=f"{name}_src_")
+    out_dir = _track_sink(name)
     try:
         now = time.time()
         for e in range(4):
@@ -552,9 +569,9 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged.filter(F.col("epoch") == e).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(slice_dir)
-            for name in os.listdir(slice_dir):
+            for fname in os.listdir(slice_dir):
                 os.utime(
-                    os.path.join(slice_dir, name),
+                    os.path.join(slice_dir, fname),
                     (now - 600 + e * 100, now - 600 + e * 100),
                 )
 
@@ -563,11 +580,8 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(staging + "/slice_*.parquet")
         )
-        out = dedup_exact_within_watermark(
-            stream, ts_col="ts", text_col="text",
-            delay=f"{_DEDUP_DELAY_S} seconds",
-        ).select(
-            "doc_id", "content_key", "epoch",
+        out = dedup_builder(stream).select(
+            "doc_id", witness_col, "epoch",
             F.unix_micros("ts").alias("ts_us"),
         )
 
@@ -577,13 +591,13 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             out.writeStream.outputMode("append")
             .foreachBatch(write_epoch)
-            .queryName(f"stream_content_dedup_{uuid.uuid4().hex[:8]}")
+            .queryName(f"{name}_{uuid.uuid4().hex[:8]}")
             .trigger(availableNow=True)
             .start()
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("stream_content_dedup did not finish in 300s")
+            raise TimeoutError(f"{name} did not finish in 300s")
         return _read_back(spark, out_dir, out.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -595,3 +609,92 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..flagship import FLAGSHIP_ORACLE as _FLAGSHIP_ORACLE  # noqa: E402
 
 QUERY_REGISTRY["stream_flowlog_enrich"].oracle = _FLAGSHIP_ORACLE
+
+
+from ..ext.dedup import (  # noqa: E402  (oracle shares the batch sketch SQL)
+    _SQL_SIMHASH_BITS,
+    _SQL_SIMHASH_CHUNKS,
+    _SQL_SIMHASH_VAL,
+)
+
+
+@query(
+    "stream_simhash_dedup",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, {_SQL_SIMHASH_CHUNKS} FROM wh
+    ),
+    bits AS (
+      SELECT doc_id, {_SQL_SIMHASH_BITS}
+      FROM chunks GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, CAST({_SQL_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+    ),
+    base AS (
+      SELECT d.doc_id, s.simhash,
+             row_number() OVER (PARTITION BY
+               coalesce(CAST(s.simhash AS VARCHAR),
+                        'null:' || CAST(d.doc_id AS VARCHAR))
+               ORDER BY d.doc_id) AS r
+      FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+    ),
+    r1 AS (SELECT doc_id, simhash FROM base WHERE r = 1)
+    SELECT doc_id, simhash, CAST(0 AS INTEGER) AS epoch,
+           CAST({_DEDUP_T0_US} AS BIGINT) AS ts_us
+    FROM r1
+    UNION ALL
+    SELECT doc_id, simhash, CAST(3 AS INTEGER) AS epoch,
+           CAST({_DEDUP_T0_US} + 3000 * CAST(1000000 AS BIGINT) AS BIGINT)
+             AS ts_us
+    FROM r1 WHERE simhash IS NOT NULL AND doc_id % 10 = 5
+    """,
+    tags=("streaming", "dedup", "simhash", "watermark"),
+)
+def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup streaming dedup driver-proven: the same 4-micro-batch
+    re-delivery schedule as stream_content_dedup, but keyed on the 64-bit
+    SimHash fingerprint — documents that are token-multiset-equivalent
+    (reorderings, framing variants) collapse to one survivor even though
+    their bytes differ, which byte-hash streaming dedup can never do.
+
+    The proof is double-sided: the re-delivery GROUP STRUCTURE (who
+    collides) is computed with the batch explode+groupBy sketch machinery
+    (ext/dedup.py's md5-chunk vote SQL, shared verbatim with the DuckDB
+    oracle), while the stream's DROP DECISIONS are made by the per-row
+    F.aggregate fold (streaming/dedup.py word_hash='md5') — a hash-green
+    row therefore certifies the per-row fold and the relational
+    formulation compute the IDENTICAL fingerprint for every document
+    (cross-checked exhaustively in tests), on top of the
+    drop/evict/survive schedule semantics documented at
+    stream_content_dedup. NULL-text docs key per-row (uuid fallback) and
+    are excluded from re-delivery; survivors = every group's rank-1 row
+    plus the %10==5 post-eviction re-deliveries."""
+    from ..ext.dedup import dedup_simhash
+    from .dedup import dedup_simhash_within_watermark
+
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup_simhash(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    gkey = F.coalesce(
+        F.col("simhash").cast("string"),
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+    )
+    r1 = (
+        docs.join(sh, "doc_id", "left")
+        .select(
+            "doc_id", "text", "simhash",
+            F.row_number().over(W.partitionBy(gkey).orderBy("doc_id")).alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+    return _run_redelivery_dedup(
+        spark, r1, "simhash",
+        lambda s: dedup_simhash_within_watermark(s, word_hash="md5"),
+        "stream_simhash_dedup",
+    )

@@ -179,3 +179,51 @@ def test_stream_content_dedup_classes_on_synthetic_corpus(spark, tmp_path):
     assert sorted(by_epoch.pop(0)) == list(range(20))  # every first delivery
     assert sorted(by_epoch.pop(3)) == [5, 15]          # post-eviction survivors
     assert by_epoch == {}  # epochs 1/2 (both drop classes) emitted nothing
+
+
+def test_md5_fold_key_matches_batch_sketch_exhaustively(spark):
+    """The stream_simhash_dedup parity claim, pinned: the per-row md5 fold
+    (the production expressions via simhash_fold_exprs) computes the SAME
+    64-bit fingerprint as the batch explode+groupBy sketch for EVERY sf0.01
+    document — any divergence (chunk order, sign-bit weight, empty-token
+    handling) would silently re-group the streaming dedup."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import dedup_simhash
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+    from aws_vpc_flow_log_appender_spark.streaming.dedup import (
+        simhash_fold_exprs,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    hashes, counts, key = simhash_fold_exprs("text", "md5")
+    per_row = (
+        load(spark, sf, "documents")
+        .withColumn("__sh_hashes", hashes)
+        .withColumn("__sh_counts", counts)
+        .select("doc_id", key.alias("fold_key"))
+    )
+    batch = dedup_simhash(spark, sf)
+    joined = batch.join(per_row, "doc_id")
+    n = joined.count()
+    assert n == batch.count()  # every batch-fingerprinted doc compared
+    assert joined.filter(F.col("simhash") != F.col("fold_key")).count() == 0
+
+
+def test_stream_simhash_dedup_merges_colliding_docs(spark):
+    """At sf0.01 the corpus contains at least one genuine SimHash collision
+    (token-multiset-equivalent near-dups): the survivor set must be SMALLER
+    than the document count, and every surviving (epoch 0) fingerprint
+    unique — byte-hash dedup could never merge these rows."""
+    from aws_vpc_flow_log_appender_spark.streaming.queries import (
+        stream_simhash_dedup,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = stream_simhash_dedup(spark, sf)
+    originals = got.filter(F.col("epoch") == 0)
+    n_docs = load(spark, sf, "documents").count()
+    n_orig = originals.count()
+    assert n_orig < n_docs  # at least one near-dup group merged
+    assert originals.select("simhash").distinct().count() == n_orig
