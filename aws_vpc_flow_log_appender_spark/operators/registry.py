@@ -163,7 +163,7 @@ PRIORITY_ORDER: list[str] = [
     "ingest_cloudwatch_decode",
     "stream_tumbling_window",
     "stream_session_window",
-    "stream_latest_per_key",
+    "stream_interval_join",
     "stream_flowlog_enrich",
     "ts_ewma",
     "stream_simhash_dedup",

@@ -33,8 +33,9 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
+# (7 stream queries as of stream_interval_join -> retain 14.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 8
+_SINK_RETAIN = 14
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -560,13 +561,36 @@ def _run_redelivery_dedup(spark, r1, witness_col, dedup_builder, name):
     )
     staged = originals.unionByName(redeliveries)
 
+    def build(stream: DataFrame) -> DataFrame:
+        return dedup_builder(stream).select(
+            "doc_id", witness_col, "epoch",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+
+    return _run_sliced_stream(spark, staged, "epoch", 4, build, name)
+
+
+def _run_sliced_stream(spark, staged, slice_col, n_slices, build, name,
+                       timeout_s: int = 300):
+    """Stage ``staged`` as one parquet file per ``slice_col`` value
+    (0..n_slices-1), mtime-pinned ascending so Spark's file source delivers
+    them in slice order with ``maxFilesPerTrigger=1`` — n_slices REAL
+    micro-batches, each advancing the watermark from that slice's event
+    times. Runs ``build(stream)`` in append mode through a tracked
+    foreachBatch parquet sink and returns the durable read-back.
+
+    The slice column stays in the streamed schema: the dedup harness emits
+    it as its epoch witness, and builders that don't need it simply never
+    select it. Shared by the re-delivery dedup queries and the
+    stream-stream interval join (one arrival-schedule mechanism, one
+    timeout/cleanup path to maintain)."""
     staging = tempfile.mkdtemp(prefix=f"{name}_src_")
     out_dir = _track_sink(name)
     try:
         now = time.time()
-        for e in range(4):
+        for e in range(n_slices):
             slice_dir = os.path.join(staging, f"slice_{e}.parquet")
-            staged.filter(F.col("epoch") == e).coalesce(1).write.mode(
+            staged.filter(F.col(slice_col) == e).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(slice_dir)
             for fname in os.listdir(slice_dir):
@@ -580,10 +604,7 @@ def _run_redelivery_dedup(spark, r1, witness_col, dedup_builder, name):
             .option("maxFilesPerTrigger", 1)
             .parquet(staging + "/slice_*.parquet")
         )
-        out = dedup_builder(stream).select(
-            "doc_id", witness_col, "epoch",
-            F.unix_micros("ts").alias("ts_us"),
-        )
+        out = build(stream)
 
         def write_epoch(df: DataFrame, _epoch_id: int) -> None:
             df.write.mode("append").parquet(out_dir)
@@ -595,9 +616,9 @@ def _run_redelivery_dedup(spark, r1, witness_col, dedup_builder, name):
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
+        if not q.awaitTermination(timeout_s):
             q.stop()
-            raise TimeoutError(f"{name} did not finish in 300s")
+            raise TimeoutError(f"{name} did not finish in {timeout_s}s")
         return _read_back(spark, out_dir, out.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -697,4 +718,75 @@ def stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, r1, "simhash",
         lambda s: dedup_simhash_within_watermark(s, word_hash="md5"),
         "stream_simhash_dedup",
+    )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run across FOUR real micro-batches and
+    oracle-checked at the driver — the last §2.8 capability class
+    (symmetric-hash join state, both sides watermarked) graduating from
+    pytest-only to a hash-green row. The operator under test is
+    streaming/joins.stream_stream_interval_join: click -> purchase per user
+    within 1 hour, both branches watermarked 10 minutes so EITHER side's
+    state is evictable (reference analogue: the decorator correlates a flow
+    record against ENI/geo context it must hold in memory; here each side
+    holds the other's window, bounded by watermark + interval instead of
+    the whole stream).
+
+    COMPLETENESS under eviction (why a 10-minute watermark cannot drop a
+    true pair even though the join interval is 1 hour): the harness stages
+    the corpus as four time-ascending slices (ntile over (ts, event_id) —
+    harness staging, not the operator under test), one file per
+    micro-batch. A purchase p matching click c satisfies p.ts <= c.ts + 1h,
+    and c arrives in the same or an earlier slice (p.ts > c.ts, slices
+    ascending). When p's batch runs, the in-effect watermark is (max ts of
+    STRICTLY EARLIER slices) - 10min < p.ts - 10min + (intra-slice spread)
+    <= c.ts + 1h, so c's state — evictable only once the watermark passes
+    c.ts + 1h — is still live and the pair is emitted in p's own batch.
+    Eviction then really runs behind the advancing watermark (~7.5-day
+    slices vs a 1-hour join window: almost all state is dropped between
+    batches), which is exactly the bounded-state claim: state is
+    (watermark horizon + join interval) x arrival rate, never
+    stream-lifetime. Inner join => append mode, every pair emitted exactly
+    once; the batch twin join_interval_events shares the semantics, this
+    row proves the STREAMING physical operator agrees with the SQL oracle
+    on every pair and every gap.
+    """
+    from pyspark.sql import Window as W
+
+    from .joins import stream_stream_interval_join
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    staged = events.withColumn(
+        "slice",
+        (F.ntile(4).over(W.orderBy("ts", "event_id")) - 1).cast("int"),
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        joined = stream_stream_interval_join(
+            stream, left_type="click", right_type="purchase",
+            interval="1 hour", watermark="10 minutes",
+        )
+        return joined.select(
+            "click_id", "purchase_id", "user_id", "gap_us",
+        )
+
+    return _run_sliced_stream(
+        spark, staged, "slice", 4, build, "stream_interval_join"
     )
