@@ -293,3 +293,93 @@ def graph_common_neighbors(spark, sf_dir):
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+_BFS_HOPS = 3       # fixed hop budget (deterministic at every SF)
+_SRC_MOD = 50       # sources = nodes with node % _SRC_MOD == 0 (10 of 499)
+
+
+def _bfs_oracle() -> str:
+    """Unrolled multi-source BFS as chained CTEs (same discipline as the
+    PageRank oracle: DuckDB's recursive form is path-enumerating under
+    UNION ALL and aggregate-restricted under UNION, so a fixed hop budget
+    unrolls cleanly instead). Each round: frontier joins the symmetric
+    adjacency, minus every node already labeled."""
+    parts = [
+        f"de AS ({_SQL_EDGES})",
+        f"ue AS ({_SQL_UEDGES})",
+        "sym AS (SELECT u AS a, v AS b FROM ue"
+        " UNION ALL SELECT v AS a, u AS b FROM ue)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        f"d0 AS (SELECT node, 0 AS dist FROM nodes"
+        f" WHERE node % {_SRC_MOD} = 0)",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f"n{h} AS (SELECT DISTINCT s.b AS node"
+            f" FROM sym s JOIN f{h - 1} f ON s.a = f.node"
+            f" WHERE s.b NOT IN (SELECT node FROM d{h - 1}))"
+        )
+        parts.append(
+            f"d{h} AS (SELECT node, dist FROM d{h - 1}"
+            f" UNION ALL SELECT node, {h} AS dist FROM n{h})"
+        )
+        parts.append(f"f{h} AS (SELECT node FROM n{h})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+    SELECT node, CAST(dist AS INTEGER) AS dist FROM d{_BFS_HOPS}
+    """
+    )
+
+
+@query("graph_shortest_paths", oracle=_bfs_oracle(), tags=("graph", "iterative"))
+def graph_shortest_paths(spark, sf_dir):
+    """Multi-source BFS: hop distance from every node to its NEAREST seed
+    (nodes ≡ 0 mod 50 — think 'known-compromised hosts', the blast-radius
+    question asked as a distance field instead of a reachable set), hop
+    budget fixed at 3. The third iterative-graph primitive beside PageRank
+    (fixed-point scoring) and connected components (pointer jumping):
+    label propagation with a frontier.
+
+    Distributed shape — the textbook scalable BFS, one round per hop:
+     - the FRONTIER (nodes labeled last round, nothing else) equi-joins the
+       checkpointed symmetric adjacency on the source endpoint: shuffle
+       cost tracks |frontier| x avg-degree, never |V|;
+     - a left-anti join against the accumulated label table keeps the
+       frontier minimal (a node reached twice is never re-expanded — the
+       property that makes BFS O(|E|) total work across all rounds instead
+       of O(|E| x rounds));
+     - rounds are O(hop budget), each one shuffle; the label table only
+       ever GROWS by the new frontier, so the union tree stays linear in
+       the hop budget and Catalyst folds it into one plan (the fixed-round
+       lazy-plan discipline of graph_pagerank — eager per-round
+       checkpointing only pays for convergence-driven loops like
+       ext/graph.connected_components, where this same frontier/anti-join
+       skeleton runs under a changed-count fixpoint probe instead of a
+       constant bound).
+    Hop distances are exact small integers — no float, no tie ambiguity
+    (min-dist per node is unique by construction since a node enters the
+    label table exactly once, in its first reachable round)."""
+    ue = _undirected_edges(spark, sf_dir).localCheckpoint()
+    sym = ue.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        ue.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % _SRC_MOD == 0).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    frontier = dist.select("node")
+    for h in range(1, _BFS_HOPS + 1):
+        reached = (
+            sym.join(frontier, sym.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("dist")
+        )
+        dist = dist.unionAll(fresh)
+        frontier = fresh.select("node")
+    return dist

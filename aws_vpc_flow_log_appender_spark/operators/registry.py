@@ -172,7 +172,7 @@ PRIORITY_ORDER: list[str] = [
     "join_bucketed_colocated",
     "sim_knn_graph",
     "dedup_embedding_nn",
-    "dedup_embedding_pairs",
+    "graph_shortest_paths",
     "sim_ivf_trained_topk",
     "sim_ivf_trained_multiprobe",
     "sim_rp_lsh_topk",
