@@ -1,0 +1,141 @@
+"""Mergeable summary sketches — bounded-memory aggregation for 100 TB scans.
+
+Exact `groupBy(key)` answers need state proportional to the number of
+distinct keys; on a web-scale corpus (Heaps'-law vocabularies, 10^8+
+tokens) that is exactly the unbounded-broadcast / giant-shuffle class the
+r5 verdict flagged. Sketches answer the same questions in CONSTANT space:
+a count-min matrix is d x w integers however many tokens exist, a KMV
+sample is k hashes per group. Both are trivially mergeable (cell-wise sum
+/ min-k union), which is what makes them map-side-combinable partial
+aggregates in Spark — every executor folds its partition into the same
+fixed-size state, one tiny shuffle merges them.
+
+The determinism discipline that makes them ORACLE-CHECKABLE here (the
+whole point of this registry): the hash functions are md5-hex-slice
+arithmetic shared textually with DuckDB (the ext/dedup simhash idiom —
+Spark `conv(substring(md5(..),..),16,10)` == DuckDB
+`CAST('0x'||substr(md5(..),..) AS BIGINT)`), and every accumulator is an
+integer sum/min, so partition order can never flip a result bit. No
+sampling, no RNG, no float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.registry import load, query
+
+# count-min geometry: d independent rows x w buckets. With w = 512 the
+# expected collision overestimate per row is total_count/512 and the min
+# over d = 4 rows keeps it near the true count for heavy hitters while the
+# sketch stays 2048 BIGINTs — the accuracy/space trade is visible in the
+# query output itself (`overestimate` column).
+_CM_D = 4
+_CM_W = 512
+
+
+def _cm_bucket_spark(j_col, tok_col):
+    """Row-j count-min bucket for a token: first 8 md5 hex chars (32 bits,
+    sign-safe in BIGINT) of 'j:token', mod w. Textually mirrored by
+    _cm_bucket_sql below."""
+    h = F.md5(
+        F.encode(F.concat(j_col.cast("string"), F.lit(":"), tok_col), "utf-8")
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CM_W
+
+
+def _cm_bucket_sql(j_expr: str, tok_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || ':' || "
+        f"{tok_expr}), 1, 8) AS BIGINT) % {_CM_W}"
+    )
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS true_count
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    js AS (SELECT unnest(range({_CM_D})) AS j),
+    hb AS (
+      SELECT j, tok, true_count,
+             {_cm_bucket_sql("j", "tok")} AS bucket
+      FROM tc CROSS JOIN js
+    ),
+    sk AS (
+      SELECT j, bucket, CAST(sum(true_count) AS BIGINT) AS cnt
+      FROM hb GROUP BY j, bucket
+    ),
+    est AS (
+      SELECT hb.tok, hb.true_count,
+             CAST(min(sk.cnt) AS BIGINT) AS cm_estimate
+      FROM hb JOIN sk ON hb.j = sk.j AND hb.bucket = sk.bucket
+      GROUP BY hb.tok, hb.true_count
+    )
+    SELECT tok, true_count, cm_estimate,
+           cm_estimate - true_count AS overestimate, rnk
+    FROM (
+      SELECT tok, true_count, cm_estimate,
+             CAST(row_number() OVER (ORDER BY cm_estimate DESC, tok)
+                  AS INTEGER) AS rnk
+      FROM est
+    ) WHERE rnk <= 20
+    """,
+    tags=("sketch", "agg"),
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    """Heavy hitters by count-min sketch, differentially checked against
+    the exact counts in the same result: top-20 tokens by SKETCH estimate,
+    each row carrying `true_count` and the collision `overestimate`
+    (cm_estimate >= true_count always — the one-sided error guarantee is
+    directly visible, and a driver hash-match certifies both the sketch
+    arithmetic and the guarantee on every row).
+
+    Scale shape: the sketch build is `groupBy(j, bucket).sum` over a
+    d x w = 4x512 key space — a partial-aggregate-absorbed shuffle whose
+    state is CONSTANT (2048 cells) no matter how many distinct tokens the
+    corpus holds; this is the bounded-memory alternative the r5
+    broadcast-boundedness audit asks for when a vocabulary-sized exact
+    table (text_tfidf's term DF) outgrows its Heaps'-law bound. The
+    estimate lookup joins tokens to the sketch on (j, bucket) — at
+    production scale the d x w sketch is the BROADCAST side by
+    construction (fixed bytes, the strongest cardinality bound there is),
+    never the token table. The exact `tc` aggregation exists here only as
+    the differential witness; a production heavy-hitters pass ships the
+    sketch alone.
+
+    All arithmetic is integer (occurrence counts, md5-slice bucket ids);
+    tokenization and the `<> ''` filter are the text_tfidf_top_terms idiom
+    verbatim, so the two surfaces stay comparable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    js = spark.range(_CM_D).select(F.col("id").cast("long").alias("j"))
+    hb = tc.crossJoin(F.broadcast(js)).withColumn(
+        "bucket", _cm_bucket_spark(F.col("j"), F.col("tok"))
+    )
+    sk = hb.groupBy("j", "bucket").agg(F.sum("true_count").alias("cnt"))
+    est = (
+        hb.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cm_estimate"), F.asc("tok"))
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "tok", "true_count", "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+            "rnk",
+        )
+    )

@@ -175,7 +175,7 @@ PRIORITY_ORDER: list[str] = [
     "graph_shortest_paths",
     "sim_ivf_trained_topk",
     "sim_ivf_trained_multiprobe",
-    "sim_rp_lsh_topk",
+    "agg_countmin_heavy_hitters",
     "text_contamination_check",
     "sim_ivfpq_topk",
     "sim_recall_eval",
