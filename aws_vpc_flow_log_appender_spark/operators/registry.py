@@ -155,7 +155,7 @@ PRIORITY_ORDER: list[str] = [
     "multimodal_wav_decode",
     "dedup_lsh_bucket_stats",
     "flowlog_enrich",
-    "flowlog_beaconing",
+    "agg_kmv_distinct",
     "flowlog_rfc1918_classify",
     "flowlog_cusum_drift",
     "flowlog_incident_feed",
