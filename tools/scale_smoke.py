@@ -1092,6 +1092,185 @@ def main() -> int:
     finally:
         shutil.rmtree(dtmp, ignore_errors=True)
 
+    # 12) session-4 additions. Sketches at scale — the whole point of a
+    # sketch is that its STATE does not grow with the corpus, and both have
+    # exact closed forms under replication:
+    #  - count-min over mult text-identical copies: every (j, bucket) cell
+    #    is exactly mult x its base value, the bucket set is unchanged, and
+    #    the cell count stays <= d x w whatever the corpus size;
+    #  - KMV over mult user-disjoint copies: the TRUTH scales exactly
+    #    (disjoint users => mult x distinct pairs) while the 64-hash
+    #    estimate must track it within its error envelope.
+    from aws_vpc_flow_log_appender_spark.ext.sketches import (
+        _CM_D,
+        _CM_W,
+        _cm_bucket_spark,
+        agg_kmv_distinct,
+    )
+
+    def cm_cells(d):
+        toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+            F.col("tok") != ""
+        )
+        tc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        js = spark.range(_CM_D).select(F.col("id").alias("j"))
+        hb = tc.crossJoin(F.broadcast(js)).withColumn(
+            "bucket", _cm_bucket_spark(F.col("j"), F.col("tok"))
+        )
+        return hb.groupBy("j", "bucket").agg(F.sum("c").alias("cnt"))
+
+    docs_m = multiplied("documents", ["doc_id"])
+    t0 = time.perf_counter()
+    big_cells = {
+        (r["j"], r["bucket"]): r["cnt"] for r in cm_cells(docs_m).collect()
+    }
+    t_cm = time.perf_counter() - t0
+    base_cells = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cm_cells(spark.read.parquet(f"{SF_DIR}/documents.parquet")).collect()
+    }
+    cm_ok = (
+        len(big_cells) == len(base_cells)
+        and len(big_cells) <= _CM_D * _CM_W
+        and all(big_cells.get(k) == v * mult for k, v in base_cells.items())
+    )
+    if not cm_ok:
+        print(
+            f"FAIL countmin scaling: {len(big_cells)} cells vs "
+            f"{len(base_cells)} base; linear-cell check failed"
+        )
+        ok = False
+    print(
+        f"scale_smoke countmin mult={mult}: {len(big_cells)} sketch cells "
+        f"(cap {_CM_D * _CM_W}), every cell exactly {mult}x base: "
+        f"{'YES' if cm_ok else 'NO'}; built in {t_cm:.1f}s"
+    )
+    artifact["countmin"] = {
+        "cells": len(big_cells),
+        "cell_cap": _CM_D * _CM_W,
+        "linear_cells": cm_ok,
+        "t_s": round(t_cm, 2),
+    }
+
+    ktmp = tempfile.mkdtemp(prefix="scale_kmv_")
+    try:
+        f_events.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).write.mode("overwrite").parquet(f"{ktmp}/events.parquet")
+        base_kmv = {
+            r["event_type"]: r["true_distinct"]
+            for r in agg_kmv_distinct(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        big_kmv = agg_kmv_distinct(spark, ktmp).collect()
+        t_kmv = time.perf_counter() - t0
+        kmv_ok = len(big_kmv) == len(base_kmv)
+        worst_rel = 0.0
+        for r in big_kmv:
+            if r["true_distinct"] != base_kmv[r["event_type"]] * mult:
+                print(
+                    f"FAIL kmv truth scaling: {r['event_type']} "
+                    f"{r['true_distinct']} != {base_kmv[r['event_type']]}x{mult}"
+                )
+                kmv_ok = False
+            rel = abs(r["kmv_estimate"] - r["true_distinct"]) / r["true_distinct"]
+            worst_rel = max(worst_rel, rel)
+            if rel >= 0.40:
+                print(f"FAIL kmv envelope: {r['event_type']} rel_err {rel:.2f}")
+                kmv_ok = False
+        if not kmv_ok:
+            ok = False
+        print(
+            f"scale_smoke kmv mult={mult}: truth scaled exactly {mult}x, "
+            f"64-hash estimate worst rel err {worst_rel:.1%} "
+            f"({'OK' if kmv_ok else 'FAIL'}); {t_kmv:.1f}s"
+        )
+        artifact["kmv"] = {
+            "groups": len(big_kmv),
+            "worst_rel_err": round(worst_rel, 4),
+            "t_s": round(t_kmv, 2),
+        }
+
+        # 13) BFS on the saturated support: the circulant edge set stops
+        # growing once every (offset, residue) pair is hit (section 5's
+        # contract), so multi-source BFS distances over the multiplied
+        # corpus must be IDENTICAL to the base corpus — the graph family's
+        # strongest scale invariant: more data, same graph, same answer.
+        from aws_vpc_flow_log_appender_spark.operators.graphs import (
+            graph_shortest_paths,
+        )
+
+        base_bfs = {
+            r["node"]: r["dist"]
+            for r in graph_shortest_paths(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        big_bfs = {
+            r["node"]: r["dist"]
+            for r in graph_shortest_paths(spark, ktmp).collect()
+        }
+        t_bfs = time.perf_counter() - t0
+        if big_bfs != base_bfs:
+            print(
+                f"FAIL bfs saturation: {len(big_bfs)} labeled nodes vs "
+                f"{len(base_bfs)} base / distances diverged"
+            )
+            ok = False
+        print(
+            f"scale_smoke bfs mult={mult}: {len(big_bfs)} node distances "
+            f"identical to base: {'YES' if big_bfs == base_bfs else 'NO'}; "
+            f"{t_bfs:.1f}s"
+        )
+        artifact["bfs"] = {
+            "nodes": len(big_bfs),
+            "identical_to_base": big_bfs == base_bfs,
+            "t_s": round(t_bfs, 2),
+        }
+
+        # 14) stream-stream join at scale: user-disjoint copies make the
+        # pair count an exact closed form (mult x base pairs — a pair never
+        # crosses copies), while the 4-slice harness forces real watermark
+        # advancement and state eviction over a mult-x-denser stream.
+        from aws_vpc_flow_log_appender_spark.streaming.queries import (
+            stream_interval_join,
+        )
+
+        base_pairs = (
+            load(spark, SF_DIR, "events").filter(F.col("event_type") == "click")
+            .alias("c")
+            .join(
+                load(spark, SF_DIR, "events")
+                .filter(F.col("event_type") == "purchase")
+                .alias("p"),
+                (F.col("p.user_id") == F.col("c.user_id"))
+                & (F.col("p.ts") > F.col("c.ts"))
+                & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .count()
+        )
+        t0 = time.perf_counter()
+        n_stream_pairs = stream_interval_join(spark, ktmp).count()
+        t_ssj = time.perf_counter() - t0
+        if n_stream_pairs != base_pairs * mult:
+            print(
+                f"FAIL stream join scaling: {n_stream_pairs} pairs != "
+                f"{base_pairs}x{mult}"
+            )
+            ok = False
+        print(
+            f"scale_smoke stream-join mult={mult}: {n_stream_pairs:,} pairs "
+            f"== {base_pairs}x{mult}: "
+            f"{'YES' if n_stream_pairs == base_pairs * mult else 'NO'}; "
+            f"4-slice watermarked run {t_ssj:.1f}s"
+        )
+        artifact["stream_interval_join"] = {
+            "pairs": n_stream_pairs,
+            "expected": base_pairs * mult,
+            "t_s": round(t_ssj, 2),
+        }
+    finally:
+        shutil.rmtree(ktmp, ignore_errors=True)
+
     artifact["ok"] = ok
     if json_out:
         import json
