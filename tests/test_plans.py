@@ -414,6 +414,9 @@ def test_sessionize_shares_one_sort(plans):
 # directions — a new F.broadcast site not in the manifest (forces an audit
 # before merge) and a stale manifest entry whose site was removed.
 _BROADCAST_BOUNDS = {
+    # sketches: the strongest bounds there are — compile-time constants
+    ("ext/sketches.py", "js"): "d-row literal (d = 4 count-min rows)",
+    ("ext/sketches.py", "sk"): "count-min sketch, <= d x w = 2048 cells",
     # flagship / enrichment: GeoIP + ENI dims are few-million-row dimension
     # tables; spine is the /16 bucket spine (<= 65536 rows)
     ("enrich.py", "dim"): "ENI dimension table",
@@ -664,3 +667,50 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert plan.count("SelectedBucketsCount") == 2
+
+
+def test_countmin_sketch_is_broadcast_and_partial_agged(plans):
+    """The sketch build must absorb map-side (partial HashAggregate over
+    the 2048-cell key space) and the estimate lookup must broadcast the
+    SKETCH, never shuffle the token table for it — the constant-state
+    claim of ext/sketches.py as plan properties."""
+    p = plans("agg_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    # partial aggregation on the (j, bucket) sketch build
+    assert "partial_sum" in p or "HashAggregate" in p
+    # the token table is never broadcast (only the 4-row j spine and the
+    # sketch are) — a broadcast of tc would be the unbounded direction
+    assert p.count("BroadcastExchange") <= 3
+
+
+def test_bfs_rounds_are_lineage_cut(spark, sf_dir):
+    """graph_shortest_paths references its prior label table twice per
+    round (anti-join + union), which doubles the recompute DAG per hop if
+    left lazy (measured: 33 exchanges at H=3). The per-round lazy
+    localCheckpoint must keep the FINAL plan small — the visible plan
+    reads cached frontiers instead of re-deriving three rounds of
+    anti-joins."""
+    from aws_vpc_flow_log_appender_spark.operators.graphs import (
+        graph_shortest_paths,
+    )
+
+    plan = (
+        graph_shortest_paths(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, (
+        f"BFS final plan carries {n_exchanges} exchanges — per-round "
+        f"lineage cut lost?"
+    )
+
+
+def test_kmv_order_statistic_is_per_group_window(plans):
+    """The k-th-min rank must run as a per-event_type partitioned window
+    (parallel across groups, Exchange hashpartitioning(event_type)), never
+    a single-partition global sort — the shape that keeps the order
+    statistic group-parallel at any group count."""
+    p = plans("agg_kmv_distinct")
+    assert "Window" in p
+    assert "hashpartitioning(event_type" in p
+    assert "Exchange SinglePartition" not in p
