@@ -231,3 +231,141 @@ def agg_kmv_distinct(spark, sf_dir):
         F.expr(f"{_KMV_NUM} div (kth_hash + 1)").alias("kmv_estimate"),
         "true_distinct",
     )
+
+
+@query(
+    "agg_kmv_set_intersection",
+    oracle=f"""
+    WITH el AS (
+      SELECT DISTINCT event_type,
+             CAST(user_id AS VARCHAR) || ':' ||
+             CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS elem
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    dh AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(elem), 1, 12) AS BIGINT) AS h
+      FROM el
+    ),
+    bk AS (
+      SELECT event_type, h, rn FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh
+      ) WHERE rn <= {_KMV_K}
+    ),
+    theta AS (
+      SELECT min(h) AS theta FROM bk WHERE rn = {_KMV_K}
+    ),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM (SELECT h FROM bk WHERE event_type = 'click') a
+      JOIN (SELECT h FROM bk WHERE event_type = 'purchase') b USING (h)
+      CROSS JOIN theta WHERE h < theta
+    ),
+    usample AS (
+      SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_union
+      FROM bk CROSS JOIN theta WHERE h < theta
+    ),
+    truth AS (
+      SELECT
+        CAST((SELECT count(*) FROM
+                (SELECT elem FROM el WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT elem FROM el WHERE event_type = 'purchase'))
+             AS BIGINT) AS true_intersection,
+        CAST((SELECT count(DISTINCT elem) FROM el) AS BIGINT) AS true_union
+    )
+    SELECT theta.theta AS theta,
+           common.n_common AS n_common,
+           CAST((common.n_common * CAST(281474976710656 AS BIGINT))
+                // theta.theta AS BIGINT) AS est_intersection,
+           truth.true_intersection AS true_intersection,
+           CAST((usample.n_union * CAST(281474976710656 AS BIGINT))
+                // theta.theta AS BIGINT) AS est_union,
+           truth.true_union AS true_union
+    FROM theta CROSS JOIN common CROSS JOIN usample CROSS JOIN truth
+    """,
+    tags=("sketch", "agg", "setops"),
+)
+def agg_kmv_set_intersection(spark, sf_dir):
+    """Theta-style SET ALGEBRA on KMV sketches — the reason bottom-k beats
+    an opaque distinct counter: two 64-hash summaries built INDEPENDENTLY
+    (click-active vs purchase-active (user, day) pairs) answer overlap and
+    union questions without rescanning either input. theta = the smaller
+    of the two 64th-minima; every retained hash below theta is a fixed-rate
+    uniform sample of its set, so |common below theta| * 2^48 / theta
+    estimates the intersection and the distinct union sample estimates the
+    union — audience-overlap analytics from kilobytes of state. The exact
+    intersection/union computed alongside are the in-row differential, as
+    in the other sketch rows.
+
+    At 100 TB: each side's bottom-k is a mergeable per-partition top-k
+    (min-k union, absorbed map-side); the set algebra afterwards touches
+    only 2k hashes. No zero-divisor guard is needed here: theta is the
+    64th SMALLEST DISTINCT hash, hence >= 63 (distinct non-negative
+    integers), and the estimator numerators stay far inside BIGINT
+    (<= 128 * 2^48). Day bucketing, hashing, and k are shared with
+    agg_kmv_distinct (one sketch definition, composable across queries —
+    the property the docstring there promises)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    elem = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr("unix_micros(ts) div 86400000000").cast("string"),
+    )
+    el = e.select("event_type", elem.alias("elem")).distinct()
+    dh = el.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.encode("elem", "utf-8")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    bk = dh.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    ).localCheckpoint(eager=False)
+    theta = bk.filter(F.col("rn") == _KMV_K).agg(F.min("h").alias("theta"))
+    a = bk.filter(F.col("event_type") == "click").select("h")
+    b = bk.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb")
+    )
+    common = (
+        a.join(b, F.col("h") == F.col("hb"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    usample = (
+        bk.select("h").distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.countDistinct("h").alias("n_union"))
+    )
+    truth = (
+        el.groupBy("elem")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .agg(
+            F.sum(F.when(F.col("n_types") == 2, 1).otherwise(0))
+            .cast("long").alias("true_intersection"),
+            F.count("*").alias("true_union"),
+        )
+    )
+    two48 = 281474976710656
+    return (
+        theta.crossJoin(common).crossJoin(usample).crossJoin(truth)
+        .select(
+            "theta",
+            "n_common",
+            F.expr(f"(n_common * {two48}L) div theta").alias(
+                "est_intersection"
+            ),
+            "true_intersection",
+            F.expr(f"(n_union * {two48}L) div theta").alias("est_union"),
+            "true_union",
+        )
+    )

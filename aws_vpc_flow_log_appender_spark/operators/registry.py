@@ -181,7 +181,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_recall_eval",
     "sample_dedup_weights",
     "dedup_clusters",
-    "corpus_curation_pipeline",
+    "agg_kmv_set_intersection",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "dedup_exact",

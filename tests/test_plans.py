@@ -417,6 +417,7 @@ _BROADCAST_BOUNDS = {
     # sketches: the strongest bounds there are — compile-time constants
     ("ext/sketches.py", "js"): "d-row literal (d = 4 count-min rows)",
     ("ext/sketches.py", "sk"): "count-min sketch, <= d x w = 2048 cells",
+    ("ext/sketches.py", "theta"): "1-row scalar aggregate",
     # flagship / enrichment: GeoIP + ENI dims are few-million-row dimension
     # tables; spine is the /16 bucket spine (<= 65536 rows)
     ("enrich.py", "dim"): "ENI dimension table",
