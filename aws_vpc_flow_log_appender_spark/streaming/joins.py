@@ -19,14 +19,24 @@ def stream_stream_interval_join(events: DataFrame,
                                 left_type: str = "click",
                                 right_type: str = "purchase",
                                 interval: str = "1 hour",
-                                watermark: str = "10 minutes") -> DataFrame:
+                                watermark: str = "10 minutes",
+                                how: str = "inner") -> DataFrame:
     """Correlate ``left_type`` -> ``right_type`` events per user where the
     right event lands within ``interval`` after the left one.
 
-    Both sides carry a watermark (required for stream-stream inner joins so
+    Both sides carry a watermark (required for stream-stream joins so
     either side's state can be evicted) and the join condition includes the
     event-time interval — the two ingredients Spark needs to bound state.
     The equi-key (user_id) drives the shuffle; the time bound is a residual.
+
+    ``how='left_outer'`` adds the second stream-stream semantics class: a
+    left row that finds NO match is emitted with NULL right columns — but
+    only once the watermark PROVES no match can still arrive (passes
+    c_ts + interval), because emitting earlier could contradict a late
+    match. Consequence pinned in tests/test_streaming_epochs.py: unmatched
+    rows whose no-match proof the final watermark never reaches are NOT
+    emitted at all — outer results are eventually-complete per the
+    watermark contract, not run-complete.
     """
     left = (
         events.filter(F.col("event_type") == left_type)
@@ -52,6 +62,7 @@ def stream_stream_interval_join(events: DataFrame,
             (F.col("user_id") == F.col("p_user"))
             & (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {interval}")),
+            how,
         )
         .select(
             "click_id",

@@ -556,3 +556,63 @@ def test_flagship_stream_appends_each_epoch_exactly_once(spark, tmp_path):
                        for rows in epochs.values() for r in rows)
     batch_ms = sorted((r["recordId"], r["action"]) for r in batch)
     assert stream_ms == batch_ms
+
+
+def test_stream_stream_left_outer_null_emission_is_watermark_gated(spark):
+    """The second stream-stream semantics class (left_outer): an unmatched
+    left row is emitted with NULL right columns ONLY once the watermark
+    proves no match can still arrive (passes c_ts + interval), and a row
+    whose proof the final watermark never reaches is NOT emitted at all —
+    outer results are eventually-complete per the watermark contract, not
+    run-complete.
+
+    Fixture (slices ascending by mtime, one per micro-batch; interval 1h,
+    watermark 10min):
+     - slice 0: u1 click T0 + matching purchase T0+30m (inner pair);
+       u2 click T0 with NO purchase (no-match bound T0+1h);
+       u3 click T0+3h with NO purchase (bound T0+4h — never provable).
+     - slice 1: lone purchase T0+10h (right-side watermark advancer;
+       after this batch the global watermark is min(left, right) =
+       T0+3h - 10min, past u2's bound, short of u3's).
+     - slice 2: lone purchase T0+10h+1m (a batch must RUN under the
+       advanced watermark for eviction/emission to happen — watermarks
+       take effect one batch after the data that moved them).
+    Expected: exactly {u1 matched pair, u2 NULL-padded}; u3 withheld;
+    unmatched right rows never preserved (left join)."""
+    from aws_vpc_flow_log_appender_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+    from aws_vpc_flow_log_appender_spark.streaming.queries import (
+        _run_sliced_stream,
+    )
+
+    T0 = BASE_US
+    MIN = 60_000_000
+    rows = [
+        # (event_id, user_id, event_type, ts_us, epoch)
+        (1, 1, "click", T0, 0),
+        (2, 1, "purchase", T0 + 30 * MIN, 0),
+        (3, 2, "click", T0, 0),
+        (4, 3, "click", T0 + 180 * MIN, 0),
+        (5, 99, "purchase", T0 + 600 * MIN, 1),
+        (6, 99, "purchase", T0 + 601 * MIN, 2),
+    ]
+    staged = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts_us long, epoch int"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("ts_us").alias("ts"), "epoch",
+    )
+
+    out = _run_sliced_stream(
+        spark, staged, "epoch", 3,
+        lambda s: stream_stream_interval_join(s, how="left_outer"),
+        "test_ssj_outer",
+    ).collect()
+
+    got = {(r["click_id"], r["purchase_id"], r["gap_us"]) for r in out}
+    assert got == {
+        (1, 2, 30 * MIN),   # inner match, gap 30min
+        (3, None, None),    # u2: no-match proven by the final watermark
+    }, got
