@@ -180,7 +180,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_ivfpq_topk",
     "sim_recall_eval",
     "sample_dedup_weights",
-    "dedup_clusters",
+    "stream_interval_join_outer",
     "agg_kmv_set_intersection",
     "text_tfidf_top_terms",
     "text_unigram_logprob",

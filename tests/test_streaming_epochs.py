@@ -570,15 +570,18 @@ def test_stream_stream_left_outer_null_emission_is_watermark_gated(spark):
     watermark 10min):
      - slice 0: u1 click T0 + matching purchase T0+30m (inner pair);
        u2 click T0 with NO purchase (no-match bound T0+1h);
-       u3 click T0+3h with NO purchase (bound T0+4h — never provable).
-     - slice 1: lone purchase T0+10h (right-side watermark advancer;
-       after this batch the global watermark is min(left, right) =
-       T0+3h - 10min, past u2's bound, short of u3's).
-     - slice 2: lone purchase T0+10h+1m (a batch must RUN under the
-       advanced watermark for eviction/emission to happen — watermarks
-       take effect one batch after the data that moved them).
-    Expected: exactly {u1 matched pair, u2 NULL-padded}; u3 withheld;
-    unmatched right rows never preserved (left join)."""
+       u3 click T0+3h with NO purchase (bound T0+4h).
+     - slices 1-2: lone purchases at T0+10h / T0+10h+1m — they advance
+       only the RIGHT column watermark; the LEFT column watermark (each
+       branch's withWatermark sits after its type filter) tops out at
+       max click ts - 10min = T0+2h50m, and the eviction watermark is the
+       min of the two columns. u2's bound sits below it, u3's above.
+    Expected: exactly {u1 matched pair, u2 NULL-padded}; u3 withheld
+    because the PER-COLUMN-MIN final watermark never reaches its bound
+    (availableNow's trailing cleanup batch applies the final watermark,
+    pinned quantitatively by stream_interval_join_outer's oracle at
+    sf0.001 — so the lag alone would not have protected u3); unmatched
+    right rows never preserved (left join)."""
     from aws_vpc_flow_log_appender_spark.streaming.joins import (
         stream_stream_interval_join,
     )
