@@ -126,3 +126,86 @@ def test_hash32_split_matches_reference_md5(spark, keys):
     }
     for k in keys:
         assert got[k] == reference(k, "split"), repr(k)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "cat", "dog", "x y", "ü"]),
+                min_size=1, max_size=60))
+def test_countmin_matches_reference_and_is_one_sided(spark, toks):
+    """The count-min bucket/accumulate math must equal a from-scratch
+    pure-Python sketch for ARBITRARY token multisets (tiny alphabet so the
+    same token recurs and cells accumulate), and every estimate must sit at
+    or above its true count — the one-sided guarantee as a property, not a
+    fixture fact."""
+    import hashlib
+    from collections import Counter
+
+    from aws_vpc_flow_log_appender_spark.ext.sketches import (
+        _CM_D,
+        _CM_W,
+        _cm_bucket_spark,
+    )
+
+    true = Counter(toks)
+    cells: Counter = Counter()
+    for tok, n in true.items():
+        for j in range(_CM_D):
+            b = int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:8], 16) % _CM_W
+            cells[(j, b)] += n
+    ref_est = {
+        tok: min(
+            cells[(j, int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:8], 16) % _CM_W)]
+            for j in range(_CM_D)
+        )
+        for tok in true
+    }
+
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    tc = df.groupBy("tok").agg(F.count("*").alias("true_count"))
+    js = spark.range(_CM_D).select(F.col("id").alias("j"))
+    hb = tc.crossJoin(F.broadcast(js)).withColumn(
+        "bucket", _cm_bucket_spark(F.col("j"), F.col("tok"))
+    )
+    sk = hb.groupBy("j", "bucket").agg(F.sum("true_count").alias("cnt"))
+    got = {
+        r["tok"]: r["est"]
+        for r in hb.join(sk, ["j", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    }
+    for tok, n in true.items():
+        assert got[tok] == ref_est[tok], (tok, got[tok], ref_est[tok])
+        assert got[tok] >= n
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=12), min_size=8, max_size=80))
+def test_kmv_order_statistic_matches_reference(spark, elems):
+    """The KMV 48-bit hash and k-th-smallest order statistic must equal a
+    pure-Python reimplementation for arbitrary unicode element sets (k
+    scaled to the set so the statistic always exists) — the estimator is
+    only as portable as this hash slice and this rank."""
+    import hashlib
+
+    k = min(8, len(elems))
+    ref_hashes = sorted(
+        int(hashlib.md5(e.encode("utf-8")).hexdigest()[:12], 16) for e in elems
+    )
+    # distinct hashes: collisions collapse, mirroring the engine's distinct
+    ref_kth = sorted(set(ref_hashes))[k - 1]
+
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame([(e,) for e in elems], ["elem"])
+    dh = df.select(
+        F.conv(F.substring(F.md5(F.encode("elem", "utf-8")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    got_kth = (
+        dh.withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rn") == k)
+        .collect()[0]["h"]
+    )
+    assert got_kth == ref_kth
