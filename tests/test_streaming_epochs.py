@@ -619,3 +619,108 @@ def test_stream_stream_left_outer_null_emission_is_watermark_gated(spark):
         (1, 2, 30 * MIN),   # inner match, gap 30min
         (3, None, None),    # u2: no-match proven by the final watermark
     }, got
+
+
+def test_stream_stream_join_restart_recovers_join_state(spark, tmp_path):
+    """Mid-stream restart for SYMMETRIC JOIN state: run the interval join
+    over a prefix holding an UNMATCHED click, stop, deliver the matching
+    purchase in new files, resume from the same checkpoint. The
+    cross-restart pair can only exist if the click's row was restored from
+    the checkpointed join state store — re-reading input would re-emit the
+    run-1 pair too, and losing state would drop the run-2 pair. Must hold:
+    batch ids continue (no epoch re-executed), every pair emitted exactly
+    once across both runs, and the union equals the batch interval join."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+    MIN = 60_000_000
+
+    def mk(i, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts_us long"
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros("ts_us").alias("ts"),
+        )
+        p = str(src / f"slice_{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for name in os.listdir(p):
+            os.utime(os.path.join(p, name), (now - 600 + i * 100,) * 2)
+        os.utime(p, (now - 600 + i * 100,) * 2)
+
+    def run():
+        from aws_vpc_flow_log_appender_spark.streaming.joins import (
+            stream_stream_interval_join,
+        )
+
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/slice_*.parquet")
+        )
+        out = stream_stream_interval_join(stream)
+        emitted: list[tuple] = []
+        batch_ids: list[int] = []
+
+        def capture(df, epoch_id: int) -> None:
+            batch_ids.append(epoch_id)
+            emitted.extend(
+                (r["click_id"], r["purchase_id"]) for r in df.collect()
+            )
+
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(capture)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+        return emitted, batch_ids
+
+    T0 = BASE_US
+    # run 1: u1 and u2 click; only u1's purchase arrives -> one pair,
+    # u2's click sits UNMATCHED in the state store when the query stops
+    mk(0, [(1, 1, "click", T0), (2, 2, "click", T0)])
+    mk(1, [(3, 1, "purchase", T0 + 30 * MIN)])
+    pairs1, ids1 = run()
+    assert pairs1 == [(1, 3)]
+
+    # files arriving while the query is down: u2's match (within its hour)
+    # and a far-future watermark advancer
+    mk(2, [(4, 2, "purchase", T0 + 40 * MIN)])
+    mk(3, [(5, 99, "purchase", T0 + 600 * MIN)])
+
+    pairs2, ids2 = run()
+    assert min(ids2) > max(ids1), "resumed run re-executed old epochs"
+    assert pairs2 == [(2, 4)], (
+        "cross-restart pair missing or duplicated — join state was not "
+        f"restored from the checkpoint: {pairs2}"
+    )
+    # union across runs == the batch interval join, each pair exactly once
+    all_rows = spark.read.parquet(str(src) + "/slice_*.parquet")
+    c = all_rows.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = all_rows.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch_pairs = {
+        (r["cid"], r["pid"])
+        for r in c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert set(pairs1) | set(pairs2) == batch_pairs == {(1, 3), (2, 4)}
