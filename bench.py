@@ -63,6 +63,12 @@ HEADLINE = [
     "ts_ewma",
     "text_entropy_by_source",
     "multimodal_bmp_decode",
+    # session-4 additions (r6): the sketch family and the BFS primitive —
+    # cheap queries, added for longitudinal visibility; absent from r5-era
+    # artifacts, so the A/B gate simply has no ref number for them
+    "agg_countmin_heavy_hitters",
+    "agg_kmv_distinct",
+    "graph_shortest_paths",
 ]
 
 
@@ -105,9 +111,20 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # queries added to the headline set AFTER the r5 artifacts were captured:
+    # excluded from `value_r5_set` so the longitudinal total stays
+    # apples-to-apples (the full `value` includes them; the A/B gate keys on
+    # per-query numbers and ignores names absent from the reference artifact)
+    post_r5 = {
+        "agg_countmin_heavy_hitters", "agg_kmv_distinct",
+        "graph_shortest_paths",
+    }
     result = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
+        "value_r5_set": round(
+            sum(v for k, v in timings.items() if k not in post_r5), 3
+        ),
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
