@@ -189,17 +189,27 @@ def dedup_exact(spark, sf_dir):
     the exact bug the streaming twin (streaming/dedup.py) documents and
     guards; the batch operator and its oracle now share the same contract
     (code-review r6). text_hash itself stays NULL for NULL text, so the
-    dead-letterable rows remain identifiable."""
+    dead-letterable rows remain identifiable.
+
+    The per-doc fallback is a SECOND partition column (doc_id where text is
+    NULL, constant 0 elsewhere), not a string rebuild of the key: grouping
+    is identical to the oracle's CASE key — non-NULL rows group by (h, 0),
+    each NULL row is alone in (NULL, doc_id) — but the window hash never
+    concatenates strings per row (the r6 session-4 A/B gate measured the
+    concat form's min-of-24 at 1.25x round-start while medians were equal;
+    this keeps the NULL contract at the old key cost)."""
     d = load(spark, sf_dir, "documents")
     h = F.md5(F.encode("text", "utf-8"))
-    key = F.when(
-        F.col("text").isNotNull(), h
-    ).otherwise(F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
+    nullkey = F.when(F.col("text").isNull(), F.col("doc_id")).otherwise(
+        F.lit(0).cast("long")
+    )
     return d.select(
         "doc_id",
         h.alias("text_hash"),
-        F.row_number().over(W.partitionBy(key).orderBy("doc_id")).alias("dup_rank"),
-        F.count("*").over(W.partitionBy(key)).alias("group_size"),
+        F.row_number().over(
+            W.partitionBy(h, nullkey).orderBy("doc_id")
+        ).alias("dup_rank"),
+        F.count("*").over(W.partitionBy(h, nullkey)).alias("group_size"),
     )
 
 

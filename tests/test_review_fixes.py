@@ -155,3 +155,35 @@ def test_stream_sink_retention_is_bounded(spark, tmp_path):
         sq._track_sink(f"pusher_{i}")
     assert not os.path.exists(orphan)
     sq._sweep_sinks()
+
+
+def test_dedup_exact_null_texts_never_collapse(spark, tmp_path):
+    """The NULL-text contract of batch dedup_exact (shared with
+    streaming/dedup.py): md5(NULL) is NULL and window partitioning groups
+    NULLs together, so without the per-doc fallback every NULL-text doc
+    would merge into one survivor group. Pinned on a constructed corpus
+    because the fixture tables carry no NULL text — and re-pinned for the
+    two-column partition key (r6 session 4), whose grouping must stay
+    identical to the oracle's CASE key."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import dedup_exact
+
+    rows = [
+        (1, "same text", "en", "web", 9),
+        (2, "same text", "en", "web", 9),
+        (3, None, "en", "web", 0),
+        (4, None, "en", "web", 0),
+        (5, "other", "en", "web", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in dedup_exact(spark, str(tmp_path)).collect()}
+    # duplicate texts collapse: doc 1 keeps, doc 2 ranks 2, group of 2
+    assert (out[1]["dup_rank"], out[1]["group_size"]) == (1, 2)
+    assert (out[2]["dup_rank"], out[2]["group_size"]) == (2, 2)
+    # NULL texts NEVER collapse: each is rank 1 in a group of 1, hash NULL
+    for d in (3, 4):
+        assert (out[d]["dup_rank"], out[d]["group_size"]) == (1, 1), out[d]
+        assert out[d]["text_hash"] is None
+    assert (out[5]["dup_rank"], out[5]["group_size"]) == (1, 1)
