@@ -33,6 +33,14 @@ def main() -> int:
 
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     json_out = sys.argv[2] if len(sys.argv) > 2 else None
+    # local mode shares one JVM between driver and all 32 executor threads,
+    # so the 100x run's retained localCheckpoint blocks (187M exact pairs in
+    # the saturated section) plus shuffle buffers outgrow the 16g default —
+    # a test-rig artifact, not an engine property (a real cluster holds these
+    # blocks across executors). Session-4 run at 16g OOMed in the CC section;
+    # size the single JVM to the multiplier unless the caller already did.
+    if mult >= 50 and "SPARK_DRIVER_MEMORY" not in os.environ:
+        os.environ["SPARK_DRIVER_MEMORY"] = "48g"
     artifact: dict = {"mult": mult, "sf_dir": SF_DIR}
     spark = get_spark("scale_smoke")
 
