@@ -1010,6 +1010,24 @@ FROM cusum c JOIN counts t ON c.key = t.key AND c.rn = t.n_rows
 """
 
 
+def cusum_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (seq, interface-id, bytes) stream the CUSUM queries fold: the
+    first ``_CUSUM_SEQ_LIMIT`` events' byte counts, keyed by the same
+    user_id->ENI mapping ``synth_flow_lines`` uses. Shared by the batch
+    query below and ``streaming/queries.stream_cusum_drift`` so both
+    execution modes fold the IDENTICAL logical stream against the one
+    CUSUM_ORACLE contract."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _CUSUM_SEQ_LIMIT)
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _ENI_IDS]),
+            (F.col("user_id") % _N_ENI + 1).cast("int"),
+        ).alias("interface-id"),
+        (40 + (F.col("event_id") * 97) % 100000).alias("bytes"),
+    )
+
+
 @query("flowlog_cusum_drift", oracle=CUSUM_ORACLE, tags=("flowlog", "stateful", "security"))
 def flowlog_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-interface CUSUM change-point statistics over the first
@@ -1025,16 +1043,7 @@ def flowlog_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DuckDB recursive CTE, which is why the seq limit exists: the CTE
     advances every key one row per iteration, so recursion depth equals the
     deepest key's row count."""
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _CUSUM_SEQ_LIMIT)
-    flows = ev.select(
-        F.col("event_id").alias("seq"),
-        F.element_at(
-            F.array(*[F.lit(x) for x in _ENI_IDS]),
-            (F.col("user_id") % _N_ENI + 1).cast("int"),
-        ).alias("interface-id"),
-        (40 + (F.col("event_id") * 97) % 100000).alias("bytes"),
-    )
-    return cusum_drift_batch(flows)
+    return cusum_drift_batch(cusum_flows(spark, sf_dir))
 
 
 # seed on an eid%4==1 slot: PRIVATE index 0 rows are exactly the REJECT

@@ -13,15 +13,23 @@ query run back-to-back inside one warm JVM; min-of-N strips GC pauses and
 one-off scheduling stalls, which at sf0.1 are the same order as the queries
 themselves.
 
-Self-adjudication (VERDICT_r05 "Next round #3"): the artifact now carries
+Self-adjudication (VERDICT_r05 "Next round #3"): the full record carries
 `loadavg` — os.getloadavg() sampled at start and end — and `trials`, the RAW
 per-trial wall times for every query, so a reviewer can attribute a slow
 total to host contention (load >> nproc-share, fat spreads, sign-flipping
-deltas) straight from the JSON instead of re-running. The r5 20.18 s artifact
-was exonerated only by the judge's own interleaved A/B; this closes that gap
-at the source. The perf gate is A/B-stated: any query whose captured min
-exceeds 1.25x its round-start number gets an interleaved tools/ab_bench.py
-run (AB_rN.json) before being called a regression.
+deltas) straight from the JSON instead of re-running. The perf gate is
+A/B-stated: any query whose captured min exceeds 1.25x its round-start
+number gets an interleaved tools/ab_bench.py run (AB_rN.json) before being
+called a regression.
+
+Output split (VERDICT_r06 "Next round #1"): at 28 queries the single stdout
+line with trials/spread/loadavg outgrew the driver's tail-capture window and
+BENCH_r06.json landed `parsed: null`. Stdout now carries ONE COMPACT final
+line (metric/value/value_r5_set/unit/queries/sf — per-query MINS only, ~1 KB)
+that the driver can always parse; the FULL self-adjudication record
+(trials/spread/loadavg/errors) is written to $SPARK_GRAFT_BENCH_FULL_OUT
+(default <repo>/BENCH_full.json) and committed per-round as
+BENCH_local_r{N}*.json. tools/ab_gate.py reads either form.
 """
 
 from __future__ import annotations
@@ -119,7 +127,7 @@ def main() -> None:
         "agg_countmin_heavy_hitters", "agg_kmv_distinct",
         "graph_shortest_paths",
     }
-    result = {
+    compact = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "value_r5_set": round(
@@ -127,18 +135,29 @@ def main() -> None:
         ),
         "unit": "sec",
         "queries": timings,
-        "spread": spreads,
-        "trials": raw_trials,
-        "loadavg": {
+        "sf": sf_val,
+    }
+    if errors:
+        compact["errors"] = errors
+    full = dict(compact)
+    full.update(
+        spread=spreads,
+        trials=raw_trials,
+        loadavg={
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in load_end],
             "nproc": os.cpu_count(),
         },
-        "sf": sf_val,
-    }
-    if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+    )
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+    )
+    with open(full_out, "w") as f:
+        json.dump(full, f, indent=2)
+    print(f"bench: full self-adjudication record -> {full_out}", file=sys.stderr)
+    # the compact line MUST be the last stdout line (driver tail-capture)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
