@@ -75,9 +75,10 @@ def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _minhash_pairs_for = dedup_mod._minhash_pairs_for
 
 
-@query(
-    "corpus_curation_pipeline",
-    oracle=f"""
+# The lexical curation chain as DuckDB CTEs (gated -> exact_kept -> LSH
+# pairs -> recursive closure -> survivors) — shared verbatim by the two
+# capstone oracles below.
+_CURATION_CTES = f"""
     WITH RECURSIVE gated AS (
       SELECT * FROM documents WHERE {_SQL_QUALITY_GATE}
     ),
@@ -113,7 +114,12 @@ _minhash_pairs_for = dedup_mod._minhash_pairs_for
       SELECT e.doc_id, e.lang, e.n_chars
       FROM exact_kept e LEFT JOIN clusters c ON e.doc_id = c.doc_id
       WHERE c.cluster_id IS NULL OR c.cluster_id = e.doc_id
-    )
+    )"""
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=_CURATION_CTES + """
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -131,4 +137,86 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _semantic_capstone_oracle() -> str:
+    """The full modern curation stack in one statement: the lexical chain's
+    CTEs, then the surviving docs' embeddings re-seed the unrolled k-means
+    training (src='semsrc' — the codebook is trained on what SURVIVED
+    lexical dedup, exactly as a real pipeline orders the stages), then the
+    SemDeDup decision, then per-language stats of both stages."""
+    from .similarity import _km_oracle_train_parts, _semantic_decision_ctes
+
+    parts = [_CURATION_CTES]
+    parts.append("""
+    , semsrc AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN survivors s ON e.vec_id = s.doc_id
+    )""")
+    parts.extend(_km_oracle_train_parts(src="semsrc", with_prefix=False))
+    parts.append(_semantic_decision_ctes(spark_dialect=False))
+    parts.append("""
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS n_docs_lexical,
+           CAST(sum(d.kept) AS BIGINT) AS n_docs_final,
+           CAST(sum(CASE WHEN d.kept = 1 THEN s.n_chars ELSE 0 END) AS BIGINT)
+             AS total_chars_final,
+           CAST(min(CASE WHEN d.kept = 1 THEN s.doc_id END) AS BIGINT)
+             AS first_kept_doc
+    FROM survivors s JOIN semdecision d ON d.vec_id = s.doc_id
+    GROUP BY s.lang
+    """)
+    return "".join(parts)
+
+
+@query(
+    "corpus_curation_semantic",
+    oracle=_semantic_capstone_oracle(),
+    tags=("curation", "capstone", "semantic", "kmeans", "dedup"),
+)
+def corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation stack, composed and hash-verified end to
+    end: quality gate -> exact dedup -> MinHash-LSH near-dup clusters ->
+    one representative per cluster -> SEMANTIC prune of the survivors
+    (dedup_semantic's trained-quantizer SemDeDup, re-trained on exactly
+    the lexical survivors' embeddings — the stage order a real pipeline
+    runs, since semantic pruning after lexical dedup is what SemDeDup
+    prescribes). Output is the per-language before/after ledger: lexical
+    survivor count, final count after semantic pruning, surviving bytes,
+    and the first kept doc as a determinism witness.
+
+    Composition shape at 100 TB: every stage is the independently-proven
+    bucketed piece (hash dedup: one shuffle; LSH: banded pair join; CC:
+    pointer-jumping; SemDeDup: broadcast-codebook training + per-cell
+    pair join), glued by one doc_id equi-join into the embeddings table —
+    co-partitionable end to end. The k-means seeds (KM_K smallest
+    surviving vec_ids) make the trained codebook a pure function of the
+    survivor set, so the whole five-stage composition is deterministic
+    and the oracle replays it in one SQL statement."""
+    from .dedup import _sql_over
+    from .similarity import _km_train_parts_spark, _semantic_decision_ctes
+
+    surv = curate(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    efilt = e.join(
+        surv.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    parts = _km_train_parts_spark()
+    parts.append(_semantic_decision_ctes(spark_dialect=True))
+    parts.append(
+        "SELECT vec_id, cluster_id, kept, max_closer_sim FROM semdecision"
+    )
+    sem = _sql_over(efilt, "semcur", "".join(parts))
+    kept_chars = F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(F.lit(0))
+    kept_doc = F.when(F.col("kept") == 1, F.col("doc_id"))
+    return (
+        surv.join(sem, surv.doc_id == sem.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_lexical"),
+            F.sum("kept").cast("long").alias("n_docs_final"),
+            F.sum(kept_chars).cast("long").alias("total_chars_final"),
+            F.min(kept_doc).cast("long").alias("first_kept_doc"),
+        )
     )

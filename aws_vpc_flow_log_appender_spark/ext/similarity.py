@@ -835,15 +835,20 @@ def _km_update_sql(i: int) -> str:
     c{i + 1} AS (SELECT cid, list(m ORDER BY p) AS c FROM ce{i} GROUP BY cid)"""
 
 
-def _km_oracle_train_parts() -> list[str]:
+def _km_oracle_train_parts(src: str = "embeddings",
+                           with_prefix: bool = True) -> list[str]:
     """The unrolled DuckDB training prefix through the final assignment
     ``a{KM_ITERS}`` — shared by the sim_kmeans_cells oracle (which reports
     per-cell stats) and the sim_ivf_trained_topk oracle (which searches
-    within the trained cells)."""
+    within the trained cells). ``src`` is the (vec_id, embedding) relation
+    to train over (a CTE name for composed pipelines);
+    ``with_prefix=False`` emits continuation CTEs (leading comma) so the
+    chain can follow an existing WITH list."""
+    head = "WITH " if with_prefix else ","
     parts = [f"""
-    WITH vecs AS (
+    {head}vecs AS (
       SELECT vec_id, v, list_dot_product(v, v) AS vv
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})
     ),
     pos AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS p),
     c0 AS (
@@ -2008,15 +2013,17 @@ def sim_rerank_recall_eval(spark, sf_dir):
 SEMDEDUP_TAU = 0.35
 
 
-def _semantic_tail_sql(spark_dialect: bool) -> str:
-    """The SemDeDup decision appended to the unrolled k-means training
-    prefix — same text on both engines modulo the dot-product spelling and
-    Spark's D-suffixed double literals. ``mem`` ranks each cell's members
-    by centroid distance on the scaled-integer grid; a member is DROPPED
-    iff some STRICTLY CLOSER member (d_i, vec_id lexicographic — the total
-    order both engines share) has rounded cosine >= SEMDEDUP_TAU with it,
-    so every duplicate group keeps exactly its centroid-closest
-    representative and the decision needs no iteration."""
+def _semantic_decision_ctes(spark_dialect: bool) -> str:
+    """The SemDeDup decision as continuation CTEs after the unrolled
+    k-means training prefix — same text on both engines modulo the
+    dot-product spelling and Spark's D-suffixed double literals. ``mem``
+    ranks each cell's members by centroid distance on the scaled-integer
+    grid; a member is DROPPED iff some STRICTLY CLOSER member (d_i, vec_id
+    lexicographic — the total order both engines share) has rounded cosine
+    >= SEMDEDUP_TAU with it, so every duplicate group keeps exactly its
+    centroid-closest representative and the decision needs no iteration.
+    Exposes ``semdecision`` (vec_id, cluster_id, kept, max_closer_sim) for
+    the standalone query and the curation capstone alike."""
     fin = KM_ITERS
     d = "D" if spark_dialect else ""
     dot = (_km_dot_sql("x.v", "y.v") if spark_dialect
@@ -2029,16 +2036,28 @@ def _semantic_tail_sql(spark_dialect: bool) -> str:
       SELECT a.vec_id, a.cid, a.v, v2.vv,
              CAST(floor(a.d * {KM_SCALE}{d} + 0.5{d}) AS BIGINT) AS d_i
       FROM a{fin} a JOIN vecs v2 ON v2.vec_id = a.vec_id
-    )
-    SELECT x.vec_id, x.cid AS cluster_id,
-           CAST(CASE WHEN max({cosr}) >= {SEMDEDUP_TAU}{d} THEN 0 ELSE 1 END
-                AS {int_t}) AS kept,
-           max({cosr}) AS max_closer_sim
-    FROM mem x LEFT JOIN mem y
-      ON y.cid = x.cid
-     AND (y.d_i < x.d_i OR (y.d_i = x.d_i AND y.vec_id < x.vec_id))
-    GROUP BY x.vec_id, x.cid
+    ),
+    semdecision AS (
+      SELECT x.vec_id, x.cid AS cluster_id,
+             CAST(CASE WHEN max({cosr}) >= {SEMDEDUP_TAU}{d} THEN 0 ELSE 1 END
+                  AS {int_t}) AS kept,
+             max({cosr}) AS max_closer_sim
+      FROM mem x LEFT JOIN mem y
+        ON y.cid = x.cid
+       AND (y.d_i < x.d_i OR (y.d_i = x.d_i AND y.vec_id < x.vec_id))
+      GROUP BY x.vec_id, x.cid
+    )"""
+
+
+def _semantic_tail_sql(spark_dialect: bool) -> str:
+    """The standalone dedup_semantic tail: decision CTEs + full audit
+    projection."""
+    return (
+        _semantic_decision_ctes(spark_dialect)
+        + """
+    SELECT vec_id, cluster_id, kept, max_closer_sim FROM semdecision
     """
+    )
 
 
 def _semantic_oracle_sql() -> str:

@@ -462,6 +462,7 @@ _BROADCAST_BOUNDS = {
     ("ext/similarity.py", "eval_set"): "eval suite (bounded by definition)",
     ("ext/similarity.py", "lut"): "ADC lookup, query-batch x PQ_M x PQ_K rows",
     ("ext/similarity.py", "p_tbl"): "probe x ADC LUT, query-batch x N_PROBE x PQ_M x PQ_K rows",
+    ("ext/similarity.py", "cand"): "re-rank candidate pairs, query-batch x RERANK_C rows",
     ("ext/sampling.py", "tot"): "1-row total",
     ("ext/sampling.py", "n_min"): "1-row min-count scalar",
     ("ext/sampling.py", "mx"): "1-row max scalar",
