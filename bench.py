@@ -77,6 +77,12 @@ HEADLINE = [
     "agg_countmin_heavy_hitters",
     "agg_kmv_distinct",
     "graph_shortest_paths",
+    # r7 additions: the two-stage ANN, the semantic dedup pair, and the
+    # shard manifest — same longitudinal-visibility rationale
+    "sim_ivfpq_rerank_topk",
+    "dedup_semantic",
+    "corpus_curation_semantic",
+    "text_shard_manifest",
 ]
 
 
@@ -126,6 +132,8 @@ def main() -> None:
     post_r5 = {
         "agg_countmin_heavy_hitters", "agg_kmv_distinct",
         "graph_shortest_paths",
+        "sim_ivfpq_rerank_topk", "dedup_semantic",
+        "corpus_curation_semantic", "text_shard_manifest",
     }
     compact = {
         "metric": "headline_queries_total_runtime",
