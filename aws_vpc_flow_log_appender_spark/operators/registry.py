@@ -48,7 +48,11 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    birth-round driver row: stream_cusum_drift (applyInPandasWithState
 #    CUSUM), sim_ivfpq_rerank_topk + sim_rerank_recall_eval (two-stage
 #    retrieval), dedup_semantic (SemDeDup), corpus_curation_semantic
-#    (five-stage capstone), text_shard_manifest (handoff manifest).
+#    (five-stage capstone), text_shard_manifest (handoff manifest),
+#    stream_running_totals (durable per-key counters — added after the
+#    first rotation draft; it displaces sort_limit_offset from the stale
+#    fill, whose sort/limit path stays witnessed through retained
+#    sort_limit_topk; sort_limit_offset joins the four r8 leaders).
 #  - slots 7-17: every query whose code path CHANGED this round:
 #    flowlog_cusum_drift (cusum_flows factor-out), the four
 #    _run_sliced_stream consumers (output_mode parameter): stream_interval_
@@ -190,6 +194,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_semantic",
     "corpus_curation_semantic",
     "text_shard_manifest",
+    "stream_running_totals",
     # --- code path changed this round ---
     "flowlog_cusum_drift",
     "stream_interval_join",
@@ -220,7 +225,6 @@ PRIORITY_ORDER: list[str] = [
     "set_intersect",
     "set_union_all_tagged",
     "sim_bruteforce_topk",
-    "sort_limit_offset",
     "sort_limit_topk",
     "text_edit_distance",
     "text_fingerprint",

@@ -33,9 +33,9 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (9 stream queries as of stream_cusum_drift -> retain 18.)
+# (10 stream queries as of stream_running_totals -> retain 20.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 18
+_SINK_RETAIN = 20
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -684,14 +684,63 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_running_totals",
+    # oracle assigned below (needs flagship's ENI-key SQL — deferred import)
+    oracle=None,
+    tags=("streaming", "stateful", "counters"),
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference decorator's per-batch counters (decorator/
+    index.js:208-232) upgraded to DURABLE per-key state and driver-proven:
+    running byte/flow totals accumulated across four real micro-batches by
+    ``stateful.running_totals_stream`` (applyInPandasWithState), final
+    state per key hash-checked against the one-line batch aggregate.
+
+    Same staging and proof shape as stream_cusum_drift (shared
+    ``cusum_flows`` source, update mode, max-n_flows final row): if state
+    were reset between micro-batches the final n_flows would be one
+    slice's count, so hash-green certifies the cross-batch accumulation.
+    Unlike CUSUM the fold is order-free, so the oracle is a plain GROUP
+    BY — this row pins the STATE mechanics, the cusum row pins ordered
+    recurrence on top of them."""
+    from pyspark.sql import Window as W
+
+    from ..flagship import cusum_flows
+    from .stateful import running_totals_stream
+
+    flows = cusum_flows(spark, sf_dir)
+    staged = flows.withColumn(
+        "slice", (F.ntile(4).over(W.orderBy("seq")) - 1).cast("int")
+    )
+    sink = _run_sliced_stream(
+        spark, staged, "slice", 4, running_totals_stream,
+        "stream_running_totals", output_mode="update",
+    )
+    w = W.partitionBy("key").orderBy(F.col("n_flows").desc())
+    return (
+        sink.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("key", "total_bytes", "n_flows")
+    )
+
+
 # The streaming flagship shares the batch flagship's oracle VERBATIM — one
 # contract, two execution modes. Imported at module bottom because flagship's
 # import chain loads the streaming package __init__ (transform_state).
+from ..flagship import _CUSUM_KEY_SQL, _CUSUM_SEQ_LIMIT  # noqa: E402
 from ..flagship import CUSUM_ORACLE as _CUSUM_ORACLE  # noqa: E402
 from ..flagship import FLAGSHIP_ORACLE as _FLAGSHIP_ORACLE  # noqa: E402
 
 QUERY_REGISTRY["stream_flowlog_enrich"].oracle = _FLAGSHIP_ORACLE
 QUERY_REGISTRY["stream_cusum_drift"].oracle = _CUSUM_ORACLE
+QUERY_REGISTRY["stream_running_totals"].oracle = f"""
+    SELECT {_CUSUM_KEY_SQL} AS key,
+           CAST(sum(40 + (event_id * 97) % 100000) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_flows
+    FROM events WHERE event_id < {_CUSUM_SEQ_LIMIT}
+    GROUP BY 1
+"""
 
 
 from ..ext.dedup import (  # noqa: E402  (oracle shares the batch sketch SQL)
