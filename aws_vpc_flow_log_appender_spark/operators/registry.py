@@ -52,7 +52,11 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    stream_running_totals (durable per-key counters — added after the
 #    first rotation draft; it displaces sort_limit_offset from the stale
 #    fill, whose sort/limit path stays witnessed through retained
-#    sort_limit_topk; sort_limit_offset joins the four r8 leaders).
+#    sort_limit_topk; sort_limit_offset joins the four r8 leaders), and
+#    stream_sliding_window (completes the streaming window trio; it
+#    displaces set_distinct_union, whose setops path stays witnessed
+#    through retained set_except / set_intersect / set_union_all_tagged —
+#    it too joins the r8 leaders).
 #  - slots 7-17: every query whose code path CHANGED this round:
 #    flowlog_cusum_drift (cusum_flows factor-out), the four
 #    _run_sliced_stream consumers (output_mode parameter): stream_interval_
@@ -195,6 +199,7 @@ PRIORITY_ORDER: list[str] = [
     "corpus_curation_semantic",
     "text_shard_manifest",
     "stream_running_totals",
+    "stream_sliding_window",
     # --- code path changed this round ---
     "flowlog_cusum_drift",
     "stream_interval_join",
@@ -220,7 +225,6 @@ PRIORITY_ORDER: list[str] = [
     "flowlog_traffic_by_direction",
     "multimodal_binary_stats",
     "scalar_try_cast",
-    "set_distinct_union",
     "set_except",
     "set_intersect",
     "set_union_all_tagged",

@@ -33,9 +33,9 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (10 stream queries as of stream_running_totals -> retain 20.)
+# (11 stream queries as of stream_sliding_window -> retain 22.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 20
+_SINK_RETAIN = 22
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -324,6 +324,58 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _run_stream_to_sink(
         spark, events, build, "append", "stream_session_window"
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT e.*,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k.k * 1800 AS window_start
+      FROM events e, (VALUES (0), (1)) AS k(k)
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+    FROM slid
+    WHERE epoch(ts) >= window_start AND epoch(ts) < window_start + 3600
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows as a stream — completes the streaming window trio
+    (tumbling and session are r6 driver rows): 1-hour windows sliding
+    every 30 minutes, so each event feeds TWO open windows and the
+    stateful aggregation maintains overlapping groups — the assignment
+    fan-out tumbling windows never exercise. Complete output mode against
+    the SAME DuckDB oracle as the batch ts_sliding_window (which models
+    the fan-out by crossing with the 2 offsets); the foreachBatch
+    overwrite sink is the idempotent complete-mode pattern of
+    stream_tumbling_window. State cost: every open (window, key-less)
+    group — 2x the tumbling count on the same horizon; the
+    watermark+append production twin follows
+    stream_tumbling_window_to_files unchanged (window() accepts the slide
+    argument identically)."""
+    events = load(spark, sf_dir, "events")
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.window("ts", "1 hour", "30 minutes"))
+            .agg(
+                F.count("*").alias("n_events"),
+                round_half_up(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _run_stream_to_sink(
+        spark, events, build, "complete", "stream_sliding_window"
     )
 
 
