@@ -194,20 +194,14 @@ def corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving vec_ids) make the trained codebook a pure function of the
     survivor set, so the whole five-stage composition is deterministic
     and the oracle replays it in one SQL statement."""
-    from .dedup import _sql_over
-    from .similarity import _km_train_parts_spark, _semantic_decision_ctes
+    from .similarity import _semantic_decisions, _train_mem
 
     surv = curate(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
     efilt = e.join(
         surv.select(F.col("doc_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "embedding")
-    parts = _km_train_parts_spark()
-    parts.append(_semantic_decision_ctes(spark_dialect=True))
-    parts.append(
-        "SELECT vec_id, cluster_id, kept, max_closer_sim FROM semdecision"
-    )
-    sem = _sql_over(efilt, "semcur", "".join(parts))
+    sem = _semantic_decisions(_train_mem(efilt, "semcur"))
     kept_chars = F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(F.lit(0))
     kept_doc = F.when(F.col("kept") == 1, F.col("doc_id"))
     return (

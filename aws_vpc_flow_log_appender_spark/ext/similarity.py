@@ -2049,20 +2049,77 @@ def _semantic_decision_ctes(spark_dialect: bool) -> str:
     )"""
 
 
-def _semantic_tail_sql(spark_dialect: bool) -> str:
-    """The standalone dedup_semantic tail: decision CTEs + full audit
-    projection."""
+def _train_mem(e, tag: str):
+    """Train the coarse quantizer over ``e`` (a (vec_id, embedding) frame)
+    and CHECKPOINT the per-member rows (vec_id, cid, v, vv, d_i) — the
+    SemDeDup decision self-joins this relation, and without the
+    materialization Spark recomputes the whole unrolled training once per
+    join side (plan-read r7: the training subtree appeared twice under the
+    SortMergeJoin). One lazy localCheckpoint makes the self-join read the
+    trained assignment instead of re-deriving it."""
+    from .dedup import _sql_over
+
+    fin = KM_ITERS
+    parts = _km_train_parts_spark()
+    parts.append(f"""
+    , mem AS (
+      SELECT a.vec_id, a.cid, a.v, v2.vv,
+             CAST(floor(a.d * {KM_SCALE}D + 0.5D) AS BIGINT) AS d_i
+      FROM a{fin} a JOIN vecs v2 ON v2.vec_id = a.vec_id
+    )
+    SELECT vec_id, cid, v, vv, d_i FROM mem
+    """)
+    return _sql_over(e, tag, "".join(parts)).localCheckpoint(eager=False)
+
+
+def _semantic_decisions(mem):
+    """The SemDeDup decision over a checkpointed member relation — the
+    Column-API twin of _semantic_decision_ctes's ``semdecision`` (same
+    left-assoc expression order, same sequential-fold dot, same rounded
+    grid, same (d_i, vec_id) closer-member total order), returning
+    (vec_id, cluster_id, kept, max_closer_sim)."""
+    x = mem.select(
+        "vec_id", "cid",
+        F.col("v").alias("x_v"), F.col("vv").alias("x_vv"),
+        F.col("d_i").alias("x_d"),
+    )
+    y = mem.select(
+        F.col("vec_id").alias("y_id"), F.col("cid").alias("y_cid"),
+        F.col("v").alias("y_v"), F.col("vv").alias("y_vv"),
+        F.col("d_i").alias("y_d"),
+    )
+    cond = (F.col("y_cid") == F.col("cid")) & (
+        (F.col("y_d") < F.col("x_d"))
+        | ((F.col("y_d") == F.col("x_d")) & (F.col("y_id") < F.col("vec_id")))
+    )
+    cosr = (
+        F.floor(
+            F.expr(_km_dot_sql("x_v", "y_v"))
+            / (F.sqrt("x_vv") * F.sqrt("y_vv"))
+            * F.lit(KM_SCALE)
+            + F.lit(0.5)
+        )
+        / F.lit(KM_SCALE)
+    )
     return (
-        _semantic_decision_ctes(spark_dialect)
-        + """
-    SELECT vec_id, cluster_id, kept, max_closer_sim FROM semdecision
-    """
+        x.join(y, cond, "left")
+        .groupBy(F.col("vec_id"), F.col("cid").alias("cluster_id"))
+        .agg(
+            F.when(F.max(cosr) >= F.lit(SEMDEDUP_TAU), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("kept"),
+            F.max(cosr).alias("max_closer_sim"),
+        )
     )
 
 
 def _semantic_oracle_sql() -> str:
     parts = _km_oracle_train_parts()
-    parts.append(_semantic_tail_sql(spark_dialect=False))
+    parts.append(_semantic_decision_ctes(spark_dialect=False))
+    parts.append("""
+    SELECT vec_id, cluster_id, kept, max_closer_sim FROM semdecision
+    """)
     return "".join(parts)
 
 
@@ -2100,10 +2157,10 @@ def dedup_semantic(spark, sf_dir):
     and the exact semantics are oracle-checked end-to-end. Engine
     parity: distances and cosines compare on the 1e-6 floor grid with
     sequential-fold dots — tools/scale_smoke.py carries a per-cell
-    occupancy/work section for the 10-100x fixtures."""
-    from .dedup import _sql_over
+    occupancy/work section for the 10-100x fixtures.
 
+    The trained member relation is CHECKPOINTED before the decision
+    self-join (plan-read r7: the unrolled training otherwise executes
+    once per join side)."""
     e = load(spark, sf_dir, "embeddings")
-    parts = _km_train_parts_spark()
-    parts.append(_semantic_tail_sql(spark_dialect=True))
-    return _sql_over(e, "semdedup", "".join(parts))
+    return _semantic_decisions(_train_mem(e, "semdedup"))
