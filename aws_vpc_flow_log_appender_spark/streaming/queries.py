@@ -62,10 +62,11 @@ def _track_sink(query_name: str) -> str:
 def _run_stream_to_sink(spark: SparkSession, source_df: DataFrame, build,
                         output_mode: str, name: str,
                         timeout_s: int = 300) -> DataFrame:
-    """Shared run-a-stream-to-completion scaffold for the four registered
+    """Shared run-a-stream-to-completion scaffold for the whole-table
     stream_* queries (code-review r6: the staging/foreachBatch/timeout/
-    cleanup block was copy-pasted four times, so a fix to e.g. the
-    stop-on-timeout path had to land in four places).
+    cleanup block was copy-pasted per query, so a fix to e.g. the
+    stop-on-timeout path had to land in every copy; sliced multi-epoch
+    queries use _run_sliced_stream instead).
 
     Stages ``source_df`` to a streamable parquet location, applies ``build``
     (stream DataFrame -> output DataFrame), runs the query with an
