@@ -472,3 +472,94 @@ def join_bucketed_colocated(spark, sf_dir):
             F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
         ).alias("revenue_cents"),
     )
+
+
+# --- bloom-filter semi-join reduction --------------------------------------
+
+_BLOOM_WORDS = 64          # 64 x 64-bit words = 4096 bits
+_BLOOM_SEEDS = (1, 2, 3)   # k = 3 hash functions
+
+
+def _bloom_pos_sql(key: str, seed: int) -> str:
+    """SQL for the bit position in [0, 4096) of one (key, seed): xxhash64 is
+    Spark's JVM-side 64-bit hash, pmod keeps the sign positive. (SQL-expr
+    form because the Python F.shiftleft binding takes only literal shift
+    amounts, while the bit index here is data-dependent.)"""
+    return f"pmod(xxhash64({key}, {seed}), {_BLOOM_WORDS * 64})"
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor((sum(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "bloom", "semi"),
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join reduction via an explicit bloom filter — THE 100 TB scan-
+    pruning move when the dim side is too large to broadcast as a hash table
+    but its 512-byte bloom is not: build k=3/m=4096 bloom over the dim keys
+    (one aggregate, bit_or per word), broadcast the single bitmap row onto
+    the fact, and drop non-members BEFORE the join's Exchange. False
+    positives pass through to the exact join, so the RESULT is bit-identical
+    to the plain join (the oracle is exactly that) — the bloom only moves
+    where rows die. Spark's own runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter) does this opaquely for SMJs;
+    this is the explicit, plan-visible form that also composes with
+    pre-shuffle aggregation.
+
+    Everything is JVM-side Column algebra: xxhash64 -> pmod -> shiftleft ->
+    bit_or aggregate; no UDF, no collect (the bitmap rides a 1-row broadcast
+    cross join)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    o = load(spark, sf_dir, "orders")
+
+    # Build: each dim key emits k (word, mask) entries; bit_or per word, then
+    # the <=64 words fold into ONE map row. (A first draft built 64 bit_or
+    # aggregate columns with per-word CASEs — 192 duplicated hash exprs whose
+    # codegen compiled for minutes; the explode->groupBy shape is the same
+    # bitmap with a constant-size plan.)
+    entries = ", ".join(
+        f"struct(CAST(({_bloom_pos_sql('c_custkey', s)}) div 64 AS INT) AS word,"
+        f" shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql('c_custkey', s)}) % 64 AS INT)) AS mask)"
+        for s in _BLOOM_SEEDS
+    )
+    bloom = (
+        c.select(F.expr(f"explode(array({entries}))").alias("e"))
+        .groupBy(F.col("e.word").alias("word"))
+        .agg(F.expr("bit_or(e.mask)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+
+    # Probe: fact passes iff ALL k bits are set (a word absent from the map
+    # means no dim key hashed into it -> not a member).
+    probed = o.join(F.broadcast(bloom))
+    probes = " AND ".join(
+        f"coalesce(element_at(bloom,"
+        f" CAST(({_bloom_pos_sql('o_custkey', s)}) div 64 AS INT))"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql('o_custkey', s)}) % 64 AS INT)),"
+        f" CAST(0 AS BIGINT)) != 0"
+        for s in _BLOOM_SEEDS
+    )
+    pruned = probed.filter(F.expr(probes)).drop("bloom")
+
+    # Exact join clears the false positives; result == plain join.
+    return (
+        pruned.join(c, pruned.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -190,8 +190,26 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    through sim_ivf_topk (slot 19) and the relocated RP helpers through
 #    sim_rp_lsh_topk (slot 26); its probe-ring core has no r6 hunk and its
 #    trained-layer twin sim_ivf_trained_multiprobe (slot 25) is retained.
+#  - session-5 additions (every in-round addition gets a birth-round driver
+#    row): join_ip_longest_prefix (overlapping-CIDR LPM routing join),
+#    ts_scd2_intervals (SCD2 validity intervals from a change log),
+#    join_bloom_prefilter (explicit bloom semi-join reduction). All three
+#    land as pure appends — no existing query's code path changed — so they
+#    displace three stale-fill re-witnesses whose bodies have NO r7 hunk and
+#    whose family coverage stays in-window: ts_sliding_window (ts family
+#    retained via ts_tumbling_window / ts_daily_activity / ts_gap_fill),
+#    window_running_sum (window family retained via window_first_last /
+#    window_rank_dense_percent / window_topk_per_group), text_token_count
+#    (text family retained via text_edit_distance / text_fingerprint /
+#    text_lang_id / text_quality_score). The three displaced queries join
+#    the r8 rotation leaders alongside sort_limit_offset,
+#    set_distinct_union, set_except_all, set_intersect_all,
+#    tpch_q14_promo_revenue and sim_label_centroids.
 PRIORITY_ORDER: list[str] = [
     # --- added this round (birth-round rows) ---
+    "join_ip_longest_prefix",
+    "ts_scd2_intervals",
+    "join_bloom_prefilter",
     "stream_cusum_drift",
     "sim_ivfpq_rerank_topk",
     "sim_rerank_recall_eval",
@@ -234,16 +252,13 @@ PRIORITY_ORDER: list[str] = [
     "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
-    "text_token_count",
     "tpch_q10_returned_items",
     "tpch_q6_forecast_revenue",
     "ts_daily_activity",
     "ts_gap_fill",
-    "ts_sliding_window",
     "ts_tumbling_window",
     "window_first_last",
     "window_rank_dense_percent",
-    "window_running_sum",
     "window_topk_per_group",
 ]
 

@@ -826,3 +826,62 @@ def ts_holt_trend(spark, sf_dir):
         .sortWithinPartitions("user_id", "event_id")
         .mapInPandas(fold_partition, schema=_HOLT_OUTPUT)
     )
+
+
+@query(
+    "ts_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL
+    ), changes AS (
+      SELECT user_id, event_type, t_us, event_id
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           t_us AS valid_from_us,
+           lead(t_us) OVER w AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(CASE WHEN lead(t_us) OVER w IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    """,
+    tags=("timeseries", "scd2", "cdc", "window"),
+)
+def ts_scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) interval construction from a
+    change log — the CDC/warehouse primitive: collapse each user's event
+    stream into validity intervals of their event_type 'state', half-open
+    [valid_from, valid_to), the open (is_current) interval last. This is how
+    a 100 TB pipeline builds dimension history from an append-only log
+    (dedup_latest_per_key keeps only the final state; SCD2 keeps the full
+    timeline).
+
+    Plan: ONE shuffle on user_id serves all three window passes (lag to
+    detect changes, lead/row_number to close and version the intervals —
+    same partitioning, Catalyst plans a single Exchange). Consecutive
+    duplicate states collapse (lag filter), so output is bounded by the
+    number of STATE CHANGES, not events. Ties broken by event_id so the
+    hash is deterministic under equal timestamps."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t_us = F.unix_micros("ts")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", t_us.alias("t_us"), "event_id",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wc = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    return changes.select(
+        "user_id", "event_type",
+        F.col("t_us").alias("valid_from_us"),
+        F.lead("t_us").over(wc).alias("valid_to_us"),
+        F.row_number().over(wc).cast("long").alias("version"),
+        F.when(F.lead("t_us").over(wc).isNull(), 1).otherwise(0)
+        .cast("int").alias("is_current"),
+    )

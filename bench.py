@@ -83,6 +83,11 @@ HEADLINE = [
     "dedup_semantic",
     "corpus_curation_semantic",
     "text_shard_manifest",
+    # r7 session-5 additions: LPM routing join, SCD2 intervals, bloom
+    # semi-join reduction
+    "join_ip_longest_prefix",
+    "ts_scd2_intervals",
+    "join_bloom_prefilter",
 ]
 
 
@@ -134,6 +139,8 @@ def main() -> None:
         "graph_shortest_paths",
         "sim_ivfpq_rerank_topk", "dedup_semantic",
         "corpus_curation_semantic", "text_shard_manifest",
+        "join_ip_longest_prefix", "ts_scd2_intervals",
+        "join_bloom_prefilter",
     }
     compact = {
         "metric": "headline_queries_total_runtime",

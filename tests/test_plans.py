@@ -444,6 +444,8 @@ _BROADCAST_BOUNDS = {
     ("operators/joins.py", "r"): "region dim",
     ("operators/joins.py", "b"): "5-row tagged literal set",
     ("operators/joins.py", "bands"): "range-band dim (#bands rows)",
+    ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=64 map entries, 512 bytes)",
+    ("flagship.py", "routes"): "route table literal (len(_ROUTE_TABLE)=13 rows)",
     ("operators/aggregates.py", "c"): "customer dim",
     ("operators/aggregates.py", "n"): "nation dim",
     ("operators/aggregates.py", "r"): "region dim",

@@ -1,0 +1,149 @@
+"""Unit tests for the r7 session-5 additions: LPM routing join, SCD2
+interval construction, and the bloom semi-join reduction. The oracle sweep
+proves end-to-end hashes; these pin the SEMANTIC edges each operator exists
+for (most-specific-prefix wins, half-open interval chaining, bloom soundness
+= zero false negatives)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_vpc_flow_log_appender_spark.flagship import (
+    _ROUTE_PLENS,
+    _ROUTE_TABLE,
+    _route_rows,
+    join_ip_longest_prefix,
+)
+from aws_vpc_flow_log_appender_spark.operators.joins import join_bloom_prefilter
+from aws_vpc_flow_log_appender_spark.operators.timeseries import ts_scd2_intervals
+
+
+def _lpm_ref(ip: str) -> str:
+    """Pure-Python LPM over the same route table (independent of Spark)."""
+    from aws_vpc_flow_log_appender_spark.fixtures import _ip_to_int
+
+    ip_int = _ip_to_int(ip)
+    best = None
+    for rid, cidr, plen, shifted in _route_rows():
+        if (ip_int >> (32 - plen) if plen < 32 else ip_int) == shifted:
+            if best is None or plen > best[1] or (plen == best[1] and rid < best[0]):
+                if best is None or plen >= best[1]:
+                    best = (rid, plen)
+    assert best is not None, "default route guarantees a match"
+    return best[0]
+
+
+def test_route_table_is_aligned_and_has_depth_spread():
+    rows = _route_rows()
+    assert len(rows) == len(_ROUTE_TABLE)
+    plens = {p for _, _, p, _ in rows}
+    # the operator's interesting cases need a default, a host route, and a
+    # non-octet-aligned mask
+    assert 0 in plens and 32 in plens and 20 in plens
+    assert _ROUTE_PLENS == sorted(plens)
+
+
+def test_lpm_most_specific_wins(spark, sf_dir):
+    """Host route must beat the /16 covering it; /20 must beat /0; every
+    address the fixture synthesizes must resolve (default route)."""
+    rows = join_ip_longest_prefix(spark, sf_dir).collect()
+    assert rows
+    by_route = {(r["addr_role"], r["route_id"]): r for r in rows}
+    # dst side: 172.31.16.21 is the host route, other 172.31.* fall to rt-vpc
+    assert ("dst", "rt-eni-primary") in by_route
+    assert by_route[("dst", "rt-eni-primary")]["cidr"] == "172.31.16.21/32"
+    # no dst address may resolve to the broader /12 while rt-vpc exists,
+    # and none to the default (all dsts are RFC1918 fixtures)
+    assert ("dst", "rt-default") not in by_route
+    # src side: 72.21.196.65 must land on the non-octet-aligned /20
+    assert by_route[("src", "rt-amazon-72")]["cidr"] == "72.21.192.0/20"
+    # python reference agrees per fixture address
+    from aws_vpc_flow_log_appender_spark import fixtures
+
+    for ip in fixtures.PUBLIC_IPS + fixtures.PRIVATE_IPS:
+        assert any(
+            r["route_id"] == _lpm_ref(ip) for r in rows if r["addr_role"] == "src"
+        )
+
+
+def test_scd2_intervals_chain_and_close(spark, sf_dir):
+    """Per user: intervals are half-open and chained (valid_to == next
+    valid_from), versions dense from 1, exactly one open (is_current)
+    interval, and consecutive intervals never repeat a state."""
+    rows = ts_scd2_intervals(spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) > 1
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to_us"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], "chained intervals"
+            assert a["event_type"] != b["event_type"], "changes only"
+
+
+def test_bloom_prefilter_equals_plain_join(spark, sf_dir):
+    """The bloom is an optimization, never a semantics change: the result
+    must be row-identical to the un-prefiltered join (false positives are
+    cleared by the exact join; false negatives are impossible)."""
+    got = sorted(
+        tuple(r) for r in join_bloom_prefilter(spark, sf_dir).collect()
+    )
+    from aws_vpc_flow_log_appender_spark.functions import round_half_up
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    o = load(spark, sf_dir, "orders")
+    want = sorted(
+        tuple(r)
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_bloom_probe_admits_every_member(spark):
+    """Soundness on a controlled frame: every key present in the build side
+    passes the probe (bloom filters have no false negatives); at 4096 bits /
+    3 hashes / 100 keys, at least SOME non-member is rejected (the filter
+    does real work)."""
+    from aws_vpc_flow_log_appender_spark.operators.joins import (
+        _BLOOM_SEEDS,
+        _bloom_pos_sql,
+    )
+
+    dim = spark.range(0, 100).select(F.col("id").alias("c_custkey"))
+    entries = ", ".join(
+        f"struct(CAST(({_bloom_pos_sql('c_custkey', s)}) div 64 AS INT) AS word,"
+        f" shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql('c_custkey', s)}) % 64 AS INT)) AS mask)"
+        for s in _BLOOM_SEEDS
+    )
+    bloom = (
+        dim.select(F.expr(f"explode(array({entries}))").alias("e"))
+        .groupBy(F.col("e.word").alias("word"))
+        .agg(F.expr("bit_or(e.mask)").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom"))
+    )
+    probe = spark.range(0, 5000).select(F.col("id").alias("o_custkey")).join(
+        F.broadcast(bloom)
+    )
+    probes = " AND ".join(
+        f"coalesce(element_at(bloom,"
+        f" CAST(({_bloom_pos_sql('o_custkey', s)}) div 64 AS INT))"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql('o_custkey', s)}) % 64 AS INT)),"
+        f" CAST(0 AS BIGINT)) != 0"
+        for s in _BLOOM_SEEDS
+    )
+    passed = {r["o_custkey"] for r in probe.filter(F.expr(probes)).collect()}
+    assert set(range(100)) <= passed, "no false negatives, ever"
+    assert len(passed) < 5000, "filter rejects some non-members"
