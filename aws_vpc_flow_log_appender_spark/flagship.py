@@ -1296,8 +1296,6 @@ def join_ip_longest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     The default route guarantees total coverage, the /20 exercises
     non-octet-aligned masks, and the /32 host route must beat rt-vpc's /16
     for the hash to agree."""
-    from pyspark.sql import Window as W
-
     flows = _valid_parsed(spark, sf_dir)
     addrs = flows.select(
         F.explode(
@@ -1312,6 +1310,22 @@ def join_ip_longest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_flows"),
         F.sum("bytes").alias("addr_bytes"),
     )
+    best = lpm_best_routes(spark, stats)
+    return best.groupBy("addr_role", "route_id", "cidr").agg(
+        F.count("*").alias("n_addrs"),
+        F.sum("n_flows").alias("n_flows"),
+        F.sum("addr_bytes").alias("total_bytes"),
+    )
+
+
+def lpm_best_routes(spark: SparkSession, stats: DataFrame) -> DataFrame:
+    """LPM tiers 2+3 over a per-(addr_role, addr) stats relation (columns
+    addr_role, addr, n_flows, addr_bytes): candidate keys per distinct
+    prefix length via exact shiftright, broadcast equi-join on
+    (plen, net_shifted), argmax-by-plen per addr. Factored so the scale
+    smoke can drive the identical plan with synthetic addresses."""
+    from pyspark.sql import Window as W
+
     sp = F.split(F.col("addr"), r"\.")
     ip_int = (
         F.element_at(sp, 1).cast("long") * F.lit(16777216)
@@ -1341,9 +1355,6 @@ def join_ip_longest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("addr_role", "addr").orderBy(
         F.col("plen").desc(), F.col("route_id")
     )
-    best = matched.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy("addr_role", "route_id", "cidr").agg(
-        F.count("*").alias("n_addrs"),
-        F.sum("n_flows").alias("n_flows"),
-        F.sum("addr_bytes").alias("total_bytes"),
+    return matched.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
     )

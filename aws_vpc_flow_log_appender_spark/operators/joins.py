@@ -480,12 +480,55 @@ _BLOOM_WORDS = 64          # 64 x 64-bit words = 4096 bits
 _BLOOM_SEEDS = (1, 2, 3)   # k = 3 hash functions
 
 
-def _bloom_pos_sql(key: str, seed: int) -> str:
-    """SQL for the bit position in [0, 4096) of one (key, seed): xxhash64 is
-    Spark's JVM-side 64-bit hash, pmod keeps the sign positive. (SQL-expr
+def _bloom_pos_sql(key: str, seed: int, words: int = _BLOOM_WORDS) -> str:
+    """SQL for the bit position in [0, words*64) of one (key, seed): xxhash64
+    is Spark's JVM-side 64-bit hash, pmod keeps the sign positive. (SQL-expr
     form because the Python F.shiftleft binding takes only literal shift
     amounts, while the bit index here is data-dependent.)"""
-    return f"pmod(xxhash64({key}, {seed}), {_BLOOM_WORDS * 64})"
+    return f"pmod(xxhash64({key}, {seed}), {words * 64})"
+
+
+def bloom_build(dim, key: str, words: int = _BLOOM_WORDS):
+    """ONE-row bloom bitmap over ``dim[key]`` as a map<int,bigint>: each key
+    emits k (word, mask) entries; bit_or per word; the <=64 words fold into a
+    single map row (broadcast it onto the fact with a cross join). (A first
+    draft built 64 bit_or aggregate columns with per-word CASEs — 192
+    duplicated hash exprs whose codegen compiled for minutes; the
+    explode->groupBy shape is the same bitmap with a constant-size plan.)
+    Size ``words`` to the dim: ~10 bits/key keeps the false-positive rate
+    ~1%; the default 4096-bit map saturates past ~500 keys (the build never
+    goes WRONG when undersized — only less selective)."""
+    entries = ", ".join(
+        f"struct(CAST(({_bloom_pos_sql(key, s, words)}) div 64 AS INT) AS word,"
+        f" shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql(key, s, words)}) % 64 AS INT)) AS mask)"
+        for s in _BLOOM_SEEDS
+    )
+    return (
+        dim.select(F.expr(f"explode(array({entries}))").alias("e"))
+        .groupBy(F.col("e.word").alias("word"))
+        .agg(F.expr("bit_or(e.mask)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+
+
+def bloom_probe_sql(key: str, words: int = _BLOOM_WORDS) -> str:
+    """Membership predicate over the broadcast ``bloom`` map column: true iff
+    ALL k bits are set (a word absent from the map means no dim key hashed
+    into it -> not a member). Bloom soundness: members ALWAYS pass. ``words``
+    must match the bloom_build() that produced the map."""
+    return " AND ".join(
+        f"coalesce(element_at(bloom,"
+        f" CAST(({_bloom_pos_sql(key, s, words)}) div 64 AS INT))"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_bloom_pos_sql(key, s, words)}) % 64 AS INT)),"
+        f" CAST(0 AS BIGINT)) != 0"
+        for s in _BLOOM_SEEDS
+    )
 
 
 @query(
@@ -519,40 +562,9 @@ def join_bloom_prefilter(spark, sf_dir):
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
     o = load(spark, sf_dir, "orders")
 
-    # Build: each dim key emits k (word, mask) entries; bit_or per word, then
-    # the <=64 words fold into ONE map row. (A first draft built 64 bit_or
-    # aggregate columns with per-word CASEs — 192 duplicated hash exprs whose
-    # codegen compiled for minutes; the explode->groupBy shape is the same
-    # bitmap with a constant-size plan.)
-    entries = ", ".join(
-        f"struct(CAST(({_bloom_pos_sql('c_custkey', s)}) div 64 AS INT) AS word,"
-        f" shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(({_bloom_pos_sql('c_custkey', s)}) % 64 AS INT)) AS mask)"
-        for s in _BLOOM_SEEDS
-    )
-    bloom = (
-        c.select(F.expr(f"explode(array({entries}))").alias("e"))
-        .groupBy(F.col("e.word").alias("word"))
-        .agg(F.expr("bit_or(e.mask)").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("bloom")
-        )
-    )
-
-    # Probe: fact passes iff ALL k bits are set (a word absent from the map
-    # means no dim key hashed into it -> not a member).
+    bloom = bloom_build(c, "c_custkey")
     probed = o.join(F.broadcast(bloom))
-    probes = " AND ".join(
-        f"coalesce(element_at(bloom,"
-        f" CAST(({_bloom_pos_sql('o_custkey', s)}) div 64 AS INT))"
-        f" & shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(({_bloom_pos_sql('o_custkey', s)}) % 64 AS INT)),"
-        f" CAST(0 AS BIGINT)) != 0"
-        for s in _BLOOM_SEEDS
-    )
-    pruned = probed.filter(F.expr(probes)).drop("bloom")
+    pruned = probed.filter(F.expr(bloom_probe_sql("o_custkey"))).drop("bloom")
 
     # Exact join clears the false positives; result == plain join.
     return (

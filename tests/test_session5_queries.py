@@ -116,34 +116,18 @@ def test_bloom_probe_admits_every_member(spark):
     3 hashes / 100 keys, at least SOME non-member is rejected (the filter
     does real work)."""
     from aws_vpc_flow_log_appender_spark.operators.joins import (
-        _BLOOM_SEEDS,
-        _bloom_pos_sql,
+        bloom_build,
+        bloom_probe_sql,
     )
 
     dim = spark.range(0, 100).select(F.col("id").alias("c_custkey"))
-    entries = ", ".join(
-        f"struct(CAST(({_bloom_pos_sql('c_custkey', s)}) div 64 AS INT) AS word,"
-        f" shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(({_bloom_pos_sql('c_custkey', s)}) % 64 AS INT)) AS mask)"
-        for s in _BLOOM_SEEDS
-    )
-    bloom = (
-        dim.select(F.expr(f"explode(array({entries}))").alias("e"))
-        .groupBy(F.col("e.word").alias("word"))
-        .agg(F.expr("bit_or(e.mask)").alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom"))
-    )
+    bloom = bloom_build(dim, "c_custkey")
     probe = spark.range(0, 5000).select(F.col("id").alias("o_custkey")).join(
         F.broadcast(bloom)
     )
-    probes = " AND ".join(
-        f"coalesce(element_at(bloom,"
-        f" CAST(({_bloom_pos_sql('o_custkey', s)}) div 64 AS INT))"
-        f" & shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(({_bloom_pos_sql('o_custkey', s)}) % 64 AS INT)),"
-        f" CAST(0 AS BIGINT)) != 0"
-        for s in _BLOOM_SEEDS
-    )
-    passed = {r["o_custkey"] for r in probe.filter(F.expr(probes)).collect()}
+    passed = {
+        r["o_custkey"]
+        for r in probe.filter(F.expr(bloom_probe_sql("o_custkey"))).collect()
+    }
     assert set(range(100)) <= passed, "no false negatives, ever"
     assert len(passed) < 5000, "filter rejects some non-members"

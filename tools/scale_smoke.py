@@ -1390,8 +1390,191 @@ def main() -> int:
             "expected": base_pairs * mult,
             "t_s": round(t_ssj, 2),
         }
+
+        # 15) SCD2 interval construction at scale: user-disjoint copies with
+        # order-preserving event_id remapping make the interval count an
+        # exact closed form (mult x base — each copy rebuilds the identical
+        # per-user timeline under its offset user_id).
+        from aws_vpc_flow_log_appender_spark.operators.timeseries import (
+            ts_scd2_intervals,
+        )
+
+        base_scd2 = ts_scd2_intervals(spark, SF_DIR).count()
+        t0 = time.perf_counter()
+        big_scd2 = ts_scd2_intervals(spark, ktmp).count()
+        t_scd2 = time.perf_counter() - t0
+        if big_scd2 != base_scd2 * mult:
+            print(f"FAIL scd2 scaling: {big_scd2} != {base_scd2}x{mult}")
+            ok = False
+        print(
+            f"scale_smoke scd2 mult={mult}: {big_scd2:,} intervals == "
+            f"{base_scd2}x{mult}: {'YES' if big_scd2 == base_scd2 * mult else 'NO'}; "
+            f"{t_scd2:.1f}s"
+        )
+        artifact["scd2_intervals"] = {
+            "intervals": big_scd2,
+            "expected": base_scd2 * mult,
+            "t_s": round(t_scd2, 2),
+        }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
+
+    # 16) LPM routing join at scale: mult x 600k synthetic addresses, each
+    # placed in a COLLISION-FREE sub-range of its target route (computed from
+    # the route table's overlap structure below), so per-route results have
+    # an exact closed form: ids are dealt round-robin over the 13 routes and
+    # offsets cycle 0..cap-1, hence n_flows(r) = |ids = r mod 13| and
+    # n_addrs(r) = min(n_flows(r), cap_r). The /32 host routes (cap 1) prove
+    # the distinct-addr reduction under maximal duplication; large caps prove
+    # the |addrs| x |plens| candidate fan-out at millions of distinct addrs.
+    from aws_vpc_flow_log_appender_spark.flagship import (
+        _route_rows,
+        lpm_best_routes,
+    )
+
+    routes = _route_rows()
+
+    def _span(plen: int, shifted: int) -> tuple[int, int]:
+        lo = (shifted << (32 - plen)) if plen < 32 else shifted
+        return lo, lo + ((1 << (32 - plen)) if plen < 32 else 1)
+
+    def _safe_range(plen: int, shifted: int) -> tuple[int, int]:
+        """Largest gap of this route's span not covered by any more-specific
+        route (so LPM of every address in the gap resolves HERE)."""
+        lo, hi = _span(plen, shifted)
+        subs = sorted(
+            _span(p2, s2)
+            for _, _, p2, s2 in routes
+            if p2 > plen and lo <= _span(p2, s2)[0] < hi
+        )
+        best_lo, best_cap, cur = lo, 0, lo
+        for s_lo, s_hi in subs + [(hi, hi)]:
+            if s_lo - cur > best_cap:
+                best_lo, best_cap = cur, s_lo - cur
+            cur = max(cur, s_hi)
+        return best_lo, best_cap
+
+    starts, caps = [], []
+    for _, _, plen, shifted in routes:
+        s_lo, s_cap = _safe_range(plen, shifted)
+        assert s_cap >= 1, "route fully shadowed — fixture table broken"
+        starts.append(s_lo)
+        caps.append(min(s_cap, 1 << 16))
+    n_routes = len(routes)
+    n_addr_ids = mult * 600_000
+    starts_arr = F.array(*[F.lit(s).cast("long") for s in starts])
+    caps_arr = F.array(*[F.lit(c).cast("long") for c in caps])
+    r_idx = (F.col("id") % n_routes).cast("int")
+    start = F.element_at(starts_arr, r_idx + 1)
+    cap = F.element_at(caps_arr, r_idx + 1)
+    ip = start + (F.col("id") / n_routes).cast("long") % cap
+    syn = spark.range(n_addr_ids).select(
+        F.lit("syn").alias("addr_role"),
+        F.concat_ws(
+            ".",
+            F.shiftright(ip, 24).bitwiseAND(F.lit(255)),
+            F.shiftright(ip, 16).bitwiseAND(F.lit(255)),
+            F.shiftright(ip, 8).bitwiseAND(F.lit(255)),
+            ip.bitwiseAND(F.lit(255)),
+        ).alias("addr"),
+    )
+    stats = syn.groupBy("addr_role", "addr").agg(
+        F.count("*").alias("n_flows"), F.count("*").alias("addr_bytes")
+    )
+    t0 = time.perf_counter()
+    lpm_got = {
+        r["route_id"]: (r["n_addrs"], r["n_flows"])
+        for r in lpm_best_routes(spark, stats)
+        .groupBy("route_id")
+        .agg(F.count("*").alias("n_addrs"), F.sum("n_flows").alias("n_flows"))
+        .collect()
+    }
+    t_lpm = time.perf_counter() - t0
+    lpm_ok = True
+    for i, (rid, _, _, _) in enumerate(routes):
+        exp_flows = n_addr_ids // n_routes + (1 if i < n_addr_ids % n_routes else 0)
+        exp_addrs = min(exp_flows, caps[i])
+        if lpm_got.get(rid) != (exp_addrs, exp_flows):
+            print(
+                f"FAIL lpm {rid}: got {lpm_got.get(rid)} != "
+                f"({exp_addrs}, {exp_flows})"
+            )
+            lpm_ok = ok = False
+    n_distinct = sum(min(n_addr_ids // n_routes + 1, c) for c in caps)
+    print(
+        f"scale_smoke lpm mult={mult}: {n_addr_ids:,} addresses over "
+        f"{n_routes} overlapping routes (~{n_distinct:,} distinct) "
+        f"closed-form exact: {'YES' if lpm_ok else 'NO'}; {t_lpm:.1f}s"
+    )
+    artifact["lpm_routing"] = {
+        "addresses": n_addr_ids,
+        "routes": n_routes,
+        "closed_form_exact": lpm_ok,
+        "t_s": round(t_lpm, 2),
+    }
+
+    # 17) bloom semi-join reduction at scale: multiplied orders (o_custkey
+    # UNTOUCHED by the key offsetting, so every copy joins the same base
+    # customers) must produce exactly mult x the base plain-join counts
+    # through the bloom path, and the bloom must actually prune (selectivity
+    # recorded). Result-identity is the operator's contract: false positives
+    # die in the exact join, false negatives are impossible.
+    from aws_vpc_flow_log_appender_spark.operators.joins import (
+        bloom_build,
+        bloom_probe_sql,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    base_plain = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    # size the bitmap to the dim (~10 bits/key, like a production build):
+    # sf0.1 MACHINERY is ~6k keys -> 1024 words = 64 Kbit, an 8 KB broadcast
+    bw = 1024
+    bloom = bloom_build(cust, "c_custkey", words=bw)
+    t0 = time.perf_counter()
+    n_pruned = (
+        orders.join(F.broadcast(bloom))
+        .filter(F.expr(bloom_probe_sql("o_custkey", words=bw)))
+        .count()
+    )
+    n_joined = (
+        orders.join(F.broadcast(bloom))
+        .filter(F.expr(bloom_probe_sql("o_custkey", words=bw)))
+        .drop("bloom")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    t_bloom = time.perf_counter() - t0
+    n_orders_total = orders.count()
+    if n_joined != base_plain * mult:
+        print(f"FAIL bloom join scaling: {n_joined} != {base_plain}x{mult}")
+        ok = False
+    # MACHINERY is ~1/5 of customers; a right-sized bloom must kill most of
+    # the other 4/5 before the join Exchange (generous 2x FP headroom)
+    if not (n_joined <= n_pruned < 0.4 * n_orders_total):
+        print(
+            f"FAIL bloom pruning: pruned {n_pruned} not in "
+            f"[{n_joined}, 0.4x{n_orders_total})"
+        )
+        ok = False
+    print(
+        f"scale_smoke bloom mult={mult}: {n_orders_total:,} orders -> "
+        f"{n_pruned:,} past bloom ({n_pruned / n_orders_total:.1%}) -> "
+        f"{n_joined:,} joined == {base_plain}x{mult}: "
+        f"{'YES' if n_joined == base_plain * mult else 'NO'}; {t_bloom:.1f}s"
+    )
+    artifact["bloom_prefilter"] = {
+        "orders": n_orders_total,
+        "past_bloom": n_pruned,
+        "joined": n_joined,
+        "expected": base_plain * mult,
+        "t_s": round(t_bloom, 2),
+    }
 
     artifact["ok"] = ok
     if json_out:
