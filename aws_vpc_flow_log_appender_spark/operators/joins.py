@@ -575,3 +575,64 @@ def join_bloom_prefilter(spark, sf_dir):
             round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# --- salted skew join -------------------------------------------------------
+
+_SALT_R = 8  # salt fan-out: one hot key spreads over 8 shuffle partitions
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5)
+             / 100.0 AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_skew_salted(spark, sf_dir):
+    """Key-salting — the manual remedy for single-key skew that AQE cannot
+    fix: AQE's skew-join splits oversized PARTITIONS, but one pathological
+    key still lands every row in one task. Salting rewrites the join
+    key to (key, salt): the fact side derives a DETERMINISTIC salt in
+    [0, R) from its own row identity (xxhash64 of the primary key — no
+    rand(), so retries/speculative tasks stay consistent), the build side
+    replicates each row R times, and the equi-join on (key, salt) spreads
+    every hot key over R shuffle partitions. Replication cost is R x |dim|,
+    paid only on the SMALLER side; the result is bit-identical to the plain
+    join (the oracle IS the plain join).
+
+    At fixture scale AQE may still broadcast the replicated supplier side —
+    also correct (broadcast joins have no skew problem; the salt is then
+    inert). The salted SHAPE is what this query pins: on a 100 TB cluster
+    where both sides shuffle, the (key, salt) Exchange is the plan that
+    survives a 10^8-row hot key."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    fact = l.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+            F.lit(_SALT_R),
+        ).cast("int"),
+    )
+    dim = s.crossJoin(
+        spark.range(_SALT_R).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -205,11 +205,17 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    the r8 rotation leaders alongside sort_limit_offset,
 #    set_distinct_union, set_except_all, set_intersect_all,
 #    tpch_q14_promo_revenue and sim_label_centroids.
+#  - session-5 fourth addition: join_skew_salted (deterministic key-salting
+#    — the manual single-hot-key remedy AQE's partition-level split cannot
+#    apply). Displaces window_first_last (body r7-unchanged; window family
+#    retained via window_rank_dense_percent / window_topk_per_group); it
+#    joins the r8 leaders too.
 PRIORITY_ORDER: list[str] = [
     # --- added this round (birth-round rows) ---
     "join_ip_longest_prefix",
     "ts_scd2_intervals",
     "join_bloom_prefilter",
+    "join_skew_salted",
     "stream_cusum_drift",
     "sim_ivfpq_rerank_topk",
     "sim_rerank_recall_eval",
@@ -257,7 +263,6 @@ PRIORITY_ORDER: list[str] = [
     "ts_daily_activity",
     "ts_gap_fill",
     "ts_tumbling_window",
-    "window_first_last",
     "window_rank_dense_percent",
     "window_topk_per_group",
 ]

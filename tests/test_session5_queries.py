@@ -131,3 +131,36 @@ def test_bloom_probe_admits_every_member(spark):
     }
     assert set(range(100)) <= passed, "no false negatives, ever"
     assert len(passed) < 5000, "filter rejects some non-members"
+
+
+def test_skew_salted_join_equals_plain_and_salts_the_key(spark, sf_dir):
+    """Salting must not change the result (bit-identical to the plain join)
+    and the analyzed plan's join condition must actually include the salt
+    column — otherwise the 'skew remedy' silently degenerated to a plain
+    equi-join."""
+    from aws_vpc_flow_log_appender_spark.operators.joins import (
+        join_skew_salted,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    df = join_skew_salted(spark, sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+    from aws_vpc_flow_log_appender_spark.functions import round_half_up
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    want = sorted(
+        tuple(r)
+        for r in l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .collect()
+    )
+    assert got == want
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "salt" in analyzed, "join no longer salted"
