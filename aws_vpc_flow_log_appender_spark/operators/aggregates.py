@@ -473,3 +473,39 @@ def agg_weighted_median(spark, sf_dir):
             F.min("l_extendedprice").alias("weighted_median_price"),
         )
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1.0 AS DECIMAL(8,4))
+                            - CAST(l_discount AS DECIMAL(8,4)))
+                    AS DECIMAL(24,6))) * 1000000 AS BIGINT) AS revenue_micros
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "decimal", "exact"),
+)
+def agg_decimal_exact(spark, sf_dir):
+    """Exact DECIMAL money arithmetic — at 100 TB a double-summed revenue
+    column drifts by summation ORDER (every AQE re-plan or partition count
+    change flips the last digits), so financial aggregates must run on
+    fixed-point decimals, where + and * are exact and order-insensitive.
+    Price and discount cast to DECIMAL before the multiply, the product
+    kept at DECIMAL(24,6) (exact: 2dp x 4dp = 6dp), the sum emitted as
+    integer MICROS so the driver hash needs no float tolerance at all.
+    Both engines use ANSI decimal semantics; the only portability trap is
+    Spark's silent precision-loss on overflow, avoided here by sizing the
+    accumulator type to the domain (sum of SF*6M values < 10^5 each fits
+    DECIMAL(24,6)'s 10^18 integral headroom through sf100)."""
+    l = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1.0).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    rev = (price * disc).cast("decimal(24,6)")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        (F.sum(rev) * F.lit(1000000)).cast("long").alias("revenue_micros"),
+    )

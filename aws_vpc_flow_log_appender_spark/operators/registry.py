@@ -210,12 +210,21 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    apply). Displaces window_first_last (body r7-unchanged; window family
 #    retained via window_rank_dense_percent / window_topk_per_group); it
 #    joins the r8 leaders too.
+#  - session-5 fifth/sixth additions: sort_zorder_layout (Morton-interleave
+#    min/max-skipping statistics — the 2-D layout-pruning technique) and
+#    agg_decimal_exact (order-insensitive fixed-point money aggregation,
+#    emitted as integer micros). They displace flowlog_byte_anomalies and
+#    flowlog_conversations (bodies r7-unchanged; the flowlog family keeps
+#    four stale re-witnesses in-window plus changed-path
+#    flowlog_cusum_drift); both join the r8 leaders.
 PRIORITY_ORDER: list[str] = [
     # --- added this round (birth-round rows) ---
     "join_ip_longest_prefix",
     "ts_scd2_intervals",
     "join_bloom_prefilter",
     "join_skew_salted",
+    "sort_zorder_layout",
+    "agg_decimal_exact",
     "stream_cusum_drift",
     "sim_ivfpq_rerank_topk",
     "sim_rerank_recall_eval",
@@ -241,9 +250,7 @@ PRIORITY_ORDER: list[str] = [
     "join_right_outer",
     "unpivot_stack",
     # --- stalest-first re-witnesses (r2-era, alphabetical) ---
-    "flowlog_byte_anomalies",
     "flowlog_bytes_per_security_group",
-    "flowlog_conversations",
     "flowlog_rejected_by_port",
     "flowlog_top_talkers",
     "flowlog_traffic_by_direction",

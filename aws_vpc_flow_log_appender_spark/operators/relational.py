@@ -305,3 +305,157 @@ def scalar_try_cast(spark, sf_dir):
         F.col("n_chars").cast("string").cast("long").alias("roundtrip_chars"),
         F.coalesce(F.expr("try_cast(lang AS LONG)"), F.lit(-1)).alias("lang_as_num"),
     )
+
+
+# --- Z-order (Morton) layout pruning ---------------------------------------
+#
+# The data-layout technique behind min/max skipping at 100 TB (Delta
+# OPTIMIZE ZORDER, Iceberg sort orders): interleaving the bits of two
+# clustering dimensions gives every file/bucket a TIGHT bounding box in
+# BOTH dims, so a 2-D predicate prunes multiplicatively instead of only
+# along the primary sort key. This query computes the min/max skipping
+# statistics a scan planner would use, for the same rows under both
+# layouts, and reports the I/O amplification each layout pays for one
+# 2-D predicate box. Bit ops (&, >>, <<, div) have identical semantics
+# in Spark SQL and DuckDB for non-negative BIGINTs, so the interleave
+# expression is generated once and shared textually.
+
+_Z_BASE_DAY = 9131          # days(1995-01-01): l_shipdate domain start
+_Z_BOX_D1 = (882, 974)      # 1997-06-01 .. 1997-09-01 as d1 (days - base)
+_Z_BOX_D2 = (2, 8)          # suppkey band (non-empty at EVERY SF: sf0.001 has keys 0-9)
+_Z_A_WIDTH = 16             # linear layout: 16-day range buckets
+_Z_SHIFT = 8                # zorder bucket = z >> 8 (16-wide blocks/dim,
+                            # same d1 granularity as the linear layout)
+
+_Z_D1_SQL = (
+    f"(CAST(floor(unix_timestamp(l_shipdate) / 86400) AS BIGINT) - {_Z_BASE_DAY})"
+)
+_Z_D1_SQL_DUCK = (
+    f"(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) - {_Z_BASE_DAY})"
+)
+_Z_D2_SQL = "CAST(l_suppkey AS BIGINT)"
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    """Morton code: bit i of ``a`` at position 2i, of ``b`` at 2i+1."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_layout_oracle() -> str:
+    d1, d2 = _Z_D1_SQL_DUCK, _Z_D2_SQL
+    z = _z_interleave_sql("d1", "d2")
+    lo1, hi1 = _Z_BOX_D1
+    lo2, hi2 = _Z_BOX_D2
+    return f"""
+    WITH base AS (
+      SELECT {d1} AS d1, {d2} AS d2 FROM lineitem
+    ), tagged AS (
+      SELECT d1, d2,
+             CAST(floor(d1 / {_Z_A_WIDTH}.0) AS BIGINT) AS bucket_a,
+             ({z} >> {_Z_SHIFT}) AS bucket_z
+      FROM base
+    ), box AS (
+      SELECT CAST(count(*) AS BIGINT) AS box_rows FROM base
+      WHERE d1 >= {lo1} AND d1 < {hi1} AND d2 >= {lo2} AND d2 < {hi2}
+    ), stats_a AS (
+      SELECT bucket_a, CAST(count(*) AS BIGINT) AS n,
+             min(d1) AS lo1, max(d1) AS hi1, min(d2) AS lo2, max(d2) AS hi2
+      FROM tagged GROUP BY bucket_a
+    ), stats_z AS (
+      SELECT bucket_z, CAST(count(*) AS BIGINT) AS n,
+             min(d1) AS lo1, max(d1) AS hi1, min(d2) AS lo2, max(d2) AS hi2
+      FROM tagged GROUP BY bucket_z
+    ), hits AS (
+      SELECT 'shipdate_range' AS layout,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CASE WHEN hi1 >= {lo1} AND lo1 < {hi1}
+                            AND hi2 >= {lo2} AND lo2 < {hi2}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_buckets,
+             CAST(sum(CASE WHEN hi1 >= {lo1} AND lo1 < {hi1}
+                            AND hi2 >= {lo2} AND lo2 < {hi2}
+                           THEN n ELSE 0 END) AS BIGINT) AS hit_rows
+      FROM stats_a
+      UNION ALL
+      SELECT 'zorder',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN hi1 >= {lo1} AND lo1 < {hi1}
+                            AND hi2 >= {lo2} AND lo2 < {hi2}
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN hi1 >= {lo1} AND lo1 < {hi1}
+                            AND hi2 >= {lo2} AND lo2 < {hi2}
+                           THEN n ELSE 0 END) AS BIGINT)
+      FROM stats_z
+    )
+    SELECT h.layout, h.n_buckets, h.n_hit_buckets, h.hit_rows, b.box_rows,
+           floor((h.hit_rows * 1.0 / nullif(b.box_rows, 0)) * 100.0 + 0.5)
+             / 100.0 AS io_amplification
+    FROM hits h CROSS JOIN box b
+    """
+
+
+@query(
+    "sort_zorder_layout",
+    oracle=_z_layout_oracle(),
+    tags=("layout", "zorder", "pruning"),
+)
+def sort_zorder_layout(spark, sf_dir):
+    """Z-order layout vs linear layout, judged by the min/max skipping index
+    a 100 TB scan planner consults: bucket lineitem by (a) 16-day shipdate
+    ranges (the layout a date-sorted table gets for free) and (b) Morton-
+    interleaved (shipdate_day, suppkey) blocks, compute each bucket's
+    bounding box, and count the buckets/rows a 2-D predicate (3 months x
+    one suppkey band) cannot skip. The linear layout prunes only on the
+    date dim — every hit bucket drags its FULL suppkey range along; the
+    Z-order buckets bound both dims, so hit_rows (the I/O proxy) drops by
+    roughly the suppkey selectivity. Everything is two groupBy
+    aggregations + a 1-row scalar attach; the Morton code is pure integer
+    bit algebra, identical text in both engines."""
+    l = load(spark, sf_dir, "lineitem")
+    lo1, hi1 = _Z_BOX_D1
+    lo2, hi2 = _Z_BOX_D2
+    z = _z_interleave_sql("d1", "d2")
+    tagged = l.selectExpr(
+        f"{_Z_D1_SQL} AS d1", f"{_Z_D2_SQL} AS d2"
+    ).selectExpr(
+        "d1", "d2",
+        f"CAST(d1 div {_Z_A_WIDTH} AS BIGINT) AS bucket_a",
+        f"({z} >> {_Z_SHIFT}) AS bucket_z",
+    )
+    box = tagged.filter(
+        (F.col("d1") >= lo1) & (F.col("d1") < hi1)
+        & (F.col("d2") >= lo2) & (F.col("d2") < hi2)
+    ).agg(F.count("*").alias("box_rows"))
+
+    def layout_stats(bucket_col: str, label: str):
+        hit = (
+            (F.col("hi1") >= lo1) & (F.col("lo1") < hi1)
+            & (F.col("hi2") >= lo2) & (F.col("lo2") < hi2)
+        )
+        return (
+            tagged.groupBy(bucket_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.min("d1").alias("lo1"), F.max("d1").alias("hi1"),
+                F.min("d2").alias("lo2"), F.max("d2").alias("hi2"),
+            )
+            .agg(
+                F.lit(label).alias("layout"),
+                F.count("*").alias("n_buckets"),
+                F.sum(hit.cast("int")).cast("long").alias("n_hit_buckets"),
+                F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("long").alias("hit_rows"),
+            )
+        )
+
+    hits = layout_stats("bucket_a", "shipdate_range").unionByName(
+        layout_stats("bucket_z", "zorder")
+    )
+    return hits.crossJoin(F.broadcast(box)).select(
+        "layout", "n_buckets", "n_hit_buckets", "hit_rows", "box_rows",
+        round_half_up(
+            F.col("hit_rows") / F.nullif(F.col("box_rows"), F.lit(0)), 2
+        ).alias("io_amplification"),
+    )

@@ -88,6 +88,8 @@ HEADLINE = [
     "join_ip_longest_prefix",
     "ts_scd2_intervals",
     "join_bloom_prefilter",
+    "sort_zorder_layout",
+    "agg_decimal_exact",
 ]
 
 
@@ -140,7 +142,7 @@ def main() -> None:
         "sim_ivfpq_rerank_topk", "dedup_semantic",
         "corpus_curation_semantic", "text_shard_manifest",
         "join_ip_longest_prefix", "ts_scd2_intervals",
-        "join_bloom_prefilter",
+        "join_bloom_prefilter", "sort_zorder_layout", "agg_decimal_exact",
     }
     compact = {
         "metric": "headline_queries_total_runtime",

@@ -164,3 +164,59 @@ def test_skew_salted_join_equals_plain_and_salts_the_key(spark, sf_dir):
     assert got == want
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "salt" in analyzed, "join no longer salted"
+
+
+def test_zorder_layout_prunes_multiplicatively(spark, sf_dir):
+    """The Z-order buckets must bound BOTH dims: for the same 2-D predicate
+    box, zorder hit_rows must be strictly below the linear layout's, both
+    must cover at least the true box rows (min/max skipping is sound — it
+    never skips a bucket containing a match), and bucket row counts must
+    account for every lineitem row."""
+    from aws_vpc_flow_log_appender_spark.operators.relational import (
+        sort_zorder_layout,
+    )
+
+    rows = {r["layout"]: r for r in sort_zorder_layout(spark, sf_dir).collect()}
+    lin, zo = rows["shipdate_range"], rows["zorder"]
+    assert lin["box_rows"] == zo["box_rows"] > 0
+    for r in (lin, zo):
+        assert r["hit_rows"] >= r["box_rows"], "skipping index must be sound"
+        assert 0 < r["n_hit_buckets"] <= r["n_buckets"]
+    assert zo["hit_rows"] <= lin["hit_rows"], "zorder must never prune worse"
+    # strict dominance needs >1 suppkey block (16-wide): at sf0.001 all 10
+    # suppkeys share block 0 and the two layouts coincide on d1 granularity
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    max_supp = load(spark, sf_dir, "lineitem").agg(
+        F.max("l_suppkey")
+    ).collect()[0][0]
+    if max_supp >= 16:
+        assert zo["hit_rows"] < lin["hit_rows"], "zorder must prune harder"
+
+
+def test_decimal_exact_is_partitioning_invariant(spark, sf_dir):
+    """The POINT of decimal aggregation: the result must be bit-identical
+    under different partitionings / summation orders (a double sum is not)."""
+    from aws_vpc_flow_log_appender_spark.operators.aggregates import (
+        agg_decimal_exact,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    base = sorted(tuple(r) for r in agg_decimal_exact(spark, sf_dir).collect())
+
+    l = load(spark, sf_dir, "lineitem").repartition(7)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (
+        F.lit(1.0).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    rev = (price * disc).cast("decimal(24,6)")
+    reshuffled = sorted(
+        tuple(r)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev) * F.lit(1000000)).cast("long").alias("revenue_micros"),
+        )
+        .collect()
+    )
+    assert base == reshuffled, "decimal sums must not depend on partitioning"
