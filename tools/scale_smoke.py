@@ -1576,6 +1576,78 @@ def main() -> int:
         "t_s": round(t_bloom, 2),
     }
 
+    # 18) layout + decimal at scale: the multiplied lineitem offsets only
+    # l_orderkey, so shipdate/suppkey distributions are copy-identical and
+    # EVERY zorder/linear skipping statistic and the exact decimal revenue
+    # must scale by exactly mult (the decimal sum additionally proves no
+    # precision overflow at mult x 600k rows).
+    from aws_vpc_flow_log_appender_spark.operators.aggregates import (
+        agg_decimal_exact,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.relational import (
+        sort_zorder_layout,
+    )
+
+    ltmp = tempfile.mkdtemp(prefix="scale_layout_")
+    try:
+        li.write.mode("overwrite").parquet(f"{ltmp}/lineitem.parquet")
+        base_layout = {
+            r["layout"]: r for r in sort_zorder_layout(spark, SF_DIR).collect()
+        }
+        base_dec = {
+            r["l_returnflag"]: r for r in agg_decimal_exact(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        big_layout = {
+            r["layout"]: r for r in sort_zorder_layout(spark, ltmp).collect()
+        }
+        t_layout = time.perf_counter() - t0
+        layout_ok = True
+        for lay, b in base_layout.items():
+            g = big_layout[lay]
+            if (
+                g["n_buckets"] != b["n_buckets"]
+                or g["n_hit_buckets"] != b["n_hit_buckets"]
+                or g["hit_rows"] != b["hit_rows"] * mult
+                or g["box_rows"] != b["box_rows"] * mult
+            ):
+                print(f"FAIL layout scaling {lay}: {dict(g.asDict())}")
+                layout_ok = ok = False
+        t0 = time.perf_counter()
+        big_dec = {
+            r["l_returnflag"]: r for r in agg_decimal_exact(spark, ltmp).collect()
+        }
+        t_dec = time.perf_counter() - t0
+        dec_ok = True
+        for flag, b in base_dec.items():
+            g = big_dec[flag]
+            if (
+                g["n_items"] != b["n_items"] * mult
+                or g["revenue_micros"] != b["revenue_micros"] * mult
+            ):
+                print(f"FAIL decimal scaling {flag}")
+                dec_ok = ok = False
+        amp = {
+            lay: float(r["io_amplification"]) for lay, r in big_layout.items()
+        }
+        print(
+            f"scale_smoke layout mult={mult}: skipping stats exactly linear: "
+            f"{'YES' if layout_ok else 'NO'} (io_amp {amp}); {t_layout:.1f}s | "
+            f"decimal revenue exact x{mult}: {'YES' if dec_ok else 'NO'}; "
+            f"{t_dec:.1f}s"
+        )
+        artifact["zorder_layout"] = {
+            "linear_exact": layout_ok,
+            "io_amplification": amp,
+            "t_s": round(t_layout, 2),
+        }
+        artifact["decimal_exact"] = {
+            "linear_exact": dec_ok,
+            "t_s": round(t_dec, 2),
+        }
+    finally:
+        shutil.rmtree(ltmp, ignore_errors=True)
+
     artifact["ok"] = ok
     if json_out:
         import json
