@@ -446,6 +446,7 @@ _BROADCAST_BOUNDS = {
     ("operators/joins.py", "bands"): "range-band dim (#bands rows)",
     ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=64 map entries, 512 bytes)",
     ("flagship.py", "routes"): "route table literal (len(_ROUTE_TABLE)=13 rows)",
+    ("operators/relational.py", "box"): "1-row box-count aggregate",
     ("operators/aggregates.py", "c"): "customer dim",
     ("operators/aggregates.py", "n"): "nation dim",
     ("operators/aggregates.py", "r"): "region dim",
