@@ -1323,16 +1323,21 @@ def lpm_best_routes(spark: SparkSession, stats: DataFrame) -> DataFrame:
     addr_role, addr, n_flows, addr_bytes): candidate keys per distinct
     prefix length via exact shiftright, broadcast equi-join on
     (plen, net_shifted), argmax-by-plen per addr. Factored so the scale
-    smoke can drive the identical plan with synthetic addresses."""
+    smoke can drive the identical plan with synthetic addresses.
+
+    Addresses go through the ANSI-safe ``enrich.ip_to_int`` (try_cast +
+    0..255 range checks): the flow-line regex admits unbounded ``\\d+``
+    octets, so a plain element_at/cast would crash the batch under Spark 4
+    ANSI on an overflowing octet, and an octet like 300 would alias onto a
+    DIFFERENT address's integer and route it to a concrete wrong prefix —
+    the exact hazard class the r6 hardening closed for the geo join
+    (code-review session 5). A NULL ip_int produces no candidate match and
+    the address simply drops, mirroring the geo-miss path."""
     from pyspark.sql import Window as W
 
-    sp = F.split(F.col("addr"), r"\.")
-    ip_int = (
-        F.element_at(sp, 1).cast("long") * F.lit(16777216)
-        + F.element_at(sp, 2).cast("long") * F.lit(65536)
-        + F.element_at(sp, 3).cast("long") * F.lit(256)
-        + F.element_at(sp, 4).cast("long")
-    )
+    from .enrich import ip_to_int
+
+    ip_int = ip_to_int("addr")
     cands = stats.select(
         "addr_role", "addr", "n_flows", "addr_bytes",
         F.explode(

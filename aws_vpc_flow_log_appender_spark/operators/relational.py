@@ -418,11 +418,16 @@ def sort_zorder_layout(spark, sf_dir):
     lo1, hi1 = _Z_BOX_D1
     lo2, hi2 = _Z_BOX_D2
     z = _z_interleave_sql("d1", "d2")
+    # floor(), not div: Spark's integer div truncates toward zero while the
+    # oracle's floor goes toward -inf — identical on the current (all-
+    # positive) d1 domain, but a pre-1995 shipdate would silently split the
+    # layouts apart (the r6 'floor-division day buckets' bug class). Same
+    # floor text both sides.
     tagged = l.selectExpr(
         f"{_Z_D1_SQL} AS d1", f"{_Z_D2_SQL} AS d2"
     ).selectExpr(
         "d1", "d2",
-        f"CAST(d1 div {_Z_A_WIDTH} AS BIGINT) AS bucket_a",
+        f"CAST(floor(d1 / {_Z_A_WIDTH}.0) AS BIGINT) AS bucket_a",
         f"({z} >> {_Z_SHIFT}) AS bucket_z",
     )
     box = tagged.filter(

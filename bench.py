@@ -83,11 +83,13 @@ HEADLINE = [
     "dedup_semantic",
     "corpus_curation_semantic",
     "text_shard_manifest",
-    # r7 session-5 additions: LPM routing join, SCD2 intervals, bloom
-    # semi-join reduction
+    # r7 session-5 additions (all six): LPM routing join, SCD2 intervals,
+    # bloom semi-join reduction, salted skew join, Z-order layout stats,
+    # exact decimal aggregation
     "join_ip_longest_prefix",
     "ts_scd2_intervals",
     "join_bloom_prefilter",
+    "join_skew_salted",
     "sort_zorder_layout",
     "agg_decimal_exact",
 ]
@@ -142,7 +144,8 @@ def main() -> None:
         "sim_ivfpq_rerank_topk", "dedup_semantic",
         "corpus_curation_semantic", "text_shard_manifest",
         "join_ip_longest_prefix", "ts_scd2_intervals",
-        "join_bloom_prefilter", "sort_zorder_layout", "agg_decimal_exact",
+        "join_bloom_prefilter", "join_skew_salted",
+        "sort_zorder_layout", "agg_decimal_exact",
     }
     compact = {
         "metric": "headline_queries_total_runtime",

@@ -26,8 +26,7 @@ def _lpm_ref(ip: str) -> str:
     for rid, cidr, plen, shifted in _route_rows():
         if (ip_int >> (32 - plen) if plen < 32 else ip_int) == shifted:
             if best is None or plen > best[1] or (plen == best[1] and rid < best[0]):
-                if best is None or plen >= best[1]:
-                    best = (rid, plen)
+                best = (rid, plen)
     assert best is not None, "default route guarantees a match"
     return best[0]
 
@@ -56,13 +55,25 @@ def test_lpm_most_specific_wins(spark, sf_dir):
     assert ("dst", "rt-default") not in by_route
     # src side: 72.21.196.65 must land on the non-octet-aligned /20
     assert by_route[("src", "rt-amazon-72")]["cidr"] == "72.21.192.0/20"
-    # python reference agrees per fixture address
+    # python reference agrees PER ADDRESS (the aggregate rollup can't show
+    # this, so drive the factored core on a one-row-per-address frame —
+    # an earlier draft only checked the reference route_id appeared
+    # SOMEWHERE in the result, which a per-address misroute could satisfy)
     from aws_vpc_flow_log_appender_spark import fixtures
+    from aws_vpc_flow_log_appender_spark.flagship import lpm_best_routes
 
-    for ip in fixtures.PUBLIC_IPS + fixtures.PRIVATE_IPS:
-        assert any(
-            r["route_id"] == _lpm_ref(ip) for r in rows if r["addr_role"] == "src"
-        )
+    all_ips = fixtures.PUBLIC_IPS + fixtures.PRIVATE_IPS + [
+        "172.31.16.21", "172.31.16.99", "10.100.2.48", "192.168.4.7",
+    ]
+    stats = spark.createDataFrame(
+        [("probe", ip, 1, 1) for ip in all_ips],
+        ["addr_role", "addr", "n_flows", "addr_bytes"],
+    )
+    resolved = {
+        r["addr"]: r["route_id"] for r in lpm_best_routes(spark, stats).collect()
+    }
+    for ip in all_ips:
+        assert resolved[ip] == _lpm_ref(ip), f"{ip}: {resolved[ip]}"
 
 
 def test_scd2_intervals_chain_and_close(spark, sf_dir):
@@ -162,8 +173,18 @@ def test_skew_salted_join_equals_plain_and_salts_the_key(spark, sf_dir):
         .collect()
     )
     assert got == want
+    # the salt must be in the JOIN CONDITION itself (an earlier draft
+    # checked the whole plan string, which the withColumn projection
+    # satisfies even after the join degenerates to a plain equi-join)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "salt" in analyzed, "join no longer salted"
+    join_lines = [
+        ln for ln in analyzed.splitlines()
+        if ln.lstrip(" :+-").startswith("Join ")
+    ]
+    assert join_lines, "no Join node in the analyzed plan"
+    assert any("salt" in ln for ln in join_lines), (
+        "join condition no longer references the salt"
+    )
 
 
 def test_zorder_layout_prunes_multiplicatively(spark, sf_dir):

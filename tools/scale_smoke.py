@@ -1537,18 +1537,22 @@ def main() -> int:
     bw = 1024
     bloom = bloom_build(cust, "c_custkey", words=bw)
     t0 = time.perf_counter()
-    n_pruned = (
-        orders.join(F.broadcast(bloom))
-        .filter(F.expr(bloom_probe_sql("o_custkey", words=bw)))
-        .count()
-    )
-    n_joined = (
+    # ONE pass: left-join the pruned fact to the dim (c_custkey unique, no
+    # fanout) and count total vs matched in the same aggregation — a first
+    # draft ran the identical probe scan twice for the two counters
+    # (code-review session 5)
+    pruned_counts = (
         orders.join(F.broadcast(bloom))
         .filter(F.expr(bloom_probe_sql("o_custkey", words=bw)))
         .drop("bloom")
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .count()
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count("*").alias("n_pruned"),
+            F.count("c_custkey").alias("n_joined"),
+        )
+        .collect()[0]
     )
+    n_pruned, n_joined = pruned_counts["n_pruned"], pruned_counts["n_joined"]
     t_bloom = time.perf_counter() - t0
     n_orders_total = orders.count()
     if n_joined != base_plain * mult:
