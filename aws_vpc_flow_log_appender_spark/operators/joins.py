@@ -520,9 +520,15 @@ def bloom_probe_sql(key: str, words: int = _BLOOM_WORDS) -> str:
     """Membership predicate over the broadcast ``bloom`` map column: true iff
     ALL k bits are set (a word absent from the map means no dim key hashed
     into it -> not a member). Bloom soundness: members ALWAYS pass. ``words``
-    must match the bloom_build() that produced the map."""
+    must match the bloom_build() that produced the map.
+
+    try_element_at, not element_at (ADVICE r7 #2): the NULL-on-missing-key
+    contract this predicate leans on is explicit in try_element_at on every
+    Spark version, while plain element_at under older ANSI semantics throws
+    MAP_KEY_DOES_NOT_EXIST — a sparse bloom (small dim leaving words empty)
+    would crash the query on such runtimes instead of filtering."""
     return " AND ".join(
-        f"coalesce(element_at(bloom,"
+        f"coalesce(try_element_at(bloom,"
         f" CAST(({_bloom_pos_sql(key, s, words)}) div 64 AS INT))"
         f" & shiftleft(CAST(1 AS BIGINT),"
         f" CAST(({_bloom_pos_sql(key, s, words)}) % 64 AS INT)),"
@@ -546,7 +552,7 @@ def bloom_probe_sql(key: str, words: int = _BLOOM_WORDS) -> str:
 def join_bloom_prefilter(spark, sf_dir):
     """Semi-join reduction via an explicit bloom filter — THE 100 TB scan-
     pruning move when the dim side is too large to broadcast as a hash table
-    but its 512-byte bloom is not: build k=3/m=4096 bloom over the dim keys
+    but its few-KB bloom is not: build a k=3 bloom over the dim keys
     (one aggregate, bit_or per word), broadcast the single bitmap row onto
     the fact, and drop non-members BEFORE the join's Exchange. False
     positives pass through to the exact join, so the RESULT is bit-identical
@@ -558,13 +564,22 @@ def join_bloom_prefilter(spark, sf_dir):
 
     Everything is JVM-side Column algebra: xxhash64 -> pmod -> shiftleft ->
     bit_or aggregate; no UDF, no collect (the bitmap rides a 1-row broadcast
-    cross join)."""
+    cross join).
+
+    words=1024 (65536 bits, ADVICE r7 #1): the MACHINERY dim is ~3k keys at
+    sf0.1, past the default 4096-bit map's ~500-key saturation point — the
+    undersized bloom stayed bit-identical (the exact join clears false
+    positives) but passed most non-members, demonstrating no pruning. 16+
+    bits/key keeps the demonstrated pass rate at the ~1% design point
+    (tools/scale_smoke.py section 17 sizes the same way)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
     o = load(spark, sf_dir, "orders")
 
-    bloom = bloom_build(c, "c_custkey")
+    bloom = bloom_build(c, "c_custkey", words=1024)
     probed = o.join(F.broadcast(bloom))
-    pruned = probed.filter(F.expr(bloom_probe_sql("o_custkey"))).drop("bloom")
+    pruned = probed.filter(
+        F.expr(bloom_probe_sql("o_custkey", words=1024))
+    ).drop("bloom")
 
     # Exact join clears the false positives; result == plain join.
     return (

@@ -337,7 +337,17 @@ _Z_D2_SQL = "CAST(l_suppkey AS BIGINT)"
 
 
 def _z_interleave_sql(a: str, b: str) -> str:
-    """Morton code: bit i of ``a`` at position 2i, of ``b`` at 2i+1."""
+    """Morton code: bit i of ``a`` at position 2i, of ``b`` at 2i+1.
+
+    16-bit dimension bound (ADVICE r7 #3): only the low 16 bits of each
+    dimension interleave, so inputs past 65535 alias onto the same
+    z-buckets — l_suppkey crosses that around sf6. Aliasing degrades only
+    the PRUNING statistics (more buckets intersect the box), never the
+    result: the audit recomputes membership from the raw dimensions, and
+    both engines share this exact expression text. A production layout at
+    that scale would interleave a bounded BUCKET of the wide dimension
+    (e.g. pmod(l_suppkey, 65536)) — same code, one substitution — at the
+    usual z-order cost of coarser per-dimension resolution."""
     terms = []
     for i in range(16):
         terms.append(f"((({a} >> {i}) & 1) << {2 * i})")

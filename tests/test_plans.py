@@ -444,7 +444,7 @@ _BROADCAST_BOUNDS = {
     ("operators/joins.py", "r"): "region dim",
     ("operators/joins.py", "b"): "5-row tagged literal set",
     ("operators/joins.py", "bands"): "range-band dim (#bands rows)",
-    ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=64 map entries, 512 bytes)",
+    ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=1024 map entries, 8 KB)",
     ("flagship.py", "routes"): "route table literal (len(_ROUTE_TABLE)=13 rows)",
     ("operators/relational.py", "box"): "1-row box-count aggregate",
     ("operators/aggregates.py", "c"): "customer dim",

@@ -1500,10 +1500,16 @@ def main() -> int:
                 f"({exp_addrs}, {exp_flows})"
             )
             lpm_ok = ok = False
-    n_distinct = sum(min(n_addr_ids // n_routes + 1, c) for c in caps)
+    # exact distinct count from the same per-route exp_flows the checks use
+    # (ADVICE r7 #4: the old estimate added the remainder +1 to every route)
+    n_distinct = sum(
+        min(n_addr_ids // n_routes + (1 if i < n_addr_ids % n_routes else 0),
+            caps[i])
+        for i in range(n_routes)
+    )
     print(
         f"scale_smoke lpm mult={mult}: {n_addr_ids:,} addresses over "
-        f"{n_routes} overlapping routes (~{n_distinct:,} distinct) "
+        f"{n_routes} overlapping routes ({n_distinct:,} distinct) "
         f"closed-form exact: {'YES' if lpm_ok else 'NO'}; {t_lpm:.1f}s"
     )
     artifact["lpm_routing"] = {
