@@ -1392,3 +1392,183 @@ def dedup_segments_scrub(spark, sf_dir):
 dedup_segments_scrub.__doc__ = dedup_segments_scrub.__doc__.replace(
     "{SEG}", str(SEGMENT_TOKENS)
 )
+
+
+# --- paragraph/span keep-first dedup (VERDICT r7 "Next round" #3) -----------
+
+# dedup_segments_scrub above is the SYMMETRIC form (drop every copy of a
+# cross-doc repeated segment). The keep-first form below is what production
+# crawls run when a canonical corpus order exists (ours: doc_id, then
+# position): the FIRST occurrence of every repeated span survives, later
+# copies drop, and each document is reassembled from its surviving spans.
+
+_SEG_CTES = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE text IS NOT NULL
+    ),
+    seg AS (
+      SELECT doc_id, i AS seg_id,
+             array_to_string(l[i * {SEGMENT_TOKENS} + 1 : (i + 1) * {SEGMENT_TOKENS}], ' ')
+               AS seg_text
+      FROM tok, unnest(generate_series(0,
+             CAST(ceil(len(l) / {SEGMENT_TOKENS}.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    pmarked AS (
+      SELECT doc_id, seg_id, seg_text,
+             row_number() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg_id) AS rn,
+             count(*) OVER (PARTITION BY seg_text) AS n_copies
+      FROM seg
+    )"""
+
+
+def _segment_table(d):
+    """(doc_id, seg_id, seg_text) — the corpus split into disjoint
+    SEGMENT_TOKENS-word spans, checkpointed because every consumer both
+    aggregates it and joins back against it (the dedup_segments_scrub
+    reused-subplan discipline; its body builds the same relation inline
+    and predates this helper)."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("l"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(float(SEGMENT_TOKENS)))
+                    .cast("long") - 1,
+                )
+            ).alias("seg_id"),
+        )
+        .select(
+            "doc_id",
+            "seg_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("l"),
+                    (F.col("seg_id") * SEGMENT_TOKENS + 1).cast("int"),
+                    SEGMENT_TOKENS,
+                ),
+            ).alias("seg_text"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _paragraph_marked(spark, sf_dir):
+    """The keep-first decision table: every segment row tagged kept (first
+    occurrence in (doc_id, seg_id) corpus order) or dropped, plus its span's
+    total copy count. The argmin is min(struct(doc_id, seg_id)) in ONE
+    groupBy on the span text — partial-aggregable (map-side combine), no
+    corpus-wide window sort — then an equi-join back on the span text that
+    reuses the aggregate's hash partitioning (AQE may broadcast the
+    group table instead when it is small; both plans are one shuffle of
+    the segment table). The oracle states the same decision as a
+    row_number window because DuckDB runs once over sf0.01, not 100 TB."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seg = _segment_table(d)
+    firsts = seg.groupBy("seg_text").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("first_pos"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return seg.join(firsts, "seg_text").select(
+        "doc_id",
+        "seg_id",
+        "seg_text",
+        F.when(
+            (F.col("doc_id") == F.col("first_pos.doc_id"))
+            & (F.col("seg_id") == F.col("first_pos.seg_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+        F.col("n_copies"),
+    )
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=_SEG_CTES + """
+    SELECT doc_id, seg_id AS para_idx, md5(seg_text) AS para_hash,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS kept,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM pmarked
+    """,
+    tags=("dedup", "text", "paragraph", "keep-first"),
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Span-level exact-substring dedup, keep-first (C4's repeated-span
+    rule in its ordered form): documents explode into disjoint
+    SEGMENT_TOKENS-word spans; the first occurrence of each distinct span
+    in (doc_id, position) corpus order is KEPT, every later copy across
+    the whole corpus is DROPPED. Document-level dedup (exact / MinHash /
+    SemDeDup) cannot see this class — boilerplate, licenses, navigation
+    chrome repeat across documents that are globally distinct.
+
+    Output is the per-span audit row (position, span hash, kept flag,
+    corpus-wide copy count) a curation pipeline joins back against the
+    corpus; dedup_paragraph_stats below is the per-document rollup.
+
+    Scale shape: one explode (~tokens/8 rows), one shuffle on the span
+    text for the partial-aggregable argmin+count, one join back on the
+    same key (exchange reuse or AQE broadcast) — exactly dedup_exact's
+    shape at paragraph granularity; nothing is corpus-quadratic and no
+    global window sort exists on the Spark side. NULL-text documents are
+    out of scope on both engines (the dedup_segments_scrub contract)."""
+    return _paragraph_marked(spark, sf_dir).select(
+        "doc_id",
+        F.col("seg_id").alias("para_idx"),
+        F.md5(F.encode("seg_text", "utf-8")).alias("para_hash"),
+        "kept",
+        "n_copies",
+    )
+
+
+@query(
+    "dedup_paragraph_stats",
+    oracle=_SEG_CTES + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           floor((sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / (count(*) + 0.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS kept_frac,
+           md5(coalesce(string_agg(seg_text, ' ' ORDER BY seg_id)
+                        FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM pmarked GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "paragraph", "keep-first"),
+)
+def dedup_paragraph_stats(spark, sf_dir):
+    """Reassembly audit of the keep-first span dedup: per document, how
+    many spans it had, how many survived (first occurrences), the kept
+    fraction, and the md5 of the text REBUILT from surviving spans in
+    position order — the digest proves the reassembly, not just the
+    counts (the dedup_segments_scrub kept_md5 discipline). A document
+    whose every span was seen earlier reassembles to the empty string
+    (kept_md5 = md5('')), which is exactly the row a curation pipeline
+    drops.
+
+    Same plan as dedup_paragraphs plus one per-doc aggregate; the rebuilt
+    text is array_sort(collect_list(struct(seg_id, ...))) INSIDE the doc
+    group — deterministic, no corpus window."""
+    marked = _paragraph_marked(spark, sf_dir)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kept") == 1, F.struct("seg_id", "seg_text"))
+                )
+            ),
+            lambda s: s["seg_text"],
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        round_half_up(F.sum("kept") / F.count(F.lit(1)), 6).alias("kept_frac"),
+        F.md5(kept_text).alias("kept_md5"),
+    )

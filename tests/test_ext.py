@@ -1426,3 +1426,55 @@ def test_text_dsir_importance_separates_domains(spark, tmp_path):
         assert math.isclose(got[i]["dsir_logratio"], w, abs_tol=5e-6)
     assert got[1]["dsir_logratio"] > 0 > got[3]["dsir_logratio"]
     assert got[3]["dsir_logratio"] < got[5]["dsir_logratio"] < got[1]["dsir_logratio"]
+
+
+def test_dedup_paragraphs_keep_first_planted(spark, tmp_path):
+    """Keep-first span dedup: the FIRST occurrence (corpus (doc_id, pos)
+    order) of a repeated span survives, later copies drop — across docs AND
+    within one doc — and the stats query reassembles exactly the survivors."""
+    import hashlib
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        SEGMENT_TOKENS,
+        dedup_paragraph_stats,
+        dedup_paragraphs,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(SEGMENT_TOKENS))
+    tail_a = " ".join(f"a{i}" for i in range(SEGMENT_TOKENS))
+    tail_b = " ".join(f"b{i}" for i in range(SEGMENT_TOKENS))
+    rep = " ".join(f"r{i}" for i in range(SEGMENT_TOKENS))
+    rows = [
+        (1, shared + " " + tail_a, "en", "s0", 0),
+        (2, shared + " " + tail_b, "en", "s0", 0),
+        (3, rep + " " + rep, "en", "s0", 0),  # within-doc repeat
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    out = {
+        (r["doc_id"], r["para_idx"]): r
+        for r in dedup_paragraphs(spark, d).collect()
+    }
+    # doc 1 owns both first occurrences
+    assert out[(1, 0)]["kept"] == 1 and out[(1, 0)]["n_copies"] == 2
+    assert out[(1, 1)]["kept"] == 1 and out[(1, 1)]["n_copies"] == 1
+    # doc 2's shared span is the later copy; its tail is unique
+    assert out[(2, 0)]["kept"] == 0 and out[(2, 0)]["n_copies"] == 2
+    assert out[(2, 0)]["para_hash"] == md5(shared)
+    assert out[(2, 1)]["kept"] == 1
+    # within-doc repeat: first kept, second dropped
+    assert out[(3, 0)]["kept"] == 1 and out[(3, 1)]["kept"] == 0
+    assert out[(3, 0)]["n_copies"] == 2
+
+    stats = {r["doc_id"]: r for r in dedup_paragraph_stats(spark, d).collect()}
+    assert stats[1]["n_kept"] == 2 and stats[1]["kept_md5"] == md5(
+        shared + " " + tail_a
+    )
+    assert stats[2]["n_kept"] == 1 and stats[2]["kept_md5"] == md5(tail_b)
+    assert stats[3]["n_paras"] == 2 and stats[3]["n_kept"] == 1
+    assert stats[3]["kept_md5"] == md5(rep)
+    assert stats[3]["kept_frac"] == 0.5
