@@ -1478,3 +1478,45 @@ def test_dedup_paragraphs_keep_first_planted(spark, tmp_path):
     assert stats[3]["n_paras"] == 2 and stats[3]["n_kept"] == 1
     assert stats[3]["kept_md5"] == md5(rep)
     assert stats[3]["kept_frac"] == 0.5
+
+
+def test_dedup_incremental_snapshot_drops_recrawls_and_bloom_prunes(spark, sf_dir):
+    """Every re-crawl (snapshot content under a fresh doc_id) is dropped,
+    every genuinely-new doc survives, and the bloom split actually routes:
+    the definitely-new branch (bloom miss, skips the snapshot join) holds
+    most of the batch while the checked branch stays near the true
+    re-crawl count (~1% FP design point)."""
+    from pyspark.sql import functions as F
+
+    from aws_vpc_flow_log_appender_spark.ext.dedup import (
+        _RECRAWL_OFFSET,
+        _SNAP_BLOOM_WORDS,
+        _incremental_split,
+        dedup_incremental_snapshot,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.joins import (
+        bloom_build,
+        bloom_probe_sql,
+    )
+
+    out = dedup_incremental_snapshot(spark, sf_dir).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids and all(i < _RECRAWL_OFFSET for i in ids)  # no re-crawl survives
+    assert all(i % 5 == 4 for i in ids)  # exactly the new-doc class
+
+    snap_keys, batch = _incremental_split(spark, sf_dir)
+    n_recrawl = batch.filter(F.col("doc_id") >= _RECRAWL_OFFSET).count()
+    n_new = batch.count() - n_recrawl
+    assert n_recrawl > 0  # the drop class is populated at every SF
+    assert len(ids) == n_new
+
+    # bloom routing: misses (definitely new) skip the join; passers are the
+    # re-crawls plus a small FP tail
+    bloom = bloom_build(snap_keys, "content_key", words=_SNAP_BLOOM_WORDS)
+    probe = bloom_probe_sql("content_key", words=_SNAP_BLOOM_WORDS)
+    firsts = batch.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    probed = firsts.join(F.broadcast(bloom))
+    n_pass = probed.filter(F.expr(probe)).count()
+    n_total = firsts.count()
+    assert n_pass >= n_recrawl  # soundness: every member passes
+    assert n_pass - n_recrawl <= max(3, n_total // 20)  # FP tail stays small
