@@ -474,3 +474,115 @@ def sort_zorder_layout(spark, sf_dir):
             F.col("hit_rows") / F.nullif(F.col("box_rows"), F.lit(0)), 2
         ).alias("io_amplification"),
     )
+
+
+# --- MERGE-style CDC snapshot reconciliation (VERDICT r7 "Next round" #4) ---
+
+@query(
+    "cdc_merge_snapshot",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    base AS (
+      SELECT user_id, event_type AS state, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM t WHERE event_id % 4 != 0
+      ) WHERE rn = 1
+    ),
+    chg AS (
+      SELECT user_id, event_type AS state, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM t WHERE event_id % 4 = 0
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(b.user_id, c.user_id) AS user_id,
+           CASE WHEN c.op = 'U' THEN c.state ELSE b.state END AS state,
+           floor((CASE WHEN c.op = 'U' THEN c.value ELSE b.value END)
+                 * 10000.0 + 0.5) / 10000.0 AS value,
+           CASE WHEN c.user_id IS NULL THEN 'carry'
+                WHEN b.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN chg c ON c.user_id = b.user_id
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+    tags=("cdc", "merge", "upsert", "warehouse"),
+)
+def cdc_merge_snapshot(spark, sf_dir):
+    """MERGE-style changeset application — the warehouse primitive
+    complementary to ts_scd2_intervals (which builds HISTORY from a log;
+    this builds the NEW SNAPSHOT from base + changes): a base table and a
+    keyed changeset with an op column reconcile via full-outer-join CASE
+    semantics — 'U' upserts (update when matched, insert when not — the
+    idempotent CDC apply), 'D' deletes, keys untouched by the changeset
+    carry forward. This is the batch form of the foreachBatch
+    idempotent-sink pattern, and the logical plan behind Delta/Iceberg
+    MERGE INTO re-expressed as a first-class operator.
+
+    Fixture derivation (deterministic at every SF): the base snapshot is
+    the latest state per user over the 3/4 of the event log with
+    event_id % 4 != 0; the changeset is the latest event per user over
+    the % 4 == 0 quarter, with op = 'D' for 'error' events (the delete
+    marker) and 'U' otherwise. Latest-per-key on the Spark side is
+    max(struct(us, event_id, ...)) — partial-aggregable argmax with the
+    (us, event_id) unique total order, no window sort; the oracle states
+    the same order as row_number DESC.
+
+    Plan shape: both latest-per-key aggregates and the full outer join
+    hash on user_id, so Catalyst plans the join WITHOUT a new Exchange on
+    either side (the aggregates' output partitioning is reused — pinned
+    by tests/test_plans.py). One shuffle per input, total; action tags
+    ('carry'/'update'/'insert') make every MERGE branch observable, and
+    deletes are observable as absent keys."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t_us = F.unix_micros("ts")
+
+    def latest(df):
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        t_us.alias("us"),
+                        F.col("event_id"),
+                        F.col("event_type").alias("state"),
+                        F.col("value"),
+                    )
+                ).alias("last")
+            )
+            .select("user_id", "last.state", "last.value")
+        )
+
+    base = latest(e.filter(F.col("event_id") % 4 != 0))
+    chg = latest(e.filter(F.col("event_id") % 4 == 0)).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("state").alias("c_state"),
+        F.col("value").alias("c_value"),
+        F.when(F.col("state") == "error", "D").otherwise("U").alias("op"),
+    )
+    merged = base.join(
+        chg, base.user_id == chg.c_user_id, "full_outer"
+    ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return merged.select(
+        F.coalesce(base.user_id, F.col("c_user_id")).alias("user_id"),
+        F.when(F.col("op") == "U", F.col("c_state"))
+        .otherwise(F.col("state"))
+        .alias("state"),
+        round_half_up(
+            F.when(F.col("op") == "U", F.col("c_value")).otherwise(
+                F.col("value")
+            ),
+            4,
+        ).alias("value"),
+        F.when(F.col("c_user_id").isNull(), "carry")
+        .when(base.user_id.isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )

@@ -1,0 +1,56 @@
+"""Unit tests for the r8 additions: CDC MERGE snapshot reconciliation,
+incremental snapshot dedup (bloom routing — in test_ext.py), paragraph
+keep-first dedup (in test_ext.py), capped SemDeDup, and the append-mode
+sliding window. The oracle sweep proves end-to-end hashes; these pin the
+SEMANTIC branches each operator exists for."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aws_vpc_flow_log_appender_spark.operators.relational import cdc_merge_snapshot
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_cdc_merge_snapshot_all_four_branches(spark, tmp_path):
+    """Planted changelog hitting every MERGE branch: carry (no change row),
+    update (op=U on existing key, latest change wins), insert (op=U on a
+    key absent from base), delete (op=D removes the key), and delete-of-
+    missing (no-op, key absent from output)."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: base only (event_id % 4 != 0) -> carry
+        (1, t(0), 1, "view", 1.0, "{}"),
+        # user 2: base + TWO changes (%4 == 0); the later change wins
+        (2, t(0), 2, "view", 2.0, "{}"),
+        (4, t(1), 2, "click", 2.5, "{}"),
+        (8, t(2), 2, "signup", 2.75, "{}"),
+        # user 3: base + delete marker
+        (3, t(0), 3, "view", 3.0, "{}"),
+        (12, t(1), 3, "error", 3.5, "{}"),
+        # user 4: change only, op=U -> insert
+        (16, t(0), 4, "purchase", 4.0, "{}"),
+        # user 5: change only, op=D -> no-op (delete of a missing key)
+        (20, t(0), 5, "error", 5.0, "{}"),
+        # user 6: base latest-per-key — later base event wins, then carries
+        (5, t(0), 6, "view", 6.0, "{}"),
+        (9, t(3), 6, "click", 6.5, "{}"),
+    ]
+    d = str(tmp_path / "cdc")
+    _write_events(spark, d, rows)
+
+    out = {r["user_id"]: r for r in cdc_merge_snapshot(spark, d).collect()}
+    assert set(out) == {1, 2, 4, 6}  # 3 deleted, 5 never existed
+    assert out[1]["action"] == "carry" and out[1]["state"] == "view"
+    assert out[2]["action"] == "update"
+    assert out[2]["state"] == "signup" and out[2]["value"] == 2.75
+    assert out[4]["action"] == "insert" and out[4]["state"] == "purchase"
+    assert out[6]["action"] == "carry" and out[6]["state"] == "click"
+    assert out[6]["value"] == 6.5
