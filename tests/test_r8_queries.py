@@ -54,3 +54,41 @@ def test_cdc_merge_snapshot_all_four_branches(spark, tmp_path):
     assert out[4]["action"] == "insert" and out[4]["state"] == "purchase"
     assert out[6]["action"] == "carry" and out[6]["state"] == "click"
     assert out[6]["value"] == 6.5
+
+
+def test_dedup_semantic_capped_monotone_and_cap_active(spark, sf_dir):
+    """Capping only removes CHALLENGERS, so every vector dedup_semantic
+    keeps is also kept by the capped variant (per-vector monotonicity);
+    and the cap must be genuinely ACTIVE on the fixture — hot cells with
+    real sub-buckets AND cold cells still on the exact path — or the
+    driver row would prove nothing about the safety valve."""
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        SEMDEDUP_CELL_CAP,
+        dedup_semantic,
+        dedup_semantic_capped,
+    )
+
+    plain = {r["vec_id"]: r for r in dedup_semantic(spark, sf_dir).collect()}
+    capped = {
+        r["vec_id"]: r for r in dedup_semantic_capped(spark, sf_dir).collect()
+    }
+    assert set(plain) == set(capped)  # every member decided in both
+    for vid, p in plain.items():
+        c = capped[vid]
+        assert c["cluster_id"] == p["cluster_id"]
+        if p["kept"] == 1:
+            assert c["kept"] == 1  # monotone: capping never drops more
+
+    # cap engaged: hot cells produce nonzero sub-buckets…
+    subs = {}
+    for r in capped.values():
+        subs.setdefault(r["cluster_id"], set()).add(r["sub_bucket"])
+    assert any(s - {0} for s in subs.values())
+    # …and at least one cell stays on the exact path at sf<=0.01
+    from collections import Counter
+
+    cell_n = Counter(r["cluster_id"] for r in capped.values())
+    assert any(n <= SEMDEDUP_CELL_CAP for n in cell_n.values())
+    for cid, n in cell_n.items():
+        if n <= SEMDEDUP_CELL_CAP:
+            assert subs[cid] == {0}
