@@ -724,3 +724,90 @@ def test_stream_stream_join_restart_recovers_join_state(spark, tmp_path):
         ).collect()
     }
     assert set(pairs1) | set(pairs2) == batch_pairs == {(1, 3), (2, 4)}
+
+
+def test_sliding_append_window_drops_late_rows_from_both_windows(spark, tmp_path):
+    """The sliding twin of the append tumbling test (r8, backing
+    stream_sliding_window_append): every event feeds TWO overlapping
+    windows; a late row whose windows were both flushed + evicted in an
+    earlier epoch is dropped from BOTH (no merge, no re-emission); each
+    window is emitted exactly once; and emission-at-boundary is <= — the
+    window ending exactly AT the final watermark flushes."""
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    aligned_us = (BASE_US // 3_600_000_000 + 1) * 3_600_000_000
+
+    def mk(path, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, value double"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.lit(aligned_us) + F.col("us")).alias("ts"),
+            "value",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    m = 60_000_000  # one minute in micros
+    file_a = [
+        (0, 1, 0 * m, 1.0),      # windows [-30,30) and [0,60)
+        (1, 1, 31 * m, 1.0),     # windows [0,60) and [30,90)
+        (2, 1, 120 * m, 1.0),    # 2h
+    ]
+    file_b = [(3, 1, 180 * m, 1.0)]   # 3h: watermark 1h30m evicts the early windows
+    file_c = [
+        (4, 1, 5 * m, 100.0),    # LATE: both its windows already evicted
+        (5, 1, 240 * m, 1.0),    # 4h: final watermark 3h30m
+    ]
+    mk(str(src / "slice_a.parquet"), file_a, now - 600)
+    mk(str(src / "slice_b.parquet"), file_b, now - 500)
+    mk(str(src / "slice_c.parquet"), file_c, now - 400)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/slice_*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(
+            ((F.unix_micros(F.col("window.start")) - aligned_us) / m)
+            .cast("long").alias("win_m"),
+            "n", "v",
+        )
+    )
+    epochs: dict[int, list] = {}
+
+    def capture(df, epoch_id: int) -> None:
+        epochs[epoch_id] = df.collect()
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    by_win: dict[int, dict] = {}
+    for rows in epochs.values():
+        for r in rows:
+            assert r["win_m"] not in by_win, (
+                f"window {r['win_m']} emitted more than once"
+            )
+            by_win[r["win_m"]] = r
+    # the late 100.0 row leaked nowhere (both its windows were evicted)
+    assert all(r["v"] < 100.0 for r in by_win.values())
+    # exact emission set, including the <= boundary: [2h30,3h30) ends
+    # exactly at the final 3h30m watermark and MUST flush
+    assert set(by_win) == {-30, 0, 30, 90, 120, 150}, by_win
+    assert by_win[-30]["n"] == 1      # e0 only — late e4 dropped
+    assert by_win[0]["n"] == 2        # e0 + e1 — late e4 dropped
+    assert by_win[30]["n"] == 1      # e1's second window
+    assert by_win[150]["n"] == 1     # the boundary window (e3)
+    assert len(epochs) >= 3

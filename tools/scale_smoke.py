@@ -225,6 +225,127 @@ def main() -> int:
             "t_minhash_s": round(t_mh, 2),
         }
 
+        # 3b2) keep-first paragraph dedup at scale (r8). Two checks, both
+        # fully distributed (violation COUNTS collected, never rows):
+        # (a) the keep-first invariant recomputed independently over the
+        # output — every span group has exactly one kept row and it is the
+        # (doc_id, pos) argmin; (b) the copy-corpus closed form — a copy
+        # doc's interior spans duplicate an earlier copy's (the perturbed
+        # " copyword{k}" suffix only alters each doc's TAIL span), so
+        # copies (__copy > 0) keep AT MOST one span per doc, and at least
+        # one tail survives. One shuffle on the span text regardless of
+        # mult.
+        from aws_vpc_flow_log_appender_spark.ext.dedup import dedup_paragraphs
+
+        t0 = time.perf_counter()
+        para = dedup_paragraphs(spark, tmpdir).localCheckpoint()
+        n_spans = para.count()
+        groups = para.groupBy("para_hash").agg(
+            F.sum("kept").alias("n_kept"),
+            F.min(F.struct("doc_id", "para_idx")).alias("first_pos"),
+            F.min(
+                F.when(F.col("kept") == 1, F.struct("doc_id", "para_idx"))
+            ).alias("kept_pos"),
+        )
+        n_viol = groups.filter(
+            (F.col("n_kept") != 1)
+            | (F.col("first_pos") != F.col("kept_pos"))
+        ).count()
+        copy_stats = (
+            para.filter(F.col("doc_id") >= 10 ** 10)
+            .groupBy("doc_id")
+            .agg(F.sum("kept").alias("n_kept"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_kept").alias("kept_total"),
+                F.max("n_kept").alias("kept_max"),
+            )
+            .collect()[0]
+        )
+        t_para = time.perf_counter() - t0
+        para_ok = n_viol == 0
+        if mult > 1 and (
+            copy_stats["kept_max"] > 1 or copy_stats["kept_total"] == 0
+        ):
+            print(
+                f"FAIL paragraphs copy closed form: copy docs kept max "
+                f"{copy_stats['kept_max']} spans/doc, {copy_stats['kept_total']} total"
+            )
+            para_ok = False
+        if n_viol:
+            print(f"FAIL paragraphs keep-first: {n_viol} violating span groups")
+        if not para_ok:
+            ok = False
+        print(
+            f"scale_smoke paragraphs mult={mult}: {n_spans:,} spans in "
+            f"{t_para:.1f}s; keep-first argmin violations: {n_viol}; copy "
+            f"docs kept {int(copy_stats['kept_total'] or 0):,} tail spans over "
+            f"{int(copy_stats['n_docs'] or 0):,} docs (max {int(copy_stats['kept_max'] or 0)}/doc); "
+            f"{'OK' if para_ok else 'FAIL'}"
+        )
+        artifact["paragraph_dedup"] = {
+            "spans": n_spans,
+            "argmin_violations": n_viol,
+            "copy_kept_spans": int(copy_stats["kept_total"] or 0),
+            "copy_kept_max_per_doc": int(copy_stats["kept_max"] or 0),
+            "exact": para_ok,
+            "t_s": round(t_para, 2),
+        }
+
+        # 3b3) incremental snapshot dedup at scale (r8): doc_id residues are
+        # preserved under +k*1e10, so the snapshot/batch/re-crawl classes
+        # scale with mult and the invariant is exact — every re-crawl drops,
+        # every (unique, perturbed) new doc survives: survivors = mult x
+        # base new-doc count. The fixed grading-scale bloom (words=1024)
+        # saturates as the snapshot grows past ~16k keys — recorded here as
+        # the definitely-new routing share collapsing (result stays exact;
+        # production sizes words to the snapshot, same one-argument knob).
+        from aws_vpc_flow_log_appender_spark.ext.dedup import (
+            _SNAP_BLOOM_WORDS,
+            _incremental_split,
+            dedup_incremental_snapshot,
+        )
+        from aws_vpc_flow_log_appender_spark.operators.joins import (
+            bloom_build,
+            bloom_probe_sql,
+        )
+
+        base_new = dedup_incremental_snapshot(spark, SF_DIR).count()
+        t0 = time.perf_counter()
+        inc_rows = dedup_incremental_snapshot(spark, tmpdir)
+        n_inc = inc_rows.count()
+        bad_inc = inc_rows.filter(
+            (F.col("doc_id") % 10 ** 10) % 5 != 4
+        ).count()
+        t_inc = time.perf_counter() - t0
+        inc_ok = n_inc == base_new * mult and bad_inc == 0
+        if not inc_ok:
+            print(
+                f"FAIL incremental dedup at mult={mult}: {n_inc} survivors "
+                f"!= {base_new}x{mult} or {bad_inc} non-new survivors"
+            )
+            ok = False
+        snap_keys, batch = _incremental_split(spark, tmpdir)
+        firsts = batch.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+        bloomf = bloom_build(snap_keys, "content_key", words=_SNAP_BLOOM_WORDS)
+        n_first = firsts.count()
+        n_miss = firsts.join(F.broadcast(bloomf)).filter(
+            ~F.expr(bloom_probe_sql("content_key", words=_SNAP_BLOOM_WORDS))
+        ).count()
+        print(
+            f"scale_smoke incremental mult={mult}: {n_inc:,} survivors "
+            f"(= {base_new:,} x {mult}) in {t_inc:.1f}s; grading-scale bloom "
+            f"routes {n_miss:,}/{n_first:,} ({n_miss / max(n_first, 1):.1%}) "
+            f"around the snapshot join; {'OK' if inc_ok else 'FAIL'}"
+        )
+        artifact["incremental_dedup"] = {
+            "survivors": n_inc,
+            "expected": base_new * mult,
+            "bloom_miss_share": round(n_miss / max(n_first, 1), 4),
+            "exact": inc_ok,
+            "t_s": round(t_inc, 2),
+        }
+
         # 3c) DISTRIBUTED connected components, forced (r5, VERDICT_r04 #3):
         # the in-window smokes take the union-find short-circuit, so the
         # O(log d) pointer-jumping loop that real 100 TB corpora would run
@@ -1146,6 +1267,69 @@ def main() -> int:
                 "closed_form_exact": sem_ok,
                 "t_s": round(t_sem, 2),
             }
+
+        # 7f) CAPPED SemDeDup at scale (r8): the copy corpus is exactly the
+        # hot-cell shape the cap exists for — every trained cell is
+        # mult x base-size, far past SEMDEDUP_CELL_CAP, so every member is
+        # sub-bucketed. Copies carry their original's vector, hence its RP
+        # sign-sketch sub-bucket, so the closed form survives capping:
+        # originals keep their base capped audit row, copies drop at
+        # max_closer_sim = 1.0 against their same-bucket original. The
+        # artifact records the per-task pair bound the cap buys — the
+        # hottest (cell, sub_bucket) task vs the hottest uncapped cell —
+        # which is why this section RUNS where 7e's uncapped audit is
+        # bounded to mult<=50.
+        from aws_vpc_flow_log_appender_spark.ext.similarity import (
+            dedup_semantic_capped,
+        )
+
+        base_cap = {
+            r["vec_id"]: (r["kept"], r["max_closer_sim"], r["sub_bucket"])
+            for r in dedup_semantic_capped(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        cap_rows = dedup_semantic_capped(spark, ktmp).collect()
+        t_cap = time.perf_counter() - t0
+        cap_ok = len(cap_rows) == len(base_cap) * mult
+        task_sizes: dict = {}
+        ucell_sizes: dict = {}
+        for r in cap_rows:
+            task_sizes[(r["cluster_id"], r["sub_bucket"])] = (
+                task_sizes.get((r["cluster_id"], r["sub_bucket"]), 0) + 1
+            )
+            ucell_sizes[r["cluster_id"]] = ucell_sizes.get(r["cluster_id"], 0) + 1
+            base_id = r["vec_id"] % (10 ** 10)
+            if r["vec_id"] == base_id:
+                if (r["kept"], r["max_closer_sim"], r["sub_bucket"]) != \
+                        base_cap.get(base_id):
+                    cap_ok = False
+            elif r["kept"] != 0 or r["max_closer_sim"] != 1.0:
+                cap_ok = False
+        if not cap_ok:
+            print(f"FAIL dedup_semantic_capped closed form at mult={mult}")
+            ok = False
+        capped_pairs = sum(n * (n - 1) for n in task_sizes.values())
+        uncapped_pairs = sum(n * (n - 1) for n in ucell_sizes.values())
+        hot_task = max(task_sizes.values()) if task_sizes else 0
+        hot_cell = max(ucell_sizes.values()) if ucell_sizes else 0
+        print(
+            f"scale_smoke semdedup_capped mult={mult}: {len(cap_rows):,} "
+            f"vectors in {t_cap:.1f}s; pair candidates "
+            f"{capped_pairs:,} capped vs {uncapped_pairs:,} uncapped "
+            f"({capped_pairs / max(uncapped_pairs, 1):.1%}), hottest task "
+            f"{hot_task:,} members vs hottest cell {hot_cell:,}; "
+            f"closed form: {'EXACT' if cap_ok else 'MISMATCH'}"
+        )
+        artifact["semdedup_capped"] = {
+            "vectors": len(cap_rows),
+            "tasks": len(task_sizes),
+            "pair_candidates_capped": capped_pairs,
+            "pair_candidates_uncapped": uncapped_pairs,
+            "hot_task_members": hot_task,
+            "hot_cell_members": hot_cell,
+            "closed_form_exact": cap_ok,
+            "t_s": round(t_cap, 2),
+        }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
 
