@@ -1,0 +1,89 @@
+"""Plan-fingerprint pins for the r7/r8 at-scale operators (VERDICT r7
+"Next round" #8): the load-bearing physical-plan facts — broadcasts that
+must stay broadcasts, Exchange counts that must not grow, checkpoints that
+must actually cut recomputation — asserted over executedPlan text so a
+Spark upgrade or refactor cannot silently regress the 100 TB posture.
+(test_plans.py pins the r1-r6 surface; test_bucketed_join_has_no_exchange
+there already covers the zero-Exchange bucketed join.)"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark, sf_dir):
+    qs = entry.queries()
+
+    def get(name):
+        return (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    return get
+
+
+def test_lpm_routes_join_is_broadcast(plan_of):
+    """join_ip_longest_prefix: the per-plen route join must be a broadcast
+    of the bounded route table — a SortMergeJoin here would shuffle the
+    per-address stats once per plen tier."""
+    p = plan_of("join_ip_longest_prefix")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p
+
+
+def test_scd2_builds_all_windows_on_one_exchange(plan_of):
+    """ts_scd2_intervals: lag-detect, lead-close and row_number versioning
+    all partition by user_id — Catalyst must plan ONE Exchange, not one
+    per window pass."""
+    p = plan_of("ts_scd2_intervals")
+    assert p.count("Exchange") == 1, p
+
+
+def test_semdedup_self_join_reads_checkpoint_not_training(plan_of):
+    """dedup_semantic: the decision self-join must read the CHECKPOINTED
+    member relation on both sides (two ExistingRDD scans) and re-run the
+    unrolled k-means training on neither (zero parquet scans below the
+    join — the r7 plan-read found the training subtree under each join
+    side before the checkpoint was added)."""
+    p = plan_of("dedup_semantic")
+    assert p.count("ExistingRDD") == 2, p
+    assert "Scan parquet" not in p
+
+
+def test_semdedup_capped_self_join_reads_checkpoint(plan_of):
+    """dedup_semantic_capped: same discipline with the sub-bucket profile —
+    the augmented member relation is checkpointed once, the sizes join and
+    256-term bucket fold never run per join side."""
+    p = plan_of("dedup_semantic_capped")
+    assert p.count("ExistingRDD") == 2, p
+    assert "Scan parquet" not in p
+
+
+def test_cdc_merge_reuses_aggregate_partitioning(plan_of):
+    """cdc_merge_snapshot: both latest-per-key aggregates hash on user_id
+    and the full outer join must reuse that partitioning — exactly two
+    Exchanges (one per input), none introduced by the join itself."""
+    p = plan_of("cdc_merge_snapshot")
+    assert p.count("Exchange") == 2, p
+
+
+def test_incremental_dedup_bloom_filters_below_anti_join(plan_of):
+    """dedup_incremental_snapshot: the xxhash64 bloom probe must sit BELOW
+    the snapshot anti-join (rows die before the join, which is the whole
+    point), and the fail-bloom branch must bypass the join via the
+    union."""
+    p = plan_of("dedup_incremental_snapshot")
+    lines = p.splitlines()
+    anti = next(i for i, l in enumerate(lines) if "LeftAnti" in l)
+    probe = [
+        i for i, l in enumerate(lines)
+        if "Filter" in l and "xxhash64" in l
+    ]
+    assert probe and min(i for i in probe if i > anti) > anti, (
+        "no bloom probe Filter below the anti join"
+    )
+    assert p.count("Union") == 1
