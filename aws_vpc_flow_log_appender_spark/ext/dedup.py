@@ -1659,7 +1659,17 @@ def dedup_incremental_snapshot(spark, sf_dir):
     anti-join clears false positives, and the fail-bloom branch admits
     only keys the snapshot cannot contain. The within-batch keep-first is
     one partial-aggregable min(doc_id) per key; the batch-firsts relation
-    is checkpointed because both bloom branches consume it."""
+    is checkpointed because both bloom branches consume it.
+
+    The PASS SET is checkpointed before the anti-join — this is
+    load-bearing, not caching: Catalyst's PushLeftSemiLeftAntiThroughJoin
+    re-orders a left-anti join below an inner join whose other side it
+    doesn't reference, which here pulled the snapshot anti-join UNDER the
+    bloom probe (plan-read r8) — the full batch reached the join and the
+    bloom pruned nothing. The lineage cut freezes the probe decision
+    (materializing only the small pass set — re-crawls + FP tail — by the
+    bloom's design), so the anti-join provably consumes pre-filtered
+    rows; tests/test_plan_pins.py pins the shape."""
     from ..operators.joins import bloom_build, bloom_probe_sql
 
     snap_keys, batch = _incremental_split(spark, sf_dir)
@@ -1671,7 +1681,9 @@ def dedup_incremental_snapshot(spark, sf_dir):
     bloom = bloom_build(snap_keys, "content_key", words=_SNAP_BLOOM_WORDS)
     probe = bloom_probe_sql("content_key", words=_SNAP_BLOOM_WORDS)
     probed = firsts.join(F.broadcast(bloom))
-    maybe_dup = probed.filter(F.expr(probe)).drop("bloom")
+    maybe_dup = (
+        probed.filter(F.expr(probe)).drop("bloom").localCheckpoint(eager=False)
+    )
     fresh = probed.filter(~F.expr(probe)).drop("bloom")
     checked = maybe_dup.join(snap_keys, "content_key", "left_anti")
     return checked.unionByName(fresh).select("doc_id", "content_key")

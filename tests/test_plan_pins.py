@@ -71,19 +71,25 @@ def test_cdc_merge_reuses_aggregate_partitioning(plan_of):
     assert p.count("Exchange") == 2, p
 
 
-def test_incremental_dedup_bloom_filters_below_anti_join(plan_of):
-    """dedup_incremental_snapshot: the xxhash64 bloom probe must sit BELOW
-    the snapshot anti-join (rows die before the join, which is the whole
-    point), and the fail-bloom branch must bypass the join via the
-    union."""
+def test_incremental_dedup_anti_join_consumes_prefiltered_rows(plan_of):
+    """dedup_incremental_snapshot: the snapshot anti-join must consume the
+    CHECKPOINTED bloom-pass set, not the raw batch — without the lineage
+    cut, Catalyst's PushLeftSemiLeftAntiThroughJoin pulls the anti-join
+    below the probe and the full batch reaches the snapshot join (the r8
+    plan-read that motivated the checkpoint). The fail-bloom branch must
+    bypass the anti-join entirely via the union, with the probe visible
+    in its join condition."""
     p = plan_of("dedup_incremental_snapshot")
     lines = p.splitlines()
     anti = next(i for i, l in enumerate(lines) if "LeftAnti" in l)
-    probe = [
-        i for i, l in enumerate(lines)
-        if "Filter" in l and "xxhash64" in l
-    ]
-    assert probe and min(i for i in probe if i > anti) > anti, (
-        "no bloom probe Filter below the anti join"
+    # the anti join's streamed child is the frozen pass set
+    left_child = next(
+        l for l in lines[anti + 1:] if ":-" in l or "+-" in l
     )
+    assert "ExistingRDD" in left_child, (anti, left_child)
+    assert p.count("LeftAnti") == 1
     assert p.count("Union") == 1
+    # the bypass branch carries the (negated) probe, never the anti join:
+    # xxhash64 appears only below the union's second branch
+    probe_lines = [i for i, l in enumerate(lines) if "xxhash64" in l]
+    assert probe_lines and all(i > anti for i in probe_lines)
