@@ -92,6 +92,15 @@ HEADLINE = [
     "join_skew_salted",
     "sort_zorder_layout",
     "agg_decimal_exact",
+    # r8 additions: span-level keep-first dedup + reassembly, incremental
+    # snapshot dedup, CDC merge, capped SemDeDup — the batch additions
+    # (the streaming sliding-append twin runs real micro-batches and is
+    # bench-shaped like the other stream_* queries: excluded)
+    "dedup_paragraphs",
+    "dedup_paragraph_stats",
+    "dedup_incremental_snapshot",
+    "cdc_merge_snapshot",
+    "dedup_semantic_capped",
 ]
 
 
