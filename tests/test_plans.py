@@ -445,6 +445,8 @@ _BROADCAST_BOUNDS = {
     ("operators/joins.py", "b"): "5-row tagged literal set",
     ("operators/joins.py", "bands"): "range-band dim (#bands rows)",
     ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=1024 map entries, 8 KB)",
+    ("ext/dedup.py", "bloom"): "1-row snapshot bloom bitmap (<=1024 map entries, 8 KB)",
+    ("streaming/queries.py", "bounds"): "1-row min/max event-time aggregate",
     ("flagship.py", "routes"): "route table literal (len(_ROUTE_TABLE)=13 rows)",
     ("operators/relational.py", "box"): "1-row box-count aggregate",
     ("operators/aggregates.py", "c"): "customer dim",
