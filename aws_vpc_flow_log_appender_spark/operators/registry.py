@@ -52,24 +52,29 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    dedup_semantic_capped (the hot-cell safety valve EXECUTED with the
 #    sub-bucketing modeled in the oracle, #2), and
 #    stream_sliding_window_append (watermark+append production twin with a
-#    multi-epoch late-data slice, #5).
-#  - slots 7-8: the queries whose code path CHANGED this round:
+#    multi-epoch late-data slice, #5); slot 7 — ADDED post-rotation (the
+#    in-round-addition rule): stream_cdc_merge (foreachBatch idempotent
+#    MERGE sink, the streaming twin of cdc_merge_snapshot). It displaces
+#    window_lag_lead from the r3-era fill (window family retained via
+#    window_first_last / window_running_sum in the stale-12 slots);
+#    window_lag_lead joins the 13 tpch deferrals as an r9 leader.
+#  - slots 8-9: the queries whose code path CHANGED this round:
 #    join_bloom_prefilter (ADVICE r7 #1/#2 — words=1024 sized to the dim
 #    and the version-proof try_element_at probe; the probe hunk is also
 #    exercised by new dedup_incremental_snapshot) and sort_zorder_layout
 #    (ADVICE r7 #3 — _z_interleave_sql 16-bit-bound documentation;
 #    emitted text unchanged, docstring-only, re-witnessed out of caution).
-#  - slots 9-20: ALL TWELVE r2-era stale witnesses named in VERDICT r7
+#  - slots 10-21: ALL TWELVE r2-era stale witnesses named in VERDICT r7
 #    "What's missing" #3 — flowlog_byte_anomalies, flowlog_conversations,
 #    set_distinct_union, set_except_all, set_intersect_all,
 #    sim_label_centroids, sort_limit_offset, text_token_count,
 #    tpch_q14_promo_revenue, ts_sliding_window, window_first_last,
 #    window_running_sum — retiring the r2 class entirely.
-#  - slots 21-50: stalest-first (r3-era, newest green row r3 computed from
-#    CORRECTNESS_r01-r07), alphabetical, 30 of the 43: both embed_*, all
+#  - slots 22-50: stalest-first (r3-era, newest green row r3 computed from
+#    CORRECTNESS_r01-r07), alphabetical, 29 of the 43: both embed_*, all
 #    eight flowlog_*, all three graph_*, all four sample_*,
-#    sim_ivf_multiprobe, all nine text_*, tpch_q13, ts_sessionize and
-#    window_lag_lead. The 13 deferred are ONE family block —
+#    sim_ivf_multiprobe, all nine text_*, tpch_q13 and ts_sessionize.
+#    The 14 deferred are ONE family block plus window_lag_lead (above) —
 #    tpch_q15/16/17/18/19/21/22/3/4/5/7/8/9 — whose shared module
 #    machinery stays witnessed in-window through tpch_q13 (fill) and
 #    tpch_q14 (stale-12), with q8 additionally exercised every bench run;
@@ -258,6 +263,7 @@ PRIORITY_ORDER: list[str] = [
     "cdc_merge_snapshot",
     "dedup_semantic_capped",
     "stream_sliding_window_append",
+    "stream_cdc_merge",
     # --- code path changed this round ---
     "join_bloom_prefilter",
     "sort_zorder_layout",
@@ -304,7 +310,6 @@ PRIORITY_ORDER: list[str] = [
     "text_repetition_ratio",
     "tpch_q13_customer_distribution",
     "ts_sessionize",
-    "window_lag_lead",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

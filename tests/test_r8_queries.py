@@ -92,3 +92,43 @@ def test_dedup_semantic_capped_monotone_and_cap_active(spark, sf_dir):
     for cid, n in cell_n.items():
         if n <= SEMDEDUP_CELL_CAP:
             assert subs[cid] == {0}
+
+
+def test_stream_cdc_merge_across_epochs(spark, tmp_path):
+    """Planted change stream spanning all four time-quarter micro-batches:
+    delete removes across batches, delete-then-reinsert survives, carried
+    rows keep the epoch of their LAST change (proving the snapshot really
+    is built batch over batch, not in one pass)."""
+    from aws_vpc_flow_log_appender_spark.streaming.queries import (
+        stream_cdc_merge,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    # span 00:00..04:00; quarter = ceil((4h+1us)/4) = 1h + 1us, so the hour-k
+    # event lands in epoch floor(k*1h / (1h+1us)) = max(k-1, 0)... except
+    # t(0) -> 0 and t(4) -> 3: epochs are 0,0,1,2,3 for hours 0..4
+    rows = [
+        # user 1: upserted e0, deleted e1 -> absent
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(2), 1, "error", 1.5, "{}"),
+        # user 2: inserted e0 (t1h), updated e2 (t3h) -> present at e2 value
+        (3, t(1), 2, "click", 2.0, "{}"),
+        (4, t(3), 2, "signup", 2.5, "{}"),
+        # user 3: only e0 -> carried through three merges, last_epoch 0
+        (5, t(0), 3, "view", 3.0, "{}"),
+        # user 4: delete-of-missing in e0 (no-op), inserted e1
+        (6, t(1), 4, "error", 4.0, "{}"),
+        (7, t(2), 4, "purchase", 4.5, "{}"),
+        # user 5: pins the span end (t(4) -> epoch 3)
+        (8, t(4), 5, "view", 5.0, "{}"),
+    ]
+    d = str(tmp_path / "cdcstream")
+    _write_events(spark, d, rows)
+
+    out = {r["user_id"]: r for r in stream_cdc_merge(spark, d).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2]["state"] == "signup" and out[2]["value"] == 2.5
+    assert out[2]["last_epoch"] == 2
+    assert out[3]["state"] == "view" and out[3]["last_epoch"] == 0
+    assert out[4]["state"] == "purchase" and out[4]["last_epoch"] == 1
+    assert out[5]["last_epoch"] == 3
