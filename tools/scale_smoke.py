@@ -292,17 +292,21 @@ def main() -> int:
             "t_s": round(t_para, 2),
         }
 
-        # 3b3) incremental snapshot dedup at scale (r8): doc_id residues are
-        # preserved under +k*1e10, so the snapshot/batch/re-crawl classes
-        # scale with mult and the invariant is exact — every re-crawl drops,
-        # every (unique, perturbed) new doc survives: survivors = mult x
-        # base new-doc count. The fixed grading-scale bloom (words=1024)
-        # saturates as the snapshot grows past ~16k keys — recorded here as
-        # the definitely-new routing share collapsing (result stays exact;
-        # production sizes words to the snapshot, same one-argument knob).
+        # 3b3) incremental snapshot dedup at scale (r8; bloom auto-sized r9):
+        # doc_id residues are preserved under +k*1e10 (and under the derived
+        # power-of-10 re-crawl offset), so the snapshot/batch/re-crawl
+        # classes scale with mult and the invariant is exact — every
+        # re-crawl drops, every (unique, perturbed) new doc survives:
+        # survivors = mult x base new-doc count. The bloom is now SIZED TO
+        # THE SNAPSHOT (VERDICT r8 #1 — the old fixed 1024 words saturated
+        # here: 27%/0.03%/0.0% miss share at 10x/50x/100x), and this
+        # section FAILS if the definitely-new routing share ever collapses
+        # below _BLOOM_MISS_FLOOR again (the true new share is ~2/3 of the
+        # batch at every mult, so 0.2 is noise-proof margin, not a tuned
+        # constant).
         from aws_vpc_flow_log_appender_spark.ext.dedup import (
-            _SNAP_BLOOM_WORDS,
             _incremental_split,
+            _snapshot_bloom_words,
             dedup_incremental_snapshot,
         )
         from aws_vpc_flow_log_appender_spark.operators.joins import (
@@ -310,6 +314,7 @@ def main() -> int:
             bloom_probe_sql,
         )
 
+        _BLOOM_MISS_FLOOR = 0.2
         base_new = dedup_incremental_snapshot(spark, SF_DIR).count()
         t0 = time.perf_counter()
         inc_rows = dedup_incremental_snapshot(spark, tmpdir)
@@ -326,22 +331,35 @@ def main() -> int:
             )
             ok = False
         snap_keys, batch = _incremental_split(spark, tmpdir)
+        snap_words = _snapshot_bloom_words(spark, tmpdir)
         firsts = batch.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
-        bloomf = bloom_build(snap_keys, "content_key", words=_SNAP_BLOOM_WORDS)
+        bloomf = bloom_build(snap_keys, "content_key", words=snap_words)
         n_first = firsts.count()
         n_miss = firsts.join(F.broadcast(bloomf)).filter(
-            ~F.expr(bloom_probe_sql("content_key", words=_SNAP_BLOOM_WORDS))
+            ~F.expr(bloom_probe_sql("content_key", words=snap_words))
         ).count()
+        miss_share = n_miss / max(n_first, 1)
+        if miss_share <= _BLOOM_MISS_FLOOR:
+            print(
+                f"FAIL incremental dedup bloom at mult={mult}: miss share "
+                f"{miss_share:.1%} <= floor {_BLOOM_MISS_FLOOR:.0%} — the "
+                f"auto-sized bloom ({snap_words} words) is saturating"
+            )
+            inc_ok = False
+            ok = False
         print(
             f"scale_smoke incremental mult={mult}: {n_inc:,} survivors "
-            f"(= {base_new:,} x {mult}) in {t_inc:.1f}s; grading-scale bloom "
-            f"routes {n_miss:,}/{n_first:,} ({n_miss / max(n_first, 1):.1%}) "
-            f"around the snapshot join; {'OK' if inc_ok else 'FAIL'}"
+            f"(= {base_new:,} x {mult}) in {t_inc:.1f}s; auto-sized bloom "
+            f"({snap_words} words) routes {n_miss:,}/{n_first:,} "
+            f"({miss_share:.1%}) around the snapshot join; "
+            f"{'OK' if inc_ok else 'FAIL'}"
         )
         artifact["incremental_dedup"] = {
             "survivors": n_inc,
             "expected": base_new * mult,
-            "bloom_miss_share": round(n_miss / max(n_first, 1), 4),
+            "bloom_words": snap_words,
+            "bloom_miss_share": round(miss_share, 4),
+            "bloom_miss_floor": _BLOOM_MISS_FLOOR,
             "exact": inc_ok,
             "t_s": round(t_inc, 2),
         }
