@@ -1574,6 +1574,180 @@ def dedup_paragraph_stats(spark, sf_dir):
     )
 
 
+# --- paragraph-level NEAR dedup (VERDICT r8 "Next round" #8) -----------------
+
+# the span-granularity MinHash signature: same two-md5 window family as the
+# document-level _SQL_MINHASH_SIG, grouped by distinct span text
+_SQL_SPAN_SIG = f"""
+    SELECT seg_text,
+           {", ".join(
+               f"min(substring(md5({'sh' if j < 4 else chr(39) + 'x:' + chr(39) + ' || sh'}), {1 + 8 * (j % 4)}, 8)) AS m{j}"
+               for j in range(N_MINHASH)
+           )}
+    FROM ssh GROUP BY seg_text
+"""
+
+_SQL_SPAN_BANDS = " UNION ALL ".join(
+    f"SELECT seg_text, {b} AS band_id, md5(m{2 * b} || m{2 * b + 1}) AS band_sig FROM ssig"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_paragraphs_near",
+    oracle=_SEG_CTES + f""",
+    st AS (
+      SELECT seg_text, doc_id AS fd, seg_id AS fs FROM pmarked WHERE rn = 1
+    ),
+    ssh AS (
+      SELECT seg_text,
+             unnest(list_distinct(
+               CASE WHEN len(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]
+                    ELSE [seg_text] END)) AS sh
+      FROM (SELECT seg_text, string_split(seg_text, ' ') AS w FROM st)
+    ),
+    ssig AS ({_SQL_SPAN_SIG}),
+    sbands AS ({_SQL_SPAN_BANDS}),
+    neard AS (
+      SELECT DISTINCT a.seg_text
+      FROM sbands a
+      JOIN sbands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.seg_text <> b.seg_text
+      JOIN st sa ON sa.seg_text = a.seg_text
+      JOIN st sb ON sb.seg_text = b.seg_text
+      WHERE sb.fd < sa.fd OR (sb.fd = sa.fd AND sb.fs < sa.fs)
+    )
+    SELECT p.doc_id, p.seg_id AS para_idx, md5(p.seg_text) AS para_hash,
+           CAST(CASE WHEN p.rn = 1 AND n.seg_text IS NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS kept,
+           CAST(p.n_copies AS BIGINT) AS n_copies
+    FROM pmarked p LEFT JOIN neard n ON n.seg_text = p.seg_text
+    """,
+    tags=("dedup", "text", "paragraph", "minhash", "near"),
+)
+def dedup_paragraphs_near(spark, sf_dir):
+    """Paragraph-level NEAR dedup — the remaining gap to a production
+    boilerplate scrubber after dedup_paragraphs (VERDICT r8 "Next round"
+    #8): exact span dedup misses boilerplate that drifts by whitespace,
+    punctuation or a swapped word, because any byte difference defeats the
+    md5. This runs the dedup_minhash_lsh candidate generator at SPAN
+    granularity (3-word shingles of each DISTINCT span text -> 8 truncated
+    minhashes -> {N_BANDS} bands of 2) and applies the dedup_paragraphs
+    keep-first decision over it: a span instance is KEPT iff it is the
+    first occurrence of its exact text in (doc_id, seg_id) corpus order
+    AND no band-sharing near-duplicate span text occurs strictly earlier.
+    Pairwise-earlier semantics, deliberately NOT transitive closure — the
+    decision needs no connected-components pass (dedup_clusters owns that
+    composition), so it stays two shuffles + one banded join.
+
+    Plan shape at 100 TB: the span explode and keep-first argmin are
+    exactly dedup_paragraphs (partial-aggregable, no corpus window); the
+    near stage runs over DISTINCT span texts only (already deduplicated,
+    typically a small fraction of span instances), with the banded
+    signature table checkpointed once and self-joined on (band_id,
+    band_sig) — candidates meet only inside shared buckets, never
+    all-pairs (the _minhash_pairs_for discipline). The decision join back
+    onto instances reuses the seg_text partitioning. Tail spans shorter
+    than 3 words fall back to whole-span shingles (the document-level
+    CASE), so they near-match only on exact text — conservative by
+    design."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seg = _segment_table(d)
+    st = seg.groupBy("seg_text").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("fp"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+    words = F.split("seg_text", " ")
+    span_shingles = F.expr(
+        """
+        CASE WHEN size(words) >= 3
+             THEN transform(sequence(0, size(words) - 3),
+                            i -> concat_ws(' ', words[i], words[i+1],
+                                           words[i+2]))
+             ELSE array(seg_text) END
+        """
+    )
+    ssh = st.withColumn("words", words).select(
+        "seg_text", F.explode(F.array_distinct(span_shingles)).alias("sh")
+    )
+    ssig = ssh.select("seg_text", *_minhash_exprs()).groupBy("seg_text").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(N_MINHASH)]
+    )
+    bands = (
+        ssig.join(
+            st.select(
+                "seg_text",
+                F.col("fp.doc_id").alias("fd"),
+                F.col("fp.seg_id").alias("fs"),
+            ),
+            "seg_text",
+        )
+        .select(
+            "seg_text",
+            "fd",
+            "fs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.md5(
+                                F.encode(
+                                    F.concat(
+                                        F.col(f"m{2 * b}"),
+                                        F.col(f"m{2 * b + 1}"),
+                                    ),
+                                    "utf-8",
+                                )
+                            ).alias("band_sig"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("seg_text", "fd", "fs", "band.band_id", "band.band_sig")
+        .localCheckpoint(eager=False)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    neard = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.seg_text") != F.col("b.seg_text"))
+            & (
+                (F.col("b.fd") < F.col("a.fd"))
+                | (
+                    (F.col("b.fd") == F.col("a.fd"))
+                    & (F.col("b.fs") < F.col("a.fs"))
+                )
+            ),
+        )
+        .select(F.col("a.seg_text").alias("seg_text"))
+        .distinct()
+        .withColumn("near_dropped", F.lit(1))
+    )
+
+    marked = seg.join(st, "seg_text").join(neard, ["seg_text"], "left")
+    kept = F.when(
+        (F.col("doc_id") == F.col("fp.doc_id"))
+        & (F.col("seg_id") == F.col("fp.seg_id"))
+        & F.col("near_dropped").isNull(),
+        1,
+    ).otherwise(0)
+    return marked.select(
+        "doc_id",
+        F.col("seg_id").alias("para_idx"),
+        F.md5(F.encode("seg_text", "utf-8")).alias("para_hash"),
+        kept.cast("int").alias("kept"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
 # --- incremental dedup against a prior snapshot (VERDICT r7 #7) -------------
 
 _RECRAWL_OFFSET = 1_000_000  # re-crawl doc_id offset FLOOR (grading scale)

@@ -2326,3 +2326,186 @@ def dedup_semantic_capped(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     memc = _with_mem_sub_bucket(_train_mem(e, "semdedup_capped"))
     return _semantic_decisions_capped(memc)
+
+
+# --- incremental index maintenance (VERDICT r8 "Next round" #6) --------------
+
+# The already-indexed corpus trains the quantizer; vec_id % 4 == 1 is the
+# NEW batch arriving after training — the recurring-ingest twin of
+# dedup_incremental_snapshot's snapshot/batch split.
+_INC_BATCH_PRED = "vec_id % 4 = 1"
+
+
+def _ivf_incremental_oracle_sql() -> str:
+    """sim_ivf_incremental_assign's oracle: the unrolled k-means training
+    CTEs over the TRAIN subset only, then one assignment pass of the NEW
+    batch against the FINAL codebook (no further Lloyd update — that is the
+    point), then per-cell occupancy + mean-distance drift via the exact
+    scaled-integer-sum discipline."""
+    parts = _km_oracle_train_parts(
+        src=f"(SELECT vec_id, embedding FROM embeddings"
+            f" WHERE NOT ({_INC_BATCH_PRED}))"
+    )
+    fin = KM_ITERS
+    parts.append(f"""
+    , nvecs AS (
+      SELECT vec_id, v, list_dot_product(v, v) AS vv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE {_INC_BATCH_PRED})
+    ),
+    nsc AS (
+      SELECT n.vec_id, c.cid,
+             (n.vv - 2 * list_dot_product(n.v, c.c) + c.cc) AS d
+      FROM nvecs n CROSS JOIN (
+        SELECT cid, c, list_dot_product(c, c) AS cc FROM c{fin}
+      ) c
+    ),
+    na AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) AS rn
+        FROM nsc
+      ) WHERE rn = 1
+    ),
+    ts AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_train,
+             sum(CAST(floor(d * {KM_SCALE} + 0.5) AS BIGINT)) AS sd
+      FROM a{fin} GROUP BY cid
+    ),
+    ns AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+             sum(CAST(floor(d * {KM_SCALE} + 0.5) AS BIGINT)) AS sd
+      FROM na GROUP BY cid
+    )
+    SELECT COALESCE(ts.cid, ns.cid) AS cluster_id,
+           COALESCE(ts.n_train, 0) AS n_train,
+           COALESCE(ns.n_new, 0) AS n_new,
+           COALESCE(ts.n_train, 0) + COALESCE(ns.n_new, 0) AS n_total,
+           floor(CAST(ts.sd AS DOUBLE) / ts.n_train + 0.5)
+             / {KM_SCALE} AS train_mean_d,
+           floor(CAST(ns.sd AS DOUBLE) / ns.n_new + 0.5)
+             / {KM_SCALE} AS new_mean_d,
+           (floor(CAST(ns.sd AS DOUBLE) / ns.n_new + 0.5)
+            - floor(CAST(ts.sd AS DOUBLE) / ts.n_train + 0.5))
+             / {KM_SCALE} AS drift_d
+    FROM ts FULL OUTER JOIN ns ON ts.cid = ns.cid
+    """)
+    return "".join(parts)
+
+
+@query(
+    "sim_ivf_incremental_assign",
+    oracle=_ivf_incremental_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "incremental", "drift"),
+)
+def sim_ivf_incremental_assign(spark, sf_dir):
+    """Incremental IVF index maintenance — the ANN twin of
+    dedup_incremental_snapshot (VERDICT r8 "Next round" #6): a NEW batch of
+    vectors is assigned to the ALREADY-TRAINED coarse-quantizer centroids
+    in one broadcast pass (no retraining), and the per-cell report carries
+    what an index operator actually watches — updated occupancy
+    (n_train/n_new/n_total) and a DRIFT statistic (the new batch's mean
+    distance-to-centroid minus the training run's) that tells the pipeline
+    when the codebook has gone stale and retraining is due.
+
+    The trained state is materialized ONCE as a kind-tagged union (the
+    sim_ivf_trained_multiprobe checkpoint discipline): kind 0 = the
+    training assignment's (cid, d) rows, kind 1 = the final codebook rows
+    with their precomputed self-dots. Everything downstream — training
+    stats, the codebook broadcast, the batch assignment — consumes the
+    checkpoint, so the executed plan contains NO Lloyd stage above it: the
+    batch side is exactly ONE parquet scan cross-joined against the
+    broadcast KM_K-row codebook, reduced by the partial-aggregable
+    min(struct(d, cid)) argmin (pinned in tests/test_plan_pins.py). In
+    production the codebook and training stats are read from the stored
+    index instead of derived in-plan; the batch pass — the part that runs
+    on every ingest — is the plan this query pins.
+
+    At 100 TB: assignment cost is ONE batch pass with a KM_K x EMB_DIM
+    broadcast (bounded by the codebook constant, never the corpus); the
+    drift report is two tiny aggregates full-outer-joined on cid. Engine
+    parity follows the kmeans family rules: sequential-fold dot products,
+    means via exact scaled-integer sums (per-row 1e-6-rounded distance ->
+    bigint -> exact sum -> one double division, rounded back to the grid),
+    drift as the difference of the two integer-scaled means."""
+    from .dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+    fin = KM_ITERS
+    # local training head: the vecs CTE excludes the new batch (the shared
+    # _km_train_parts_spark trains over the full view; its emitted text for
+    # existing queries must stay byte-identical, so the filtered head lives
+    # here)
+    parts = [f"""
+    WITH vecs AS (
+      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
+      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}}
+            WHERE NOT ({_INC_BATCH_PRED}))
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS c
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
+    )"""]
+    for i in range(KM_ITERS):
+        parts.append("," + _km_assign_spark(i))
+        parts.append("," + _km_update_spark(i))
+    parts.append("," + _km_assign_spark(KM_ITERS))
+    parts.append(f"""
+    SELECT 0 AS kind, cid, d,
+           CAST(NULL AS ARRAY<DOUBLE>) AS c, CAST(NULL AS DOUBLE) AS cc
+    FROM a{fin}
+    UNION ALL
+    SELECT 1 AS kind, cid, CAST(NULL AS DOUBLE) AS d,
+           c, {_km_dot_sql("c", "c")} AS cc
+    FROM c{fin}
+    """)
+    trained = _sql_over(e, "ivfinc", "".join(parts)).localCheckpoint(
+        eager=False
+    )
+
+    scaled_d = F.floor(F.col("d") * F.lit(KM_SCALE) + F.lit(0.5)).cast("long")
+    train_stats = (
+        trained.filter(F.col("kind") == 0)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(scaled_d).alias("tsd"),
+        )
+    )
+
+    codebook = trained.filter(F.col("kind") == 1).select("cid", "c", "cc")
+    batch = e.filter(F.expr(_INC_BATCH_PRED)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = (
+        batch.withColumn("vv", F.expr(_km_dot_sql("v", "v")))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "d", F.expr(f"(vv - 2.0D * {_km_dot_sql('v', 'c')} + cc)")
+        )
+    )
+    na = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("best"))
+        .select(F.col("best.cid").alias("cid"), F.col("best.d").alias("d"))
+    )
+    new_stats = na.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(scaled_d).alias("nsd"),
+    )
+
+    out = train_stats.join(new_stats, ["cid"], "full_outer")
+    tms = F.floor(F.col("tsd").cast("double") / F.col("n_train") + F.lit(0.5))
+    nms = F.floor(F.col("nsd").cast("double") / F.col("n_new") + F.lit(0.5))
+    zero = F.lit(0).cast("long")
+    return out.select(
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.coalesce(F.col("n_train"), zero).alias("n_train"),
+        F.coalesce(F.col("n_new"), zero).alias("n_new"),
+        (F.coalesce(F.col("n_train"), zero) + F.coalesce(F.col("n_new"), zero))
+        .alias("n_total"),
+        (tms / F.lit(KM_SCALE)).alias("train_mean_d"),
+        (nms / F.lit(KM_SCALE)).alias("new_mean_d"),
+        ((nms - tms) / F.lit(KM_SCALE)).alias("drift_d"),
+    )

@@ -104,6 +104,12 @@ HEADLINE = [
     "dedup_incremental_snapshot",
     "cdc_merge_snapshot",
     "dedup_semantic_capped",
+    # r9 additions: incremental IVF assignment + drift, domain-mix budget
+    # allocation, paragraph-level near dedup — same longitudinal-visibility
+    # rationale as every prior round's additions
+    "sim_ivf_incremental_assign",
+    "curation_domain_mix",
+    "dedup_paragraphs_near",
 ]
 
 

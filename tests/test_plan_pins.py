@@ -100,3 +100,15 @@ def test_incremental_dedup_anti_join_consumes_prefiltered_rows(plan_of):
     assert any(
         "ExistingRDD" in l for l in lines[anti + 1:fresh_start]
     ), p
+
+
+def test_ivf_incremental_assign_has_no_retraining_stage(plan_of):
+    """sim_ivf_incremental_assign (VERDICT r8 #6): the batch-assignment
+    plan must consume the CHECKPOINTED trained state — two ExistingRDD
+    scans (training stats + codebook), exactly ONE parquet scan (the new
+    batch), and ZERO Lloyd update aggregates (no avg() anywhere above the
+    checkpoint): assigning a new batch never retrains the quantizer."""
+    p = plan_of("sim_ivf_incremental_assign")
+    assert p.count("ExistingRDD") == 2, p
+    assert p.count("Scan parquet") == 1, p
+    assert "avg(" not in p, p
