@@ -813,6 +813,132 @@ def main() -> int:
             "mean_abs_err": ej_stats["mean_abs_err"],
             "t_s": round(t_ej, 2),
         }
+
+        # 3b4) domain-mix budget allocation at scale (r9): the copy
+        # perturbation shifts token counts and quality-gate membership, so
+        # there is no per-source closed form vs base — the checks are the
+        # method's own invariants, which must hold at EVERY corpus size:
+        # allocations sum EXACTLY to the derived target (largest-remainder's
+        # defining property), target = half the quality tokens, and no
+        # source is allocated beyond its availability or fills past its
+        # allocation.
+        from aws_vpc_flow_log_appender_spark.ext.curation import (
+            curation_domain_mix,
+        )
+
+        t0 = time.perf_counter()
+        mix_rows = curation_domain_mix(spark, tmpdir).collect()
+        t_mix = time.perf_counter() - t0
+        mix_target = mix_rows[0]["target_tokens"] if mix_rows else 0
+        mix_alloc = sum(r["alloc_tokens"] for r in mix_rows)
+        mix_qtok = sum(r["qtok"] for r in mix_rows)
+        mix_ok = (
+            bool(mix_rows)
+            and mix_alloc == mix_target
+            and mix_target == mix_qtok // 2
+            and all(
+                0 <= r["alloc_tokens"] <= r["qtok"]
+                and r["sel_tokens"] <= r["alloc_tokens"]
+                for r in mix_rows
+            )
+        )
+        if not mix_ok:
+            print(
+                f"FAIL domain mix at mult={mult}: sum(alloc)={mix_alloc} "
+                f"target={mix_target} qtok={mix_qtok}"
+            )
+            ok = False
+        print(
+            f"scale_smoke domain_mix mult={mult}: {len(mix_rows)} sources, "
+            f"{mix_qtok:,} quality tokens, budget {mix_target:,} allocated "
+            f"exactly ({mix_alloc:,}) in {t_mix:.1f}s; "
+            f"{'OK' if mix_ok else 'FAIL'}"
+        )
+        artifact["domain_mix"] = {
+            "sources": len(mix_rows),
+            "quality_tokens": mix_qtok,
+            "target": mix_target,
+            "allocated": mix_alloc,
+            "sum_exact": mix_alloc == mix_target,
+            "t_s": round(t_mix, 2),
+        }
+
+        # 3b5) paragraph NEAR dedup at scale (r9): the copy suffix makes
+        # each copy's tail span a DISTINCT near-duplicate text (one token
+        # differs out of <= 8), so the near class fires heavily at scale
+        # while all interior spans collapse to exact duplicates first. The
+        # strong checks: the near rule keeps a strict SUBSET of the exact
+        # rule's survivors (per span instance), the near-only drop class is
+        # populated, and the banded stage runs over DISTINCT texts only —
+        # recorded as the distinct-text count growing far slower than span
+        # instances.
+        from aws_vpc_flow_log_appender_spark.ext.dedup import (
+            dedup_paragraphs,
+            dedup_paragraphs_near,
+        )
+
+        t0 = time.perf_counter()
+        near = dedup_paragraphs_near(spark, tmpdir).localCheckpoint()
+        exact_p = dedup_paragraphs(spark, tmpdir)
+        joined = near.select(
+            "doc_id", "para_idx", F.col("kept").alias("kept_near")
+        ).join(
+            exact_p.select(
+                "doc_id", "para_idx", F.col("kept").alias("kept_exact")
+            ),
+            ["doc_id", "para_idx"],
+        )
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(
+                    (F.col("kept_near") == 1) & (F.col("kept_exact") == 0), 1
+                ).otherwise(0)
+            ).alias("n_subset_viol"),
+            F.sum(
+                F.when(
+                    (F.col("kept_near") == 0) & (F.col("kept_exact") == 1), 1
+                ).otherwise(0)
+            ).alias("n_near_only_drops"),
+        ).collect()[0]
+        from aws_vpc_flow_log_appender_spark.ext.dedup import _segment_table
+
+        n_distinct_texts = (
+            _segment_table(
+                spark.read.parquet(f"{tmpdir}/documents.parquet").filter(
+                    F.col("text").isNotNull()
+                )
+            )
+            .select("seg_text")
+            .distinct()
+            .count()
+        )
+        t_near = time.perf_counter() - t0
+        near_ok = (
+            agg["n_subset_viol"] == 0 and agg["n_near_only_drops"] > 0
+        )
+        if not near_ok:
+            print(
+                f"FAIL paragraphs_near at mult={mult}: "
+                f"{agg['n_subset_viol']} subset violations, "
+                f"{agg['n_near_only_drops']} near-only drops"
+            )
+            ok = False
+        print(
+            f"scale_smoke paragraphs_near mult={mult}: {agg['n_spans']:,} "
+            f"span instances over {n_distinct_texts:,} distinct texts in "
+            f"{t_near:.1f}s; near-only drops {agg['n_near_only_drops']:,}, "
+            f"subset violations {agg['n_subset_viol']}; "
+            f"{'OK' if near_ok else 'FAIL'}"
+        )
+        artifact["paragraphs_near"] = {
+            "spans": agg["n_spans"],
+            "distinct_texts": n_distinct_texts,
+            "near_only_drops": agg["n_near_only_drops"],
+            "subset_violations": agg["n_subset_viol"],
+            "exact": near_ok,
+            "t_s": round(t_near, 2),
+        }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
@@ -1347,6 +1473,58 @@ def main() -> int:
             "hot_cell_members": hot_cell,
             "closed_form_exact": cap_ok,
             "t_s": round(t_cap, 2),
+        }
+
+        # 7g) incremental IVF assignment at scale (r9): vec_id residues are
+        # preserved under +k*1e10 (1e10 % 4 == 0), copies carry identical
+        # vectors, and the codebook seeds (the KM_K smallest TRAIN ids) are
+        # copy-0 originals — so training is duplication-invariant and the
+        # report has a CLOSED FORM: per-cell n_train/n_new exactly mult x
+        # base, and every mean/drift BIT-IDENTICAL to base (scaled integer
+        # sums and counts both scale by mult; (mult*s)/(mult*n) is the
+        # correctly-rounded double of the same rational as s/n).
+        from aws_vpc_flow_log_appender_spark.ext.similarity import (
+            sim_ivf_incremental_assign,
+        )
+
+        base_inc = {
+            r["cluster_id"]: r
+            for r in sim_ivf_incremental_assign(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        inc_cells = {
+            r["cluster_id"]: r
+            for r in sim_ivf_incremental_assign(spark, ktmp).collect()
+        }
+        t_ivinc = time.perf_counter() - t0
+        ivinc_ok = set(inc_cells) == set(base_inc)
+        for cid, b in base_inc.items():
+            g = inc_cells.get(cid)
+            if g is None:
+                ivinc_ok = False
+                continue
+            if (
+                g["n_train"] != b["n_train"] * mult
+                or g["n_new"] != b["n_new"] * mult
+                or g["train_mean_d"] != b["train_mean_d"]
+                or g["new_mean_d"] != b["new_mean_d"]
+                or g["drift_d"] != b["drift_d"]
+            ):
+                ivinc_ok = False
+        if not ivinc_ok:
+            print(f"FAIL ivf incremental assign closed form at mult={mult}")
+            ok = False
+        n_new_total = sum(r["n_new"] for r in inc_cells.values())
+        print(
+            f"scale_smoke ivf_incremental mult={mult}: {n_new_total:,} new "
+            f"vectors assigned in {t_ivinc:.1f}s (occupancy x{mult} exact, "
+            f"means/drift bit-identical: {'YES' if ivinc_ok else 'NO'})"
+        )
+        artifact["ivf_incremental"] = {
+            "new_vectors": n_new_total,
+            "cells": len(inc_cells),
+            "closed_form_exact": ivinc_ok,
+            "t_s": round(t_ivinc, 2),
         }
     finally:
         shutil.rmtree(ktmp, ignore_errors=True)
