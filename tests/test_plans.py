@@ -468,6 +468,11 @@ _BROADCAST_BOUNDS = {
     ("ext/similarity.py", "lut"): "ADC lookup, query-batch x PQ_M x PQ_K rows",
     ("ext/similarity.py", "p_tbl"): "probe x ADC LUT, query-batch x N_PROBE x PQ_M x PQ_K rows",
     ("ext/similarity.py", "cand"): "re-rank candidate pairs, query-batch x RERANK_C rows",
+    ("ext/curation.py", "tot"): "1-row quality-token total + target",
+    ("ext/curation.py", "leftover"): "1-row largest-remainder count",
+    ("ext/curation.py", "alloc"): "per-source allocations, #sources rows",
+    ("ext/dedup.py", "off"): "1-row derived re-crawl offset scalar",
+    ("ext/similarity.py", "codebook"): "trained codebook, KM_K rows",
     ("ext/sampling.py", "tot"): "1-row total",
     ("ext/sampling.py", "n_min"): "1-row min-count scalar",
     ("ext/sampling.py", "mx"): "1-row max scalar",
