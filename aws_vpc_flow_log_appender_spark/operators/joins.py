@@ -560,6 +560,28 @@ def bloom_words_for(n_keys: int, bits_per_key: int = 10,
     return max(min_words, min(max_words, words))
 
 
+def bloom_merge(blooms):
+    """bit_or-merge 1-row bloom bitmaps built with the SAME words/seeds:
+    blooms are mergeable sketches — the bloom of a union is exactly the
+    word-wise bit_or of the parts' bitmaps, so incremental pipelines can
+    maintain the prefilter ACROSS batches without ever rebuilding it from
+    the full key history (the stream_incremental_dedup state move). Cost:
+    #blooms x words short rows through one bit_or aggregate."""
+    entries = None
+    for b in blooms:
+        e = b.select(F.explode("bloom").alias("word", "bits"))
+        entries = e if entries is None else entries.unionByName(e)
+    return (
+        entries.groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+
+
 @query(
     "join_bloom_prefilter",
     oracle="""

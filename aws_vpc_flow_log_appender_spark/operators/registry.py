@@ -44,14 +44,20 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 # CHANGED this round sits in the head, stalest re-witnesses fill the rest.
 #
 # ROUND 9 ROTATION (VERDICT r8 "Next round" #2 — retire the r3-era tail):
-#  - slots 1-3: the three queries ADDED this round, each getting its
+#  - slots 1-4: the four queries ADDED this round, each getting its
 #    birth-round driver row: sim_ivf_incremental_assign (assign a new
 #    vector batch to the trained IVF codebook without retraining +
 #    occupancy/drift report, VERDICT r8 #6), curation_domain_mix
 #    (largest-remainder token-budget allocation + hash-rank selection,
 #    #7), dedup_paragraphs_near (MinHash banding at span granularity
-#    under the keep-first decision, #8).
-#  - slots 4-12: every query whose CODE PATH changed this round:
+#    under the keep-first decision, #8), and stream_incremental_dedup
+#    (the streaming twin of dedup_incremental_snapshot: epoch-versioned
+#    key-set state with the bloom prefilter MERGED incrementally across
+#    batches — added in-round, displacing tpch_q11_important_stock from
+#    the r4-era fill per the in-round-addition rule; q11 joins the nine
+#    r10 leaders below, tpch module coverage stays in-window via the
+#    fourteen-query block).
+#  - slots 5-13: every query whose CODE PATH changed this round:
 #    dedup_incremental_snapshot (bloom auto-sized to the snapshot via
 #    bloom_words_for + derived power-of-10 re-crawl offset — VERDICT r8
 #    #1 / ADVICE #2) and the eight sliced-stream consumers whose shared
@@ -63,18 +69,18 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    (join_bloom_prefilter is NOT changed-path: bloom_build/probe emitted
 #    text and its words=1024 call are byte-identical; bloom_words_for is a
 #    new function it does not call.)
-#  - slots 13-26: ALL FOURTEEN r3-era stale witnesses named as r9 leaders
+#  - slots 14-27: ALL FOURTEEN r3-era stale witnesses named as r9 leaders
 #    in the r8 rotation note and VERDICT r8 #2 — the 13-query TPC-H block
 #    (q3/q4/q5/q7/q8/q9/q15/q16/q17/q18/q19/q21/q22) + window_lag_lead —
 #    retiring the r3 class entirely.
-#  - slots 27-50: stalest-first (r4-era, newest green row r4 computed from
-#    CORRECTNESS_r01-r08), alphabetical, 24 of the 33. The 9 deferred are
+#  - slots 28-50: stalest-first (r4-era, newest green row r4 computed from
+#    CORRECTNESS_r01-r08), alphabetical, 23 of the 33. The 10 deferred are
 #    the six-query ts block (ts_autocorr, ts_holt_trend,
 #    ts_interpolate_linear, ts_mad_outliers, ts_rolling_distinct,
 #    ts_weighted_moving_avg — whose shared timeseries-module machinery was
 #    witnessed r8 via ts_sliding_window/ts_sessionize and rides every
-#    bench run via ts_ewma) plus tpch_q2/q12/q20 (module in-window via
-#    the fourteen-query TPC-H block above); all nine lead the r10
+#    bench run via ts_ewma) plus tpch_q2/q11/q12/q20 (module in-window
+#    via the fourteen-query TPC-H block above); all ten lead the r10
 #    rotation, after which min last-witnessed rises to r5-era.
 #    min(last-witnessed) rises r3 -> r4 when this window lands.
 #
@@ -295,6 +301,7 @@ PRIORITY_ORDER: list[str] = [
     "sim_ivf_incremental_assign",
     "curation_domain_mix",
     "dedup_paragraphs_near",
+    "stream_incremental_dedup",
     # --- code path changed this round ---
     "dedup_incremental_snapshot",
     "stream_content_dedup",
@@ -344,7 +351,6 @@ PRIORITY_ORDER: list[str] = [
     "sim_range_search",
     "sim_rp_lsh_topk",
     "skyline_pareto_2d",
-    "tpch_q11_important_stock",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

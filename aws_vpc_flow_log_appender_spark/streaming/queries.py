@@ -33,9 +33,9 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (13 stream queries as of stream_cdc_merge -> retain 26.)
+# (14 stream queries as of stream_incremental_dedup -> retain 28.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 26
+_SINK_RETAIN = 28
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -1320,5 +1320,155 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("value"), 4).alias("value"),
             "last_epoch",
         )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH off AS (
+      SELECT greatest(1000000, CAST(power(10,
+               length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT)) AS v
+      FROM documents
+    ),
+    snap AS (
+      SELECT DISTINCT md5(text) AS content_key FROM documents
+      WHERE doc_id % 5 != 4 AND text IS NOT NULL
+    ),
+    batch AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN md5(text)
+                  ELSE 'null:' || CAST(doc_id AS VARCHAR) END AS content_key
+      FROM documents WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT d.doc_id + off.v AS doc_id, md5(d.text) AS content_key
+      FROM documents d, off
+      WHERE d.doc_id % 5 != 4 AND d.doc_id % 10 = 0 AND d.text IS NOT NULL
+    ),
+    eb AS (
+      SELECT doc_id, content_key, CAST(doc_id % 4 AS INTEGER) AS epoch
+      FROM batch
+    ),
+    firsts AS (
+      SELECT doc_id, content_key, epoch FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_key
+               ORDER BY epoch, doc_id) AS rn
+        FROM eb
+      ) WHERE rn = 1
+    )
+    SELECT f.doc_id, f.content_key, f.epoch
+    FROM firsts f LEFT JOIN snap s ON s.content_key = f.content_key
+    WHERE s.content_key IS NULL
+    """,
+    tags=("streaming", "dedup", "incremental", "bloom", "foreachbatch"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of dedup_incremental_snapshot — continuous-crawl
+    ingest dedup with state ON STORAGE and the bloom prefilter maintained
+    INCREMENTALLY: today's crawl arrives over four real micro-batches
+    (epoch = doc_id % 4, the row-pure arrival schedule); each batch
+    keep-firsts within itself (partial-aggregable min(doc_id) per key),
+    probes the ACCUMULATED bloom — definite-new rows skip the key-set join
+    entirely — anti-joins the maybe-dup tail against the accumulated key
+    set exactly, appends its survivors, and writes epoch-versioned state:
+    keys_v{n+1} = keys_v{n} UNION survivors, bloom_v{n+1} =
+    bloom_merge(bloom_v{n}, bloom(survivors)). The bitmap merge is the
+    100 TB move this query exists to pin: blooms are MERGEABLE sketches,
+    so the prefilter stays current across an unbounded stream at the cost
+    of one bit_or over `words` short rows per batch — never a rebuild over
+    the full key history. A replayed epoch rewrites its own versions from
+    its own input and the prior state: idempotent by construction, the
+    engine holds zero state (the stream_cdc_merge discipline).
+
+    The oracle is the bloom-invisible single pass: global keep-first by
+    (epoch, doc_id) over the batch union, anti-joined against yesterday's
+    snapshot — sequential per-key epoch composition means the four
+    streamed merges MUST compose to exactly that, and the emitted epoch
+    column witnesses WHICH batch admitted each survivor (a single-pass
+    fake cannot dodge it: epochs are assigned before the stream runs).
+    Bloom sizing follows dedup_incremental_snapshot's rule, sized to the
+    FINAL key population upper bound (snapshot rows + batch rows), since
+    the bitmap must absorb every batch's survivors without saturating."""
+    from ..ext.dedup import _incremental_split
+    from ..operators.joins import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe_sql,
+        bloom_words_for,
+    )
+
+    snap_keys, batch = _incremental_split(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    n_final_bound = (
+        d.filter((F.col("doc_id") % 5 != 4) & F.col("text").isNotNull()).count()
+        + batch.count()
+    )
+    words = bloom_words_for(n_final_bound)
+    probe = bloom_probe_sql("content_key", words=words)
+
+    staged = batch.select(
+        "doc_id",
+        "content_key",
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("epoch"),
+    )
+    state = _track_sink("stream_incremental_dedup")
+    key_schema = "content_key string"
+    surv_schema = "doc_id long, content_key string, epoch int"
+    snap_keys.write.mode("overwrite").parquet(os.path.join(state, "keys_v0"))
+    bloom_build(snap_keys, "content_key", words=words).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state, "bloom_v0"))
+
+    staging = _stage_slices(staged, "epoch", 4, "stream_incremental_dedup")
+    try:
+        stream = _slice_stream(spark, staging, staged.schema)
+
+        def apply_batch(df: DataFrame, epoch_id: int) -> None:
+            ss = df.sparkSession
+            keys_prev = ss.read.schema(key_schema).parquet(
+                os.path.join(state, f"keys_v{epoch_id}")
+            )
+            bprev = ss.read.parquet(os.path.join(state, f"bloom_v{epoch_id}"))
+            firsts = df.groupBy("content_key").agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("epoch").alias("epoch"),
+            )
+            probed = firsts.join(F.broadcast(bprev))
+            maybe = probed.filter(F.expr(probe)).drop("bloom")
+            fresh = probed.filter(~F.expr(probe)).drop("bloom")
+            surv = maybe.join(
+                keys_prev, "content_key", "left_anti"
+            ).unionByName(fresh).select("doc_id", "content_key", "epoch")
+            surv.write.mode("overwrite").parquet(
+                os.path.join(state, f"surv_v{epoch_id}")
+            )
+            surv_back = ss.read.schema(surv_schema).parquet(
+                os.path.join(state, f"surv_v{epoch_id}")
+            )
+            keys_prev.unionByName(
+                surv_back.select("content_key")
+            ).write.mode("overwrite").parquet(
+                os.path.join(state, f"keys_v{epoch_id + 1}")
+            )
+            bloom_merge(
+                [bprev, bloom_build(surv_back, "content_key", words=words)]
+            ).write.mode("overwrite").parquet(
+                os.path.join(state, f"bloom_v{epoch_id + 1}")
+            )
+
+        _await_foreach_batch(
+            stream, apply_batch, "stream_incremental_dedup", 300, "append"
+        )
+        survs = [
+            spark.read.schema(surv_schema).parquet(
+                os.path.join(state, f"surv_v{ep}")
+            )
+            for ep in range(4)
+        ]
+        out = survs[0]
+        for s in survs[1:]:
+            out = out.unionByName(s)
+        return out
     finally:
         shutil.rmtree(staging, ignore_errors=True)

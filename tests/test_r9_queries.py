@@ -107,3 +107,67 @@ def test_paragraphs_near_first_occurrence_of_unique_span_survives(spark, sf_dir)
     # kept uniques exist in bulk: most unique spans have no near twin
     kept_frac = sum(r["kept"] for r in uniq) / len(uniq)
     assert kept_frac > 0.5, kept_frac
+
+
+def test_bloom_merge_equals_union_bloom(spark):
+    """bloom_merge's defining property: the bit_or of two bitmaps IS the
+    union's bitmap, bit for bit — the invariant that lets
+    stream_incremental_dedup maintain its prefilter across batches without
+    rebuilding from the full key history."""
+    from pyspark.sql import functions as F
+
+    from aws_vpc_flow_log_appender_spark.operators.joins import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = spark.range(0, 300).select(F.concat(F.lit("k"), "id").alias("k"))
+    b = spark.range(200, 500).select(F.concat(F.lit("k"), "id").alias("k"))
+    u = a.unionByName(b).distinct()
+    merged = bloom_merge(
+        [bloom_build(a, "k", words=128), bloom_build(b, "k", words=128)]
+    ).collect()[0]["bloom"]
+    direct = bloom_build(u, "k", words=128).collect()[0]["bloom"]
+    assert dict(merged) == dict(direct)
+
+
+def test_stream_incremental_dedup_state_versions_and_epochs(spark, sf_dir):
+    """The streaming run leaves the full epoch-versioned state chain on
+    storage (keys_v0..v4, bloom_v0..v4, surv_v0..v3), survivors match the
+    batch operator's exactly (same doc_id/content_key set — the streamed
+    composition equals the single pass), the key set grows by exactly the
+    survivor count each epoch, and the emitted epoch column matches the
+    staged arrival schedule (doc_id % 4)."""
+    import glob as _glob
+    import os as _os
+
+    from aws_vpc_flow_log_appender_spark.streaming import queries as sq
+
+    out = sq.QUERY_REGISTRY["stream_incremental_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["epoch"] == r["doc_id"] % 4 for r in rows)
+
+    batch_q = sq.QUERY_REGISTRY["dedup_incremental_snapshot"].fn
+    batch_set = {
+        (r["doc_id"], r["content_key"])
+        for r in batch_q(spark, sf_dir).collect()
+    }
+    assert {(r["doc_id"], r["content_key"]) for r in rows} == batch_set
+
+    state = max(
+        _glob.glob("/tmp/stream_incremental_dedup_sink_*"),
+        key=_os.path.getmtime,
+    )
+    for v in range(5):
+        assert _os.path.isdir(_os.path.join(state, f"keys_v{v}")), v
+        assert _os.path.isdir(_os.path.join(state, f"bloom_v{v}")), v
+    n_prev = spark.read.parquet(_os.path.join(state, "keys_v0")).count()
+    for ep in range(4):
+        n_surv = spark.read.parquet(
+            _os.path.join(state, f"surv_v{ep}")
+        ).count()
+        n_next = spark.read.parquet(
+            _os.path.join(state, f"keys_v{ep + 1}")
+        ).count()
+        assert n_next == n_prev + n_surv, (ep, n_prev, n_surv, n_next)
+        n_prev = n_next
