@@ -389,3 +389,88 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_sel"), zero).alias("n_sel"),
         F.coalesce(F.col("sel_tokens"), zero).alias("sel_tokens"),
     )
+
+
+# --- per-source adaptive quality threshold (rank-quantile filter) ------------
+
+
+@query(
+    "curation_quality_rank_filter",
+    oracle="""
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000
+               // CAST(length(text) - length(replace(text, ' ', '')) + 1
+                       AS BIGINT) AS score
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS c
+      FROM q
+    )
+    SELECT source,
+           CAST(max(c) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rnk <= (c + 1) // 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN rnk <= (c + 1) // 2 THEN score END)
+                AS BIGINT) AS threshold_ppm
+    FROM r GROUP BY source
+    """,
+    tags=("curation", "quality", "quantile", "adaptive"),
+)
+def curation_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality filtering — the FineWeb-style step where
+    each source keeps its own top half by quality instead of passing one
+    global gate (a global threshold systematically empties low-register
+    sources and waves through high-register ones; the corpus_curation
+    quality gate is that global form). The filter is a rank quantile:
+    within each source, rank docs by an integer quality proxy (mean word
+    length in ppm — BIGINT arithmetic end to end, no float boundary to
+    drift) descending with doc_id tie-break, keep rank <= ceil(n/2), and
+    emit the per-source count plus THE ADAPTIVE THRESHOLD ITSELF — the
+    score of the last kept doc, which is what a production pipeline
+    persists so the nightly incremental run can filter stream-side without
+    re-ranking history.
+
+    Plan shape at 100 TB: one corpus scan; the rank and the per-source
+    count ride ONE window partitioned by source (Catalyst plans a single
+    Exchange on source for both — partitioned parallelism across sources,
+    no global sort); one per-source aggregate on top. Exact per-group
+    quantiles need the in-source sort by definition; pipelines that can
+    tolerate approximation swap in percentile_approx one-pass, trading the
+    sort for a mergeable sketch (documented trade, not taken here because
+    the driver hash demands exactness)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tok = F.length("text") - n_nospace + 1
+    q = d.select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000"
+            " DIV CAST(length(text) - length(replace(text, ' ', '')) + 1"
+            " AS BIGINT)"
+        ).alias("score"),
+    )
+    sw = W.partitionBy("source")
+    r = q.select(
+        "source",
+        "score",
+        F.row_number()
+        .over(sw.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(sw).alias("c"),
+    )
+    kept = F.col("rnk") <= (F.col("c") + 1) / F.lit(2)
+    # integer ceil-half: (c+1) DIV 2 — expression form to match the oracle
+    kept = F.expr("rnk <= (c + 1) DIV 2")
+    return r.groupBy("source").agg(
+        F.max("c").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.min(F.when(kept, F.col("score"))).cast("long").alias(
+            "threshold_ppm"
+        ),
+    )
