@@ -444,8 +444,6 @@ def curation_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort for a mergeable sketch (documented trade, not taken here because
     the driver hash demands exactness)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    n_tok = F.length("text") - n_nospace + 1
     q = d.select(
         "source",
         "doc_id",
@@ -464,7 +462,6 @@ def curation_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
         F.count(F.lit(1)).over(sw).alias("c"),
     )
-    kept = F.col("rnk") <= (F.col("c") + 1) / F.lit(2)
     # integer ceil-half: (c+1) DIV 2 — expression form to match the oracle
     kept = F.expr("rnk <= (c + 1) DIV 2")
     return r.groupBy("source").agg(
