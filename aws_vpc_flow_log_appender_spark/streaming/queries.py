@@ -33,9 +33,10 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (14 stream queries as of stream_incremental_dedup -> retain 28.)
+# (16 stream queries as of stream_ivf_assign/stream_quality_filter ->
+# retain 32.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 28
+_SINK_RETAIN = 32
 
 
 def _sweep_sinks(keep: int = 0) -> None:
@@ -1468,6 +1469,227 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         out = survs[0]
         for s in survs[1:]:
+            out = out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+# --- Streaming IVF assignment (VERDICT r9 #7) --------------------------------
+
+
+def _stream_ivf_oracle_sql() -> str:
+    """stream_ivf_assign's oracle: train the coarse quantizer over the
+    already-indexed subset (the unrolled Lloyd CTEs — training happens
+    ONCE, before any batch arrives), assign the WHOLE arriving batch in one
+    pass against the final codebook, then compose the per-epoch cumulative
+    per-cell occupancy/mean-distance the four streamed state merges must
+    reproduce exactly (sequential per-cell composition: each micro-batch
+    adds its per-cell counts/scaled-distance sums to the stored running
+    state, so the union-then-cumulative-window form is the fold's closed
+    form)."""
+    from ..ext.similarity import KM_ITERS, KM_SCALE, _km_oracle_train_parts
+
+    parts = _km_oracle_train_parts(
+        src="(SELECT vec_id, embedding FROM embeddings"
+            " WHERE NOT (vec_id % 4 = 1))"
+    )
+    fin = KM_ITERS
+    parts.append(f"""
+    , nvecs AS (
+      SELECT vec_id, CAST((vec_id // 4) % 4 AS INTEGER) AS epoch, v,
+             list_dot_product(v, v) AS vv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id % 4 = 1)
+    ),
+    nsc AS (
+      SELECT n.vec_id, n.epoch, c.cid,
+             (n.vv - 2 * list_dot_product(n.v, c.c) + c.cc) AS d
+      FROM nvecs n CROSS JOIN (
+        SELECT cid, c, list_dot_product(c, c) AS cc FROM c{fin}
+      ) c
+    ),
+    na AS (
+      SELECT vec_id, epoch, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cid) AS rn
+        FROM nsc
+      ) WHERE rn = 1
+    ),
+    per AS (
+      SELECT cid, epoch, CAST(count(*) AS BIGINT) AS n_b,
+             sum(CAST(floor(d * {KM_SCALE} + 0.5) AS BIGINT)) AS sd_b
+      FROM na GROUP BY cid, epoch
+    )
+    SELECT CAST(cid AS INTEGER) AS cluster_id, epoch,
+           CAST(sum(n_b) OVER w AS BIGINT) AS n_cum,
+           floor(CAST(sum(sd_b) OVER w AS DOUBLE)
+                 / sum(n_b) OVER w + 0.5) / {KM_SCALE} AS mean_d
+    FROM per
+    WINDOW w AS (PARTITION BY cid ORDER BY epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
+    return "".join(parts)
+
+
+def _ivf_assign_cells(df: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-micro-batch IVF cell assignment: one pass over the batch rows
+    (vec_id, v), cross-joined against the broadcast KM_K-row codebook
+    (cid, c, cc), reduced by the partial-aggregable min(struct(d, cid))
+    argmin, then per-cell (n_b, sd_b) on the exact scaled-integer grid.
+    Factored out of the foreachBatch body so tests/test_plan_pins.py can
+    pin the batch-side plan directly: NO Lloyd stage, no window — the
+    codebook arrives as data (read from checkpointed state), never derived
+    in-plan."""
+    from ..ext.similarity import KM_SCALE, _km_dot_sql
+
+    scored = (
+        df.withColumn("vv", F.expr(_km_dot_sql("v", "v")))
+        .crossJoin(F.broadcast(cb))
+        .withColumn(
+            "d", F.expr(f"(vv - 2.0D * {_km_dot_sql('v', 'c')} + cc)")
+        )
+    )
+    na = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("best"))
+        .select(F.col("best.cid").alias("cid"), F.col("best.d").alias("d"))
+    )
+    scaled_d = F.floor(F.col("d") * F.lit(KM_SCALE) + F.lit(0.5)).cast("long")
+    return na.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(scaled_d).alias("sd_b"),
+    )
+
+
+@query(
+    "stream_ivf_assign",
+    oracle=_stream_ivf_oracle_sql(),
+    tags=("streaming", "similarity", "ivf", "incremental", "foreachbatch"),
+)
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance — sim_ivf_incremental_assign's
+    assignment pass composed into the sliced-stream scaffold with per-cell
+    state ON STORAGE (the stream_incremental_dedup discipline): the coarse
+    quantizer trains ONCE over the already-indexed corpus and its codebook
+    is CHECKPOINTED to parquet before the stream starts; the new batch
+    (vec_id % 4 = 1) then arrives over four real micro-batches (epoch =
+    (vec_id DIV 4) % 4, a pure function of the row), and each batch reads
+    the stored codebook (KM_K rows — broadcast, never derived in-plan: no
+    Lloyd stages per batch, pinned by tests over _ivf_assign_cells),
+    assigns its vectors by the exact argmin, and merges per-cell
+    (count, scaled-distance-sum) into epoch-versioned occupancy state:
+    occ_v{n+1} = occ_v{n} (+) batch cells. Each batch emits the cells IT
+    touched with their post-merge CUMULATIVE occupancy and mean distance —
+    the operational signal an index operator watches per ingest tick.
+
+    The oracle is the fold's closed form: one assignment pass over the
+    epoch union, per-(cell, epoch) partials, cumulative window over
+    epochs. The emitted epoch column witnesses WHICH micro-batch produced
+    each state row (a single-pass fake cannot dodge the per-epoch
+    cumulative values). Engine parity follows the kmeans family rules:
+    sequential-fold dots, scaled-integer distance sums, one double
+    division rounded back to the 1e-6 grid.
+
+    At 100 TB: training amortizes across ingests (stored index, not
+    in-plan); each micro-batch costs ONE scan of its own rows plus a
+    KM_K x EMB_DIM broadcast; state I/O is KM_K rows per epoch — constant,
+    never corpus-bounded."""
+    from ..ext.similarity import (
+        KM_ITERS,
+        KM_SCALE,
+        _km_dot_sql,
+        _km_train_parts_spark,
+    )
+    from ..ext.dedup import _sql_over
+
+    e = load(spark, sf_dir, "embeddings")
+
+    # --- one-time training over the indexed subset; checkpoint the codebook
+    fin = KM_ITERS
+    train_parts = [
+        p.replace(
+            "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v"
+            " FROM {v})",
+            "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v"
+            " FROM {v} WHERE NOT (vec_id % 4 = 1))",
+        )
+        for p in _km_train_parts_spark()
+    ]
+    train_parts.append(f"""
+    SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{fin}
+    """)
+    codebook = _sql_over(e, "stream_ivf_train", "".join(train_parts))
+
+    state = _track_sink("stream_ivf_assign")
+    cb_schema = "cid int, c array<double>, cc double"
+    occ_schema = "cid int, n_cum long, sd_cum long"
+    emit_schema = "cluster_id int, epoch int, n_cum long, mean_d double"
+    codebook.write.mode("overwrite").parquet(os.path.join(state, "codebook"))
+    spark.createDataFrame([], occ_schema).write.mode("overwrite").parquet(
+        os.path.join(state, "occ_v0")
+    )
+
+    staged = e.filter(F.expr("vec_id % 4 = 1")).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr("CAST((vec_id div 4) % 4 AS INT)").alias("epoch"),
+    )
+    staging = _stage_slices(staged, "epoch", 4, "stream_ivf_assign")
+    try:
+        stream = _slice_stream(spark, staging, staged.schema)
+
+        def apply_batch(df: DataFrame, epoch_id: int) -> None:
+            ss = df.sparkSession
+            cb = ss.read.schema(cb_schema).parquet(
+                os.path.join(state, "codebook")
+            )
+            occ_prev = ss.read.schema(occ_schema).parquet(
+                os.path.join(state, f"occ_v{epoch_id}")
+            )
+            per = _ivf_assign_cells(df.select("vec_id", "v"), cb)
+            merged = (
+                occ_prev.join(per, ["cid"], "full_outer")
+                .select(
+                    "cid",
+                    (F.coalesce("n_cum", F.lit(0))
+                     + F.coalesce("n_b", F.lit(0))).alias("n_cum"),
+                    (F.coalesce("sd_cum", F.lit(0))
+                     + F.coalesce("sd_b", F.lit(0))).alias("sd_cum"),
+                    F.col("n_b").isNotNull().alias("touched"),
+                )
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state, f"occ_raw_v{epoch_id + 1}")
+            )
+            back = ss.read.schema(occ_schema + ", touched boolean").parquet(
+                os.path.join(state, f"occ_raw_v{epoch_id + 1}")
+            )
+            back.select("cid", "n_cum", "sd_cum").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state, f"occ_v{epoch_id + 1}"))
+            ep = F.lit(int(epoch_id)).cast("int")
+            back.filter("touched").select(
+                F.col("cid").cast("int").alias("cluster_id"),
+                ep.alias("epoch"),
+                "n_cum",
+                (F.floor(F.col("sd_cum").cast("double") / F.col("n_cum")
+                         + F.lit(0.5)) / F.lit(KM_SCALE)).alias("mean_d"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(state, f"emit_v{epoch_id}")
+            )
+
+        _await_foreach_batch(
+            stream, apply_batch, "stream_ivf_assign", 300, "append"
+        )
+        outs = [
+            spark.read.schema(emit_schema).parquet(
+                os.path.join(state, f"emit_v{ep}")
+            )
+            for ep in range(4)
+        ]
+        out = outs[0]
+        for s in outs[1:]:
             out = out.unionByName(s)
         return out
     finally:

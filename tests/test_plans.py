@@ -447,6 +447,10 @@ _BROADCAST_BOUNDS = {
     ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=1024 map entries, 8 KB)",
     ("ext/dedup.py", "bloom"): "1-row snapshot bloom bitmap (<=1024 map entries, 8 KB)",
     ("streaming/queries.py", "bounds"): "1-row min/max event-time aggregate",
+    ("streaming/queries.py", "cb"): (
+        "checkpointed codebook, KM_K rows (read from stored state, "
+        "never derived in-plan)"
+    ),
     ("streaming/queries.py", "bprev"): (
         "1-row snapshot bloom bitmap (bloom_words_for caps at 2^18 words "
         "~= 4 MB; auto-sized at ~10 bits/key)"
