@@ -1391,7 +1391,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom sizing follows dedup_incremental_snapshot's rule, sized to the
     FINAL key population upper bound (snapshot rows + batch rows), since
     the bitmap must absorb every batch's survivors without saturating."""
-    from ..ext.dedup import _incremental_split
+    from ..ext.dedup import _incremental_counts, _incremental_split
     from ..operators.joins import (
         bloom_build,
         bloom_merge,
@@ -1400,12 +1400,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     snap_keys, batch = _incremental_split(spark, sf_dir)
-    d = load(spark, sf_dir, "documents")
-    n_final_bound = (
-        d.filter((F.col("doc_id") % 5 != 4) & F.col("text").isNotNull()).count()
-        + batch.count()
-    )
-    words = bloom_words_for(n_final_bound)
+    # sizing counts memoized per fixture dir (ADVICE r9 #4)
+    n_snap, n_batch = _incremental_counts(spark, sf_dir)
+    words = bloom_words_for(n_snap + n_batch)
     probe = bloom_probe_sql("content_key", words=words)
 
     staged = batch.select(

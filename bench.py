@@ -110,6 +110,13 @@ HEADLINE = [
     "sim_ivf_incremental_assign",
     "curation_domain_mix",
     "dedup_paragraphs_near",
+    # r10 additions (batch; the two new stream_* queries run real
+    # micro-batches and are excluded like every prior stream query):
+    # image dHash near-dedup, mini-batch codebook update, and the r9
+    # orphan's per-source adaptive rank filter
+    "multimodal_phash_dedup",
+    "sim_ivf_minibatch_update",
+    "curation_quality_rank_filter",
 ]
 
 
