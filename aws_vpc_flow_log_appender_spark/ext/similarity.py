@@ -2615,11 +2615,15 @@ def sim_ivf_minibatch_update(spark, sf_dir):
     the 1e-6 rounding grid — asserted per-cell in tests and watched by the
     scale smoke (distortion non-increasing on the training slice).
 
-    Plan: the training CTEs collapse above the checkpointed codebook; the
-    update itself is ONE pass over all vectors (broadcast 8-row codebook,
-    partial-aggregable argmin, one 64+3-column cell aggregate) plus one
-    broadcast join back for the after-distortion — no second Lloyd loop,
-    no window over the corpus."""
+    Plan: the membership relation ``mem`` (vec_id, v, cid, d over ALL
+    vectors) is materialized ONCE as a localCheckpoint — it feeds both the
+    cell aggregate and the after-distortion pass, and Spark inlines CTEs,
+    so without the checkpoint the entire Lloyd training + assignment
+    upstream executed once per consumer (caught in the r10 plan audit).
+    Downstream is checkpoint-bounded: one 64+3-column cell aggregate, the
+    8-row updated codebook (itself checkpointed — two tiny consumers), one
+    broadcast join back over mem for the after-distortion — no second
+    Lloyd loop, no window over the corpus."""
     from .dedup import _sql_over
 
     e = load(spark, sf_dir, "embeddings")
@@ -2638,10 +2642,6 @@ def sim_ivf_minibatch_update(spark, sf_dir):
     for i in range(KM_ITERS):
         parts.append("," + _km_assign_spark(i))
         parts.append("," + _km_update_spark(i))
-    ssum = ", ".join(
-        f"sum(CAST(floor(v[{p}] * {KM_SCALE}D + 0.5D) AS BIGINT)) AS s{p}"
-        for p in range(EMB_DIM)
-    )
     cterms = ", ".join(
         f"floor(CAST(s{p} AS DOUBLE) / (n_train + n_new) + 0.5D)"
         f" / {KM_SCALE}D"
@@ -2658,44 +2658,61 @@ def sim_ivf_minibatch_update(spark, sf_dir):
       SELECT /*+ BROADCAST(c) */ a.vec_id, a.is_new, a.v, a.vv, c.cid,
              (a.vv - 2.0D * {_km_dot_sql("a.v", "c.c")} + c.cc) AS d
       FROM allv a CROSS JOIN cbo c
-    ),
-    mem AS (
-      SELECT vec_id, is_new, v, vv, best.cid AS cid, best.d AS d FROM (
-        SELECT vec_id, first(is_new) AS is_new, first(v) AS v,
-               first(vv) AS vv, min(struct(d, cid)) AS best
-        FROM msc GROUP BY vec_id
-      )
-    ),
-    cell AS (
-      SELECT cid,
-             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_train,
-             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_new,
-             sum(CAST(floor(d * {KM_SCALE}D + 0.5D) AS BIGINT)) AS sdb,
-             {ssum}
-      FROM mem GROUP BY cid
-    ),
-    cnew AS (
-      SELECT cid, n_train, n_new, sdb, array({cterms}) AS c
-      FROM cell
-    ),
-    aft AS (
-      SELECT /*+ BROADCAST(cn) */ m.cid,
-             sum(CAST(floor((m.vv - 2.0D * {_km_dot_sql("m.v", "cn.c")}
-                             + {_km_dot_sql("cn.c", "cn.c")})
-                            * {KM_SCALE}D + 0.5D) AS BIGINT)) AS sda
-      FROM mem m JOIN cnew cn ON m.cid = cn.cid
-      GROUP BY m.cid
     )
-    SELECT CAST(cn.cid AS INT) AS cluster_id,
-           cn.n_train, cn.n_new, cn.n_train + cn.n_new AS n_total,
-           floor(CAST(cn.sdb AS DOUBLE) / (cn.n_train + cn.n_new) + 0.5D)
-             / {KM_SCALE}D AS d_before,
-           floor(CAST(a.sda AS DOUBLE) / (cn.n_train + cn.n_new) + 0.5D)
-             / {KM_SCALE}D AS d_after,
-           floor(sqrt({_km_dot_sql("cn.c", "cn.c")}) * {KM_SCALE}D + 0.5D)
-             / {KM_SCALE}D AS centroid_norm_new
-    FROM cnew cn JOIN aft a ON cn.cid = a.cid
+    SELECT vec_id, is_new, v, vv, best.cid AS cid, best.d AS d FROM (
+      SELECT vec_id, first(is_new) AS is_new, first(v) AS v,
+             first(vv) AS vv, min(struct(d, cid)) AS best
+      FROM msc GROUP BY vec_id
+    )
     """)
-    return _sql_over(e, "ivf_minibatch", "".join(parts))
+    # mem feeds two consumers (cell aggregate, after-distortion pass);
+    # checkpoint so the Lloyd training above runs once, not per consumer
+    mem = _sql_over(e, "ivf_minibatch_mem", "".join(parts)).localCheckpoint(
+        eager=False
+    )
+    cell_aggs = [
+        F.expr("CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)")
+        .alias("n_train"),
+        F.expr("CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_new"),
+        F.expr(f"sum(CAST(floor(d * {KM_SCALE}D + 0.5D) AS BIGINT))")
+        .alias("sdb"),
+    ] + [
+        F.expr(f"sum(CAST(floor(v[{p}] * {KM_SCALE}D + 0.5D) AS BIGINT))")
+        .alias(f"s{p}")
+        for p in range(EMB_DIM)
+    ]
+    cell = mem.groupBy("cid").agg(*cell_aggs)
+    # the 8-row updated codebook, also two consumers — checkpoint
+    cnew = cell.select(
+        "cid", "n_train", "n_new", "sdb",
+        F.expr(f"array({cterms})").alias("c"),
+    ).withColumn("ccn", F.expr(_km_dot_sql("c", "c"))).localCheckpoint(
+        eager=False
+    )
+    codebook = cnew.select("cid", "c", "ccn")
+    aft = (
+        mem.join(F.broadcast(codebook), "cid")
+        .select(
+            "cid",
+            F.expr(
+                f"CAST(floor((vv - 2.0D * {_km_dot_sql('v', 'c')} + ccn)"
+                f" * {KM_SCALE}D + 0.5D) AS BIGINT)"
+            ).alias("sd"),
+        )
+        .groupBy("cid")
+        .agg(F.sum("sd").alias("sda"))
+    )
+    n_tot = F.col("n_train") + F.col("n_new")
+    return cnew.join(aft, "cid").select(
+        F.col("cid").cast("int").alias("cluster_id"),
+        "n_train",
+        "n_new",
+        n_tot.alias("n_total"),
+        (F.floor(F.col("sdb").cast("double") / n_tot + F.lit(0.5))
+         / F.lit(KM_SCALE)).alias("d_before"),
+        (F.floor(F.col("sda").cast("double") / n_tot + F.lit(0.5))
+         / F.lit(KM_SCALE)).alias("d_after"),
+        (F.floor(F.sqrt(F.col("ccn")) * F.lit(KM_SCALE) + F.lit(0.5))
+         / F.lit(KM_SCALE)).alias("centroid_norm_new"),
+    )
