@@ -218,6 +218,68 @@ def corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- domain-mix token-budget allocation (VERDICT r8 "Next round" #7) ---------
 
+
+def _mix_quality_frame(docs):
+    """(source, doc_id, n_tok, h) over the quality-gated slice of a
+    documents-shaped frame: whitespace token count + the salted hash rank
+    the deterministic greedy fill orders by. Shared by curation_domain_mix
+    and its streaming twin (stream_domain_mix) so the gate, the token
+    metric, and the fill order can never drift between batch and stream."""
+    from .sampling import hash_prefix
+
+    d = docs.filter(F.col("text").isNotNull() & F.expr(_SQL_QUALITY_GATE))
+    n_tok = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    return d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        hash_prefix(F.col("doc_id"), "mix", 6).alias("h"),
+    )
+
+
+def _hamilton_alloc(q, denom: int = 2):
+    """Largest-remainder (Hamilton) token-budget allocation over a
+    (source, n_tok) frame: target = total quality tokens DIV ``denom``
+    (the batch operator budgets half; the streaming admission controller
+    budgets an eighth so the arriving fifth of the corpus actually
+    exhausts it), floor quotas + one extra for the R largest remainders —
+    allocations sum EXACTLY to the target by construction. All arithmetic
+    on the |sources|-row relation; the rank window is the
+    bounded-relation class, never the corpus."""
+    qt = q.groupBy("source").agg(F.sum("n_tok").alias("qtok"))
+    tot = qt.agg(
+        F.sum("qtok").alias("w"),
+        F.expr(f"CAST(sum(qtok) DIV {denom} AS BIGINT)").alias("target"),
+    )
+    quota = qt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "qtok",
+        F.expr("(target * qtok) DIV w").alias("base"),
+        ((F.col("target") * F.col("qtok")) % F.col("w")).alias("rem"),
+        "target",
+    )
+    leftover = quota.agg((F.max("target") - F.sum("base")).alias("r"))
+    # rank over the |sources|-row relation: the bounded-relation window
+    # class (like the KM_K centroid seeding), never the corpus
+    rw = W.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        quota.withColumn("rnk", F.row_number().over(rw))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "qtok",
+            "target",
+            (
+                F.col("base")
+                + F.when(F.col("rnk") <= F.col("r"), 1).otherwise(0)
+            ).cast("long").alias("alloc_tokens"),
+        )
+    )
+
 _MIX_HASH_SPACE = 16777216  # 2^24: first 6 hex chars of md5 (the temp hash)
 
 
@@ -318,51 +380,8 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection pass re-scans quality docs with the alloc table BROADCAST
     and a cumulative sum windowed PER SOURCE — partitioned parallelism,
     no global sort; one final per-source aggregate."""
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & F.expr(_SQL_QUALITY_GATE)
-    )
-    from .sampling import hash_prefix
-
-    n_tok = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
-    q = d.select(
-        "source",
-        "doc_id",
-        n_tok.alias("n_tok"),
-        hash_prefix(F.col("doc_id"), "mix", 6).alias("h"),
-    )
-    qt = q.groupBy("source").agg(F.sum("n_tok").alias("qtok"))
-    tot = qt.agg(
-        F.sum("qtok").alias("w"),
-        F.expr("CAST(sum(qtok) DIV 2 AS BIGINT)").alias("target"),
-    )
-    quota = qt.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "qtok",
-        F.expr("(target * qtok) DIV w").alias("base"),
-        ((F.col("target") * F.col("qtok")) % F.col("w")).alias("rem"),
-        "target",
-    )
-    leftover = quota.agg((F.max("target") - F.sum("base")).alias("r"))
-    # rank over the |sources|-row relation: the bounded-relation window
-    # class (like the KM_K centroid seeding), never the corpus
-    rw = W.orderBy(F.desc("rem"), F.asc("source"))
-    alloc = (
-        quota.withColumn("rnk", F.row_number().over(rw))
-        .crossJoin(F.broadcast(leftover))
-        .select(
-            "source",
-            "qtok",
-            "target",
-            (
-                F.col("base")
-                + F.when(F.col("rnk") <= F.col("r"), 1).otherwise(0)
-            ).cast("long").alias("alloc_tokens"),
-        )
-    )
+    q = _mix_quality_frame(load(spark, sf_dir, "documents"))
+    alloc = _hamilton_alloc(q)
     cw = (
         W.partitionBy("source")
         .orderBy(F.asc("h"), F.asc("doc_id"))

@@ -1931,3 +1931,126 @@ def dedup_incremental_snapshot(spark, sf_dir):
     fresh = probed.filter(~F.expr(probe)).drop("bloom")
     checked = maybe_dup.join(snap_keys, "content_key", "left_anti")
     return checked.unionByName(fresh).select("doc_id", "content_key")
+
+
+# --- Cross-split near-dup leakage (train/eval decontamination, r10) ----------
+
+_SQL_SIG_EQ_AB = " + ".join(
+    f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_cross_split_leakage",
+    oracle=f"""
+    WITH shingled AS ({_SQL_SHINGLED}),
+    sig AS ({_SQL_MINHASH_SIG}),
+    bands AS ({_SQL_BANDS}),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM bands t JOIN bands e
+        ON t.band_id = e.band_id AND t.band_sig = e.band_sig
+      WHERE t.doc_id % 10 < 8 AND e.doc_id % 10 >= 8
+    ),
+    scored AS (
+      SELECT c.eval_id, c.train_id,
+             CAST({_SQL_SIG_EQ_AB} AS INTEGER) AS n_eq
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.train_id
+      JOIN sig sb ON sb.doc_id = c.eval_id
+    )
+    SELECT eval_id AS eval_doc_id,
+           train_id AS best_train_doc_id,
+           n_eq AS n_eq_best,
+           CAST(n_eq AS BIGINT) * 125000 AS est_jaccard_ppm,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM (
+      SELECT eval_id, train_id, n_eq,
+             row_number() OVER (PARTITION BY eval_id
+                                ORDER BY n_eq DESC, train_id) AS rn,
+             count(*) OVER (PARTITION BY eval_id) AS n_candidates
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "minhash", "lsh", "decontamination", "leakage"),
+)
+def dedup_cross_split_leakage(spark, sf_dir):
+    """Fuzzy eval-set decontamination: near-duplicate LEAKAGE between a
+    train split and a held-out eval split, found by banded MinHash — the
+    check a training pipeline runs before trusting any benchmark number,
+    catching paraphrase/near-copy leakage that exact n-gram containment
+    (text_contamination_check) misses and embedding cosine
+    (embed_decontaminate) only catches when an encoder is in the loop.
+
+    Split is deterministic (doc_id % 10: 8/2 train/eval — the
+    sample_holdout_split idiom). One signature build over the WHOLE corpus
+    (the split is a filter on the banded table, not two pipelines), then a
+    band-bucket join restricted to train x eval pairs — candidate mass is
+    LSH-bounded exactly like dedup_minhash_lsh's self-join, never
+    |train| x |eval|. Per eval doc: its best-matching train doc (highest
+    signature agreement, ties to the smallest doc_id), the agreement count,
+    the implied Jaccard as an exact integer (n_eq * 125000 ppm — multiples
+    of 1/8, no float), and how many train candidates collided at all
+    (n_candidates, the triage signal: a high-candidate eval doc sits in a
+    dense template cluster, not a single leaked pair).
+
+    Scale: sig is checkpointed ONCE (three consumers: banding + both sides
+    of the agreement join) and fanned out above the corpus-size gate — the
+    _minhash_pairs_for discipline verbatim; the final per-eval argmax is a
+    window over CANDIDATE PAIRS only (LSH-sparse), not the corpus. At
+    100 TB the eval split is millions of rows against billions of train
+    rows, and every stage is still band-keyed or eval-keyed.
+
+    Reference scope note: extension surface (SURVEY §2 'beyond the
+    reference' LLM-pipeline rungs), no reference counterpart."""
+    docs = load(spark, sf_dir, "documents")
+    sig = (
+        _fan_out_derived(_minhash_sig_for(docs), docs)
+        .localCheckpoint(eager=False)
+    )
+    bands = _bands_from_sig(sig)
+    t = bands.filter(F.col("doc_id") % 10 < 8).select(
+        F.col("doc_id").alias("train_id"), "band_id", "band_sig"
+    )
+    e = bands.filter(F.col("doc_id") % 10 >= 8).select(
+        F.col("doc_id").alias("eval_id"), "band_id", "band_sig"
+    )
+    cand = (
+        t.join(e, ["band_id", "band_sig"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("train_id"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("eval_id"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    scored = (
+        cand.join(sa, "train_id")
+        .join(sb, "eval_id")
+        .select("eval_id", "train_id", n_eq.cast("int").alias("n_eq"))
+    )
+    ew = W.partitionBy("eval_id")
+    ranked = scored.select(
+        "eval_id",
+        "train_id",
+        "n_eq",
+        F.row_number()
+        .over(ew.orderBy(F.desc("n_eq"), F.asc("train_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(ew).alias("n_candidates"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("eval_id").alias("eval_doc_id"),
+        F.col("train_id").alias("best_train_doc_id"),
+        F.col("n_eq").alias("n_eq_best"),
+        (F.col("n_eq").cast("long") * 125000).alias("est_jaccard_ppm"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )

@@ -1034,3 +1034,83 @@ def text_cross_doc_repeats(spark, sf_dir):
             ).alias("repeat_ratio"),
         )
     )
+
+
+# --- Tokenizer fertility per language (r10) ----------------------------------
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_ws,
+             CAST(length(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                  AS BIGINT) AS n_bpe
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_bpe) * 1000 // sum(n_chars) AS BIGINT)
+             AS bpe_per_kchar,
+           CAST(sum(n_bpe) * 100 // sum(n_ws) AS BIGINT)
+             AS bpe_per_100_ws
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "tokens", "bpe", "fertility"),
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the multilingual budget metric
+    (tokens a tokenizer spends per unit of text) that decides whether a
+    vocabulary is fair across languages before a training mix is frozen:
+    a language whose bpe_per_kchar runs far above the corpus norm pays
+    more context window per character, so its effective epoch share
+    shrinks unless the domain-mix allocation (curation_domain_mix)
+    compensates. Reuses text_bpe_token_count's pre-tokenizer regex
+    verbatim so per-doc and per-language surfaces stay comparable.
+
+    Both fertility ratios are corpus-level integer divisions of exact
+    BIGINT sums (tokens*1000 DIV chars, tokens*100 DIV ws-tokens) — no
+    float accumulation, order-insensitive, partial-aggregable. One scan,
+    one groupBy(lang) whose state is #languages rows: the 100 TB shape is
+    a map-side-combined aggregate and a |langs|-row result.
+
+    Reference scope note: extension surface (SURVEY §2 'beyond the
+    reference' LLM-pipeline rungs), no reference counterpart."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_chars = F.length("text").cast("long")
+    n_ws = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    ).cast("long")
+    return (
+        d.select("lang", n_chars.alias("n_chars"), n_ws.alias("n_ws"),
+                 n_bpe.alias("n_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            F.expr("total_bpe_tokens * 1000 DIV total_chars")
+            .alias("bpe_per_kchar"),
+            F.expr("total_bpe_tokens * 100 DIV total_ws_tokens")
+            .alias("bpe_per_100_ws"),
+        )
+    )

@@ -262,3 +262,136 @@ def dq_expectations(spark, sf_dir):
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# --- PSI drift between corpus snapshots (r10) --------------------------------
+
+# Fixed 8-bin histogram of n_chars (width 80, top bin open-ended): bins are
+# CONSTANT, not data-derived quantiles, so two snapshots bin identically
+# without sharing state and the per-source sketch is 8 integers forever.
+_PSI_BINS = 8
+_PSI_BIN_WIDTH = 80
+# Laplace-smoothed shares and the PSI sum, quantized to parts-per-billion
+# BEFORE summation so the 8-term fold is an order-insensitive integer sum.
+_PSI_TERM_SQL = (
+    "CAST(floor(((nb + 1.0{D})/(cb + 8.0{D}) - (na + 1.0{D})/(ca + 8.0{D}))"
+    " * ln(((nb + 1.0{D}) * (ca + 8.0{D}))/((na + 1.0{D}) * (cb + 8.0{D})))"
+    " * 1000000000.0{D} + 0.5{D}) AS BIGINT)"
+)
+# industry convention: PSI >= 0.1 = noticeable shift worth a retrain review
+_PSI_DRIFT_PPB = 100_000_000
+
+
+@query(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, least({_PSI_BINS - 1}, n_chars // {_PSI_BIN_WIDTH}) AS bin,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN doc_id % 4 != 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na
+      FROM documents
+      GROUP BY source, least({_PSI_BINS - 1}, n_chars // {_PSI_BIN_WIDTH})
+    ),
+    s AS (SELECT DISTINCT source FROM documents),
+    bins AS (SELECT unnest(range({_PSI_BINS})) AS bin),
+    dense AS (
+      SELECT s.source, bins.bin,
+             coalesce(b.na, 0) AS na, coalesce(b.nb, 0) AS nb
+      FROM s CROSS JOIN bins
+      LEFT JOIN b ON b.source = s.source AND b.bin = bins.bin
+    ),
+    tot AS (
+      SELECT source, na, nb,
+             sum(na) OVER (PARTITION BY source) AS ca,
+             sum(nb) OVER (PARTITION BY source) AS cb
+      FROM dense
+    ),
+    terms AS (
+      SELECT source, ca, cb, {_PSI_TERM_SQL.format(D="")} AS term_ppb
+      FROM tot
+    )
+    SELECT source,
+           CAST(max(ca) AS BIGINT) AS n_prev,
+           CAST(max(cb) AS BIGINT) AS n_curr,
+           CAST(sum(term_ppb) AS BIGINT) AS psi_ppb,
+           CAST(sum(term_ppb) >= {_PSI_DRIFT_PPB} AS BOOLEAN) AS drift_flag
+    FROM terms GROUP BY source
+    """,
+    tags=("quality", "drift", "psi"),
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index between two corpus snapshots, per source —
+    the drift monitor a production curation pipeline runs on every new
+    crawl drop: has a source's document-length distribution shifted enough
+    (template change, boilerplate injection, crawler regression) that the
+    quality thresholds trained on the previous snapshot no longer apply?
+    Snapshot A is the incremental-dedup family's 'previous' split
+    (doc_id % 4 != 1), snapshot B is the full current corpus.
+
+    PSI = sum over bins of (p_B - p_A) * ln(p_B / p_A) over a FIXED 8-bin
+    length histogram with Laplace-smoothed shares ((n+1)/(total+8) — no
+    log-of-zero, no data-dependent bin edges, so snapshots bin identically
+    without shared state). Each bin term is computed from four integers and
+    quantized to parts-per-billion BEFORE the per-source fold, making the
+    sum order-insensitive (the scaled-integer determinism discipline);
+    drift_flag applies the conventional 0.1 review threshold.
+
+    Scale shape: one corpus scan -> partial-aggregable groupBy(source, bin)
+    whose state is at most 8 rows per source; the bin densification and
+    total-window run over that 8 x |sources| relation, never the corpus —
+    one Exchange on source (the curation_quality_rank_filter class). The
+    per-source sketch (8 bin counts) is mergeable across partitions,
+    snapshots, and days — constant-size state at 100 TB.
+
+    Reference scope note: extension surface (SURVEY §2 'beyond the
+    reference' LLM-pipeline rungs), no reference counterpart."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy(
+        "source",
+        F.expr(f"least({_PSI_BINS - 1}, n_chars div {_PSI_BIN_WIDTH})")
+        .alias("bin"),
+    ).agg(
+        F.count("*").alias("nb"),
+        F.sum(
+            F.when(F.col("doc_id") % 4 != 1, 1).otherwise(0)
+        ).alias("na"),
+    )
+    srcs = b.select("source").distinct()
+    bins = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    dense = (
+        srcs.crossJoin(F.broadcast(bins))
+        .join(b, ["source", "bin"], "left")
+        .select(
+            "source",
+            F.coalesce("na", F.lit(0)).cast("long").alias("na"),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("nb"),
+        )
+    )
+    sw = W.partitionBy("source")
+    tot = dense.select(
+        "source",
+        "na",
+        "nb",
+        F.sum("na").over(sw).alias("ca"),
+        F.sum("nb").over(sw).alias("cb"),
+    )
+    term = F.expr(_PSI_TERM_SQL.format(D="D"))
+    return (
+        tot.select("source", "ca", "cb", term.alias("term_ppb"))
+        .groupBy("source")
+        .agg(
+            F.max("ca").alias("n_prev"),
+            F.max("cb").alias("n_curr"),
+            F.sum("term_ppb").alias("psi_ppb"),
+        )
+        .select(
+            "source",
+            "n_prev",
+            "n_curr",
+            "psi_ppb",
+            (F.col("psi_ppb") >= _PSI_DRIFT_PPB).alias("drift_flag"),
+        )
+    )

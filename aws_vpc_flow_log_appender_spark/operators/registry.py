@@ -304,13 +304,14 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #  - slots 6-15: the ten r4-era witnesses VERDICT r9 #4 names — retiring
 #    the r4 tail entirely; min last-witnessed rises r4 -> r5 when this
 #    window lands.
-#  - slots 16-50: strictly stalest-first (r5-era, alphabetical) — the
-#    r5-era set holds 42 queries, so seven defer to the r11 rotation:
+#  - remaining slots: strictly stalest-first (r5-era, alphabetical) — the
+#    r5-era set holds 42 queries; eleven defer to the r11 rotation:
 #    scalar_conditional, scalar_date_funcs, scalar_math_funcs,
 #    scalar_regex_encoding, scalar_string_funcs, stream_latest_per_key,
 #    window_range_frame (the scalar family's shared relational.py paths
 #    had no r10 hunk; stream_latest_per_key's sliced scaffold is witnessed
-#    through the five in-window stream birth/changed rows).
+#    through the in-window stream birth/changed rows), plus the four the
+#    session-2 additions displaced (see below).
 #  - r10 code-path audit: every r10 source hunk outside the five new query
 #    bodies is append-only or dead-code removal — curation.py lost
 #    curation_quality_rank_filter's shadowed `kept` assignment (that query
@@ -320,6 +321,23 @@ QUERY_REGISTRY: dict[str, QuerySpec] = {}
 #    two new stream rows), similarity.py/multimodal.py are pure appends —
 #    so no existing query's code path changed and no changed-path
 #    re-witness slots are required this round.
+#  - session-2 additions (four more birth rows, in-round-addition rule):
+#    dedup_cross_split_leakage (banded MinHash train/eval leakage),
+#    dq_psi_drift (PSI drift between corpus snapshots),
+#    text_tokenizer_fertility (per-language token-budget fertility),
+#    stream_heavy_hitters (mergeable count-min state on the sliced-stream
+#    scaffold). They displace the four alphabetically-last stalest-first
+#    fills (multimodal_feature_extract, recursive_cte_month_spine,
+#    regexp_extract_all_join, sample_domain_mix), which defer to the r11
+#    rotation alongside the seven already deferred.
+#  - session-2 later additions: stream_domain_mix (birth row — streaming
+#    token-budget admission with per-source spend state on storage) and
+#    curation_domain_mix (CHANGED PATH: its quality frame + Hamilton
+#    allocation were extracted into shared _mix_quality_frame /
+#    _hamilton_alloc so batch and stream can never drift — result
+#    unchanged, path re-witnessed per the in-round-change rule). They
+#    displace lateral_top_nations and map_funcs (defer to r11; thirteen
+#    total deferred).
 PRIORITY_ORDER: list[str] = [
     # --- added this round / birth-round rows ---
     "curation_quality_rank_filter",
@@ -327,6 +345,13 @@ PRIORITY_ORDER: list[str] = [
     "stream_ivf_assign",
     "sim_ivf_minibatch_update",
     "stream_quality_filter",
+    "dedup_cross_split_leakage",
+    "dq_psi_drift",
+    "text_tokenizer_fertility",
+    "stream_heavy_hitters",
+    "stream_domain_mix",
+    # changed-path re-witness (shared-helper extraction this round)
+    "curation_domain_mix",
     # --- the ten r4-era stale witnesses (VERDICT r9 #4) ---
     "ts_autocorr",
     "ts_holt_trend",
@@ -368,12 +393,6 @@ PRIORITY_ORDER: list[str] = [
     "join_null_safe_eq",
     "join_q3_shipping_priority",
     "join_semi",
-    "lateral_top_nations",
-    "map_funcs",
-    "multimodal_feature_extract",
-    "recursive_cte_month_spine",
-    "regexp_extract_all_join",
-    "sample_domain_mix",
 ]
 
 # Rows-only checks (no oracle) must never occupy a hash-checked slot. As of

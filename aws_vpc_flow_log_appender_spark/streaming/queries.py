@@ -1809,3 +1809,525 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_sliced_stream(
         spark, staged, "epoch", 4, build, "stream_quality_filter"
     )
+
+
+# --- Streaming heavy hitters (mergeable count-min state, r10) ----------------
+
+
+def _stream_hh_oracle_sql() -> str:
+    """stream_heavy_hitters' oracle — the fold's closed form: per-batch
+    token counts (b = doc_id % 4), cumulative count-min cells per epoch
+    (cell sums over batches <= epoch == the sequential cell-wise state
+    merge), the candidate set as of each epoch (tokens whose per-batch
+    count ever reached the floor), and the per-epoch top-10 by sketch
+    estimate. Shares agg_countmin_heavy_hitters' bucket SQL textually so
+    batch and streaming sketches can never drift."""
+    from ..ext.sketches import _CM_D, _cm_bucket_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT CAST(doc_id % 4 AS INTEGER) AS b,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT b, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY b, tok
+    ),
+    cand AS (
+      SELECT tok, CAST(min(b) AS INTEGER) AS b0
+      FROM tb WHERE c >= {_HH_CAND_FLOOR} GROUP BY tok
+    ),
+    js AS (SELECT unnest(range({_CM_D})) AS j),
+    cells AS (
+      SELECT b, j, {_cm_bucket_sql("j", "tok")} AS bucket,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM tb CROSS JOIN js GROUP BY b, j, bucket
+    ),
+    ep AS (SELECT unnest(range(4)) AS epoch),
+    cum AS (
+      SELECT e.epoch, c.j, c.bucket, CAST(sum(c.cnt) AS BIGINT) AS cnt
+      FROM ep e JOIN cells c ON c.b <= e.epoch
+      GROUP BY e.epoch, c.j, c.bucket
+    ),
+    cc AS (
+      SELECT e.epoch, cand.tok FROM ep e JOIN cand ON cand.b0 <= e.epoch
+    ),
+    hb AS (
+      SELECT epoch, tok, j, {_cm_bucket_sql("j", "tok")} AS bucket
+      FROM cc CROSS JOIN js
+    ),
+    est AS (
+      SELECT hb.epoch, hb.tok, CAST(min(cum.cnt) AS BIGINT) AS cm_estimate
+      FROM hb JOIN cum ON cum.epoch = hb.epoch AND cum.j = hb.j
+                      AND cum.bucket = hb.bucket
+      GROUP BY hb.epoch, hb.tok
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, tok, cm_estimate,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT epoch, tok, cm_estimate,
+             row_number() OVER (PARTITION BY epoch
+                                ORDER BY cm_estimate DESC, tok) AS rnk
+      FROM est
+    ) WHERE rnk <= {_HH_TOP_K}
+    """
+
+
+# candidate floor: a token enters the tracked set only when some single
+# micro-batch counted it >= this many times — the state-bounding knob that
+# keeps candidates heavy-hitter-sized instead of vocabulary-sized
+_HH_CAND_FLOOR = 2
+_HH_TOP_K = 10
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle=None,  # assigned below: needs _HH_* constants defined first
+    tags=("streaming", "sketch", "heavy-hitters", "foreachbatch"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters — agg_countmin_heavy_hitters' sketch run AS
+    A STREAM with mergeable state on storage (the stream_incremental_dedup
+    discipline): documents arrive over four real micro-batches (epoch =
+    doc_id % 4) and each batch (a) folds its token counts into the stored
+    count-min matrix cell-wise — cm_v{n+1} = cm_v{n} + cells(batch), the
+    sketch's native merge, never rebuilt from history — and (b) grows the
+    candidate set with tokens whose count IN THIS BATCH reached the floor
+    (>= 2), the state-bounding rule that keeps tracked keys
+    heavy-hitter-sized instead of vocabulary-sized (Heaps'-law vocabularies
+    are exactly the unbounded state a 100 TB stream cannot hold; the d x w
+    matrix is constant-size regardless). After merging, the batch emits the
+    cumulative top-10 candidates by sketch estimate (min over the d rows'
+    cells) — the per-tick trending-keys report.
+
+    The emitted epoch witnesses which micro-batch produced each ranking;
+    the oracle replays the fold's closed form over epoch prefixes, so a
+    single-pass fake cannot reproduce the per-epoch estimates. All
+    arithmetic is integer (counts, md5-slice buckets) — partition order
+    can never flip a bit; the bucket SQL is shared textually with the
+    batch sketch.
+
+    At 100 TB: state I/O per batch is the d x w = 4 x 512 cell matrix plus
+    the floored candidate list; the estimate join broadcasts the SKETCH
+    (fixed 2048 rows — the strongest cardinality bound there is), and the
+    top-10 is TakeOrdered over candidates, not a corpus sort."""
+    from ..ext.sketches import _CM_D, _cm_bucket_spark
+
+    d = load(spark, sf_dir, "documents")
+    state = _track_sink("stream_heavy_hitters")
+    cm_schema = "j long, bucket long, cnt long"
+    cand_schema = "tok string"
+    emit_schema = "epoch int, tok string, cm_estimate long, rnk int"
+    spark.createDataFrame([], cm_schema).write.mode("overwrite").parquet(
+        os.path.join(state, "cm_v0")
+    )
+    spark.createDataFrame([], cand_schema).write.mode("overwrite").parquet(
+        os.path.join(state, "cand_v0")
+    )
+
+    staged = d.select(
+        "doc_id", "text", F.expr("CAST(doc_id % 4 AS INT)").alias("epoch")
+    )
+    staging = _stage_slices(staged, "epoch", 4, "stream_heavy_hitters")
+    try:
+        stream = _slice_stream(spark, staging, staged.schema)
+
+        def apply_batch(df: DataFrame, epoch_id: int) -> None:
+            ss = df.sparkSession
+            cm_prev = ss.read.schema(cm_schema).parquet(
+                os.path.join(state, f"cm_v{epoch_id}")
+            )
+            cand_prev = ss.read.schema(cand_schema).parquet(
+                os.path.join(state, f"cand_v{epoch_id}")
+            )
+            js = ss.range(_CM_D).select(F.col("id").alias("j"))
+            tb = (
+                df.select(F.explode(F.split("text", " ")).alias("tok"))
+                .filter(F.col("tok") != "")
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            cells_b = (
+                tb.crossJoin(F.broadcast(js))
+                .select(
+                    "j",
+                    _cm_bucket_spark(F.col("j"), F.col("tok")).alias("bucket"),
+                    "c",
+                )
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").alias("cnt"))
+            )
+            merged = cm_prev.join(
+                cells_b, ["j", "bucket"], "full_outer"
+            ).select(
+                "j",
+                "bucket",
+                (
+                    F.coalesce(cm_prev["cnt"], F.lit(0))
+                    + F.coalesce(cells_b["cnt"], F.lit(0))
+                ).alias("cnt"),
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state, f"cm_v{epoch_id + 1}")
+            )
+            cand_next = (
+                cand_prev.unionByName(
+                    tb.filter(F.col("c") >= _HH_CAND_FLOOR).select("tok")
+                ).distinct()
+            )
+            cand_next.write.mode("overwrite").parquet(
+                os.path.join(state, f"cand_v{epoch_id + 1}")
+            )
+            # emit from the WRITTEN state: post-merge cumulative estimates
+            cm_cells = ss.read.schema(cm_schema).parquet(
+                os.path.join(state, f"cm_v{epoch_id + 1}")
+            )
+            cands = ss.read.schema(cand_schema).parquet(
+                os.path.join(state, f"cand_v{epoch_id + 1}")
+            )
+            hb = cands.crossJoin(F.broadcast(js)).select(
+                "tok",
+                "j",
+                _cm_bucket_spark(F.col("j"), F.col("tok")).alias("bucket"),
+            )
+            est = (
+                hb.join(F.broadcast(cm_cells), ["j", "bucket"])
+                .groupBy("tok")
+                .agg(F.min("cnt").alias("cm_estimate"))
+            )
+            top = est.orderBy(
+                F.desc("cm_estimate"), F.asc("tok")
+            ).limit(_HH_TOP_K)
+            from pyspark.sql import Window as W
+
+            rw = W.orderBy(F.desc("cm_estimate"), F.asc("tok"))
+            top.select(
+                F.lit(int(epoch_id)).cast("int").alias("epoch"),
+                "tok",
+                "cm_estimate",
+                F.row_number().over(rw).alias("rnk"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(state, f"emit_v{epoch_id}")
+            )
+
+        _await_foreach_batch(
+            stream, apply_batch, "stream_heavy_hitters", 300, "append"
+        )
+        outs = [
+            spark.read.schema(emit_schema).parquet(
+                os.path.join(state, f"emit_v{ep}")
+            )
+            for ep in range(4)
+        ]
+        out = outs[0]
+        for s in outs[1:]:
+            out = out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+QUERY_REGISTRY["stream_heavy_hitters"].oracle = _stream_hh_oracle_sql()
+
+
+# --- Streaming domain-mix admission (budget state on storage, r10) -----------
+
+
+def _stream_mix_oracle_sql() -> str:
+    """stream_domain_mix's oracle — the budget fold UNROLLED per epoch
+    (the Lloyd-iteration oracle idiom): Hamilton allocation over the
+    HISTORY corpus (the batch operator's oracle CTEs verbatim, restricted
+    to the history split), then spent_{e+1} = spent_e + tokens admitted in
+    epoch e, where each epoch admits its own within-batch hash-order
+    prefix against the REMAINING budget. Deliberately NOT a global arrival
+    cumsum: rejected docs' tokens never consume budget, so a later batch
+    may admit after an earlier batch hit its cut — the true controller
+    semantics, and the reason the fold must be unrolled rather than
+    windowed. Per (source, epoch): arrivals, admissions, admitted tokens,
+    post-batch cumulative spend and the remaining budget."""
+    from ..ext.curation import _SQL_QUALITY_GATE
+
+    qproj = """
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS n_tok,
+         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)
+              AS BIGINT) AS h
+    """
+    # The spend fold, UNROLLED per epoch (the Lloyd-iteration oracle idiom):
+    # spent_{e+1} = spent_e + tokens admitted in epoch e, where epoch e
+    # admits its own hash-order prefix against the REMAINING budget. This
+    # is deliberately NOT a global arrival cumsum — the controller only
+    # spends what it ADMITS, so tokens of rejected docs never consume
+    # budget and a later batch may admit after an earlier batch hit its
+    # cut.
+    fold_parts = []
+    for e in range(4):
+        fold_parts.append(f"""
+    ,
+    adm{e} AS (
+      SELECT cum.source, cum.n_tok
+      FROM cum JOIN s{e} ON s{e}.source = cum.source
+      WHERE cum.epoch = {e}
+        AND s{e}.spent + cum.c <= s{e}.alloc_tokens
+    ),
+    s{e + 1} AS (
+      SELECT s{e}.source, s{e}.alloc_tokens,
+             CAST(s{e}.spent
+                  + coalesce((SELECT sum(a.n_tok) FROM adm{e} a
+                              WHERE a.source = s{e}.source), 0)
+                  AS BIGINT) AS spent
+      FROM s{e}
+    )""")
+    fold = "".join(fold_parts)
+    adm_union = " UNION ALL ".join(
+        f"SELECT source, CAST({e} AS INTEGER) AS epoch, n_tok FROM adm{e}"
+        for e in range(4)
+    )
+    sp_union = " UNION ALL ".join(
+        f"SELECT source, CAST({e} AS INTEGER) AS epoch, spent FROM s{e + 1}"
+        for e in range(4)
+    )
+    return f"""
+    WITH hq AS (
+      SELECT source, doc_id, {qproj}
+      FROM documents
+      WHERE text IS NOT NULL AND (doc_id // 5) % 5 != 4
+        AND {_SQL_QUALITY_GATE}
+    ),
+    qt AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS qtok FROM hq
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(qtok) AS BIGINT) AS w,
+             CAST(sum(qtok) // 8 AS BIGINT) AS target
+      FROM qt
+    ),
+    quota AS (
+      SELECT source, qtok,
+             CAST((tot.target * qtok) // tot.w AS BIGINT) AS base,
+             CAST((tot.target * qtok) % tot.w AS BIGINT) AS rem,
+             tot.target AS target
+      FROM qt, tot
+    ),
+    leftover AS (
+      SELECT CAST(max(target) - sum(base) AS BIGINT) AS r FROM quota
+    ),
+    ranked AS (
+      SELECT a.source, a.base,
+             CAST((SELECT count(*) FROM quota b
+                   WHERE b.rem > a.rem
+                      OR (b.rem = a.rem AND b.source < a.source)) + 1
+                  AS BIGINT) AS rnk
+      FROM quota a
+    ),
+    alloc AS (
+      SELECT source,
+             CAST(base + CASE WHEN rnk <= leftover.r THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_tokens
+      FROM ranked, leftover
+    ),
+    arr AS (
+      SELECT source, doc_id, CAST((doc_id // 20) % 4 AS INTEGER) AS epoch,
+             {qproj}
+      FROM documents
+      WHERE text IS NOT NULL AND (doc_id // 5) % 5 = 4
+        AND {_SQL_QUALITY_GATE}
+    ),
+    cum AS (
+      SELECT a.source, a.epoch, a.n_tok,
+             CAST((SELECT sum(b.n_tok) FROM arr b
+                   WHERE b.source = a.source AND b.epoch = a.epoch
+                     AND (b.h < a.h OR (b.h = a.h AND b.doc_id <= a.doc_id)))
+                  AS BIGINT) AS c
+      FROM arr a
+    ),
+    s0 AS (
+      SELECT source, alloc_tokens, CAST(0 AS BIGINT) AS spent FROM alloc
+    ){fold}
+    ,
+    adm_all AS ({adm_union}),
+    sp AS ({sp_union}),
+    g AS (
+      SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_arrived
+      FROM arr GROUP BY source, epoch
+    ),
+    ga AS (
+      SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_admitted,
+             CAST(sum(n_tok) AS BIGINT) AS tok_admitted
+      FROM adm_all GROUP BY source, epoch
+    )
+    SELECT g.source, g.epoch, g.n_arrived,
+           CAST(coalesce(ga.n_admitted, 0) AS BIGINT) AS n_admitted,
+           CAST(coalesce(ga.tok_admitted, 0) AS BIGINT) AS tok_admitted,
+           CAST(sp.spent AS BIGINT) AS spent_cum,
+           CAST(alloc.alloc_tokens - sp.spent AS BIGINT) AS remaining_tokens
+    FROM g
+    JOIN alloc ON alloc.source = g.source
+    JOIN sp ON sp.source = g.source AND sp.epoch = g.epoch
+    LEFT JOIN ga ON ga.source = g.source AND ga.epoch = g.epoch
+    """
+
+
+@query(
+    "stream_domain_mix",
+    oracle=None,  # assigned below (shares the batch operator's gate SQL)
+    tags=("streaming", "curation", "mixture", "budget", "foreachbatch"),
+)
+def stream_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming domain-mix admission — curation_domain_mix's token-budget
+    controller run AGAINST AN ARRIVING STREAM with per-source spend state
+    on storage: the Hamilton allocation is computed ONCE over the history
+    corpus ((doc_id DIV 5) % 5 != 4, the stream_quality_filter block
+    split) and persisted; arriving documents ((doc_id DIV 5) % 5 = 4,
+    four real micro-batches, epoch = (doc_id DIV 20) % 4 — div-20 so the
+    schedule decorrelates from the fixture's doc_id%20-derived source and
+    every source arrives across multiple batches) are quality-gated
+    stream-side, ranked inside their batch by the SAME salted hash order
+    as the batch operator (shared _mix_quality_frame — gate, token metric
+    and fill order can never drift), and admitted while the source's
+    cumulative SPEND fits its allocation: admit iff
+    spent_v{n} + batch-prefix-cumsum <= alloc. The spend state carries
+    only ADMITTED tokens — rejected docs never consume budget, so a later
+    batch can admit small docs after an earlier batch hit its cut (the
+    true controller semantics; the oracle unrolls this four-epoch
+    recurrence rather than windowing a global cumsum, and the emitted
+    (source, epoch) rows witness the per-batch admission schedule plus
+    post-batch spend/remaining — a single-pass fake cannot reproduce the
+    per-epoch spend trajectory). spent_v{n+1} = spent_v{n} + admitted
+    tokens — constant-size (|sources| rows) mergeable state, the
+    stream_incremental_dedup storage discipline; replayed epochs rewrite
+    their own version (idempotent).
+
+    Sources with no stored allocation are quarantined (inner join), the
+    stream_quality_filter contract. At 100 TB: per batch ONE scan of its
+    own arrivals, a per-source window WITHIN the batch (partitioned
+    parallelism, no global sort), two joins against |sources|-row tables
+    (auto-broadcast by size), |sources|-row state I/O."""
+    from ..ext.curation import _hamilton_alloc, _mix_quality_frame
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter(F.expr("(doc_id div 5) % 5 != 4"))
+    # an EIGHTH of the history's quality tokens: the arriving fifth of the
+    # corpus carries ~a quarter of the history's tokens, so this budget
+    # genuinely binds — the controller must reject, not rubber-stamp
+    alloc = _hamilton_alloc(_mix_quality_frame(hist), denom=8).select(
+        "source", "alloc_tokens"
+    )
+
+    state = _track_sink("stream_domain_mix")
+    alloc_schema = "source string, alloc_tokens long"
+    spent_schema = "source string, spent long"
+    emit_schema = (
+        "source string, epoch int, n_arrived long, n_admitted long, "
+        "tok_admitted long, spent_cum long, remaining_tokens long"
+    )
+    alloc.write.mode("overwrite").parquet(os.path.join(state, "alloc"))
+    spark.createDataFrame([], spent_schema).write.mode("overwrite").parquet(
+        os.path.join(state, "spent_v0")
+    )
+
+    staged = d.filter(F.expr("(doc_id div 5) % 5 = 4")).select(
+        "doc_id",
+        "text",
+        "source",
+        # (div 20) decorrelates the arrival schedule from the fixture's
+        # source (a function of doc_id % 20): every source arrives across
+        # MULTIPLE micro-batches, so the per-source spend fold is real
+        F.expr("CAST((doc_id div 20) % 4 AS INT)").alias("epoch"),
+    )
+    staging = _stage_slices(staged, "epoch", 4, "stream_domain_mix")
+    try:
+        stream = _slice_stream(spark, staging, staged.schema)
+
+        def apply_batch(df: DataFrame, epoch_id: int) -> None:
+            from pyspark.sql import Window as W
+
+            ss = df.sparkSession
+            allocs = ss.read.schema(alloc_schema).parquet(
+                os.path.join(state, "alloc")
+            )
+            spent_prev = ss.read.schema(spent_schema).parquet(
+                os.path.join(state, f"spent_v{epoch_id}")
+            )
+            qb = _mix_quality_frame(df)
+            base = (
+                qb.join(allocs, "source")
+                .join(spent_prev, ["source"], "left")
+                .withColumn("spent0", F.coalesce("spent", F.lit(0)))
+            )
+            cw = (
+                W.partitionBy("source")
+                .orderBy(F.asc("h"), F.asc("doc_id"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            wc = base.withColumn("cb", F.sum("n_tok").over(cw))
+            admitted = wc.filter(
+                F.col("spent0") + F.col("cb") <= F.col("alloc_tokens")
+            )
+            adm_g = admitted.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_admitted"),
+                F.sum("n_tok").alias("tok_admitted"),
+            )
+            spent_next = (
+                allocs.select("source")
+                .join(spent_prev, ["source"], "left")
+                .join(adm_g.select("source", "tok_admitted"), ["source"],
+                      "left")
+                .select(
+                    "source",
+                    (
+                        F.coalesce("spent", F.lit(0))
+                        + F.coalesce("tok_admitted", F.lit(0))
+                    ).alias("spent"),
+                )
+            )
+            spent_next.write.mode("overwrite").parquet(
+                os.path.join(state, f"spent_v{epoch_id + 1}")
+            )
+            spent_back = ss.read.schema(spent_schema).parquet(
+                os.path.join(state, f"spent_v{epoch_id + 1}")
+            )
+            arr_g = qb.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_arrived")
+            )
+            ep = F.lit(int(epoch_id)).cast("int")
+            (
+                arr_g.join(allocs, "source")
+                .join(adm_g, ["source"], "left")
+                .join(spent_back, ["source"])
+                .select(
+                    "source",
+                    ep.alias("epoch"),
+                    "n_arrived",
+                    F.coalesce("n_admitted", F.lit(0)).cast("long")
+                    .alias("n_admitted"),
+                    F.coalesce("tok_admitted", F.lit(0)).cast("long")
+                    .alias("tok_admitted"),
+                    F.col("spent").alias("spent_cum"),
+                    (F.col("alloc_tokens") - F.col("spent"))
+                    .alias("remaining_tokens"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(state, f"emit_v{epoch_id}"))
+            )
+
+        _await_foreach_batch(
+            stream, apply_batch, "stream_domain_mix", 300, "append"
+        )
+        outs = [
+            spark.read.schema(emit_schema).parquet(
+                os.path.join(state, f"emit_v{ep}")
+            )
+            for ep in range(4)
+        ]
+        out = outs[0]
+        for s in outs[1:]:
+            out = out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+QUERY_REGISTRY["stream_domain_mix"].oracle = _stream_mix_oracle_sql()

@@ -117,6 +117,12 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "sim_ivf_minibatch_update",
     "curation_quality_rank_filter",
+    # r10 session-2 additions (batch; stream_heavy_hitters runs real
+    # micro-batches and is excluded like every prior stream query):
+    # cross-split MinHash leakage, PSI snapshot drift, tokenizer fertility
+    "dedup_cross_split_leakage",
+    "dq_psi_drift",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -455,6 +455,12 @@ _BROADCAST_BOUNDS = {
         "1-row snapshot bloom bitmap (bloom_words_for caps at 2^18 words "
         "~= 4 MB; auto-sized at ~10 bits/key)"
     ),
+    ("streaming/queries.py", "js"): "count-min row-index literal (_CM_D=4 rows)",
+    ("streaming/queries.py", "cm_cells"): (
+        "count-min cell matrix (<= _CM_D x _CM_W = 2048 rows by "
+        "construction)"
+    ),
+    ("operators/profiling.py", "bins"): "PSI bin spine literal (_PSI_BINS=8 rows)",
     ("flagship.py", "routes"): "route table literal (len(_ROUTE_TABLE)=13 rows)",
     ("operators/relational.py", "box"): "1-row box-count aggregate",
     ("operators/aggregates.py", "c"): "customer dim",
