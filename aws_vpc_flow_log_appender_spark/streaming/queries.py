@@ -33,10 +33,10 @@ from ..operators.registry import QUERY_REGISTRY, load, query
 # with retention == the suite size, re-running the full stream suite would
 # invalidate the previous round's still-held results at exactly +1
 # invocation — the slack keeps two complete suite rounds collectable.
-# (16 stream queries as of stream_ivf_assign/stream_quality_filter ->
-# retain 32.)
+# (18 stream queries as of stream_heavy_hitters/stream_domain_mix ->
+# retain 36.)
 _RETAINED_SINKS: list[str] = []
-_SINK_RETAIN = 32
+_SINK_RETAIN = 36
 
 
 def _sweep_sinks(keep: int = 0) -> None:

@@ -2038,6 +2038,225 @@ def main() -> int:
     finally:
         shutil.rmtree(ltmp, ignore_errors=True)
 
+    # --- r10 sections: phash near-dedup, minibatch codebook update, ---------
+    # --- streaming heavy hitters, PSI drift ---------------------------------
+    # One multiplied-documents fixture for the three document sections; the
+    # copy perturbation (" copyword{n}") makes copies NEAR-dups of their
+    # base doc (realistic for image dedup) while the n_chars COLUMN and all
+    # id-derived splits are copy-invariant (offset = 10^10 ≡ 0 mod every
+    # split modulus), so count-shaped checks stay closed-form.
+    from aws_vpc_flow_log_appender_spark.ext.multimodal import (
+        multimodal_phash_dedup,
+    )
+    from aws_vpc_flow_log_appender_spark.operators.profiling import (
+        dq_psi_drift,
+    )
+    from aws_vpc_flow_log_appender_spark.streaming.queries import (
+        stream_heavy_hitters,
+    )
+
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r10docs = (
+        docs0.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__copy") * F.lit(10 ** 10))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" copyword"), F.col("__copy").cast("string")),
+        )
+        .drop("__copy")
+    )
+    r10tmp = tempfile.mkdtemp(prefix="scale_r10_")
+    try:
+        r10docs.write.mode("overwrite").parquet(f"{r10tmp}/documents.parquet")
+
+        # 10a) image dHash near-dedup: every emitted pair within the banded
+        # join's Hamming bound, and candidate mass reported (copies are
+        # near-dup families, so pair density grows with dup density — the
+        # LSH property — never with n^2 of the corpus).
+        t0 = time.perf_counter()
+        prow = (
+            multimodal_phash_dedup(spark, r10tmp)
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.max("hamming").alias("max_h"),
+                F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).alias("n_exact"),
+            )
+            .collect()[0]
+        )
+        t_ph = time.perf_counter() - t0
+        ph_ok = prow["n_pairs"] > 0 and (prow["max_h"] or 0) <= 7
+        if not ph_ok:
+            print(
+                f"FAIL phash: {prow['n_pairs']} pairs, "
+                f"max hamming {prow['max_h']} (bound 7)"
+            )
+            ok = False
+        print(
+            f"scale_smoke phash mult={mult}: {prow['n_pairs']:,} banded "
+            f"pairs in {t_ph:.1f}s (max hamming {prow['max_h']}, "
+            f"{prow['n_exact']:,} exact); {'OK' if ph_ok else 'FAIL'}"
+        )
+        artifact["phash"] = {
+            "pairs": prow["n_pairs"],
+            "max_hamming": prow["max_h"],
+            "exact_pairs": prow["n_exact"],
+            "t_s": round(t_ph, 2),
+        }
+
+        # 10b) streaming heavy hitters over 4 REAL micro-batches on the
+        # multiplied corpus: per-epoch structure (<= 10 dense ranks), the
+        # one-sided count-min guarantee vs the TRUE prefix counts of every
+        # emitted token, and per-token monotonicity across epochs.
+        t0 = time.perf_counter()
+        hh_rows = stream_heavy_hitters(spark, r10tmp).collect()
+        t_hh = time.perf_counter() - t0
+        hh_ok = len(hh_rows) > 0
+        by_ep: dict = {}
+        for r in hh_rows:
+            by_ep.setdefault(r["epoch"], []).append(r)
+        if set(by_ep) != {0, 1, 2, 3}:
+            hh_ok = False
+        for ep, rs in by_ep.items():
+            rs.sort(key=lambda r: r["rnk"])
+            if len(rs) > 10 or [r["rnk"] for r in rs] != list(range(1, len(rs) + 1)):
+                hh_ok = False
+        emitted_toks = sorted({r["tok"] for r in hh_rows})
+        tc = (
+            r10docs.select(
+                F.expr("CAST(doc_id % 4 AS INT)").alias("b"),
+                F.explode(F.split("text", " ")).alias("tok"),
+            )
+            .filter(F.col("tok").isin(emitted_toks))
+            .groupBy("b", "tok")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        true_c = {(r["b"], r["tok"]): r["c"] for r in tc}
+        for r in hh_rows:
+            tp = sum(
+                c for (b, t), c in true_c.items()
+                if t == r["tok"] and b <= r["epoch"]
+            )
+            if r["cm_estimate"] < tp:
+                hh_ok = False
+        est = {(r["epoch"], r["tok"]): r["cm_estimate"] for r in hh_rows}
+        for (ep, t), v in est.items():
+            nxt = est.get((ep + 1, t))
+            if nxt is not None and nxt < v:
+                hh_ok = False
+        if not hh_ok:
+            print(f"FAIL stream heavy hitters at mult={mult}")
+            ok = False
+        print(
+            f"scale_smoke stream_hh mult={mult}: {len(hh_rows)} emitted "
+            f"rows over 4 micro-batches in {t_hh:.1f}s (one-sided + "
+            f"monotone: {'YES' if hh_ok else 'NO'})"
+        )
+        artifact["stream_heavy_hitters"] = {
+            "rows": len(hh_rows),
+            "guarantees_ok": hh_ok,
+            "t_s": round(t_hh, 2),
+        }
+
+        # 10c) PSI drift: per-source counts scale EXACTLY x mult (splits and
+        # the n_chars column are copy-invariant), psi stays non-negative
+        # with a consistent flag — and as mult grows the Laplace smoothing
+        # washes out, so identical-per-copy distributions drive psi toward
+        # its unsmoothed zero.
+        base_psi = {r["source"]: r for r in dq_psi_drift(spark, SF_DIR).collect()}
+        t0 = time.perf_counter()
+        big_psi = {r["source"]: r for r in dq_psi_drift(spark, r10tmp).collect()}
+        t_psi = time.perf_counter() - t0
+        psi_ok = set(big_psi) == set(base_psi)
+        for src, b in base_psi.items():
+            g = big_psi.get(src)
+            if g is None:
+                psi_ok = False
+                continue
+            if (
+                g["n_prev"] != b["n_prev"] * mult
+                or g["n_curr"] != b["n_curr"] * mult
+                or g["psi_ppb"] < 0
+                or g["drift_flag"] != (g["psi_ppb"] >= 100_000_000)
+            ):
+                psi_ok = False
+        if not psi_ok:
+            print(f"FAIL psi drift scaling at mult={mult}")
+            ok = False
+        max_psi = max((r["psi_ppb"] for r in big_psi.values()), default=0)
+        print(
+            f"scale_smoke psi_drift mult={mult}: {len(big_psi)} sources in "
+            f"{t_psi:.1f}s (counts x{mult} exact: {'YES' if psi_ok else 'NO'}, "
+            f"max psi_ppb {max_psi})"
+        )
+        artifact["psi_drift"] = {
+            "sources": len(big_psi),
+            "counts_exact": psi_ok,
+            "max_psi_ppb": max_psi,
+            "t_s": round(t_psi, 2),
+        }
+    finally:
+        shutil.rmtree(r10tmp, ignore_errors=True)
+
+    # 10d) mini-batch codebook update closed form on EXACT-duplicate
+    # embedding copies: identical seeds + identical per-iteration means ->
+    # identical codebook; occupancy scales exactly x mult while d_before /
+    # d_after / centroid norms are bit-identical (the ivf_incremental
+    # argument: (mult*s)/(mult*n) rounds to the same grid point as s/n).
+    from aws_vpc_flow_log_appender_spark.ext.similarity import (
+        sim_ivf_minibatch_update,
+    )
+
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    r10emb = (
+        emb0.crossJoin(spark.range(mult).select(F.col("id").alias("__copy")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__copy") * F.lit(10 ** 10))
+        .drop("__copy")
+    )
+    mbtmp = tempfile.mkdtemp(prefix="scale_minibatch_")
+    try:
+        r10emb.write.mode("overwrite").parquet(f"{mbtmp}/embeddings.parquet")
+        base_mb = {
+            r["cluster_id"]: r
+            for r in sim_ivf_minibatch_update(spark, SF_DIR).collect()
+        }
+        t0 = time.perf_counter()
+        big_mb = {
+            r["cluster_id"]: r
+            for r in sim_ivf_minibatch_update(spark, mbtmp).collect()
+        }
+        t_mb = time.perf_counter() - t0
+        mb_ok = set(big_mb) == set(base_mb)
+        for cid, b in base_mb.items():
+            g = big_mb.get(cid)
+            if g is None:
+                mb_ok = False
+                continue
+            if (
+                g["n_train"] != b["n_train"] * mult
+                or g["n_new"] != b["n_new"] * mult
+                or g["d_before"] != b["d_before"]
+                or g["d_after"] != b["d_after"]
+                or g["centroid_norm_new"] != b["centroid_norm_new"]
+                or g["d_after"] > g["d_before"] + 1e-4
+            ):
+                mb_ok = False
+        if not mb_ok:
+            print(f"FAIL minibatch update closed form at mult={mult}")
+            ok = False
+        print(
+            f"scale_smoke minibatch mult={mult}: {len(big_mb)} cells in "
+            f"{t_mb:.1f}s (occupancy x{mult} exact, distortion/norms "
+            f"bit-identical + non-increasing: {'YES' if mb_ok else 'NO'})"
+        )
+        artifact["minibatch_update"] = {
+            "cells": len(big_mb),
+            "closed_form_exact": mb_ok,
+            "t_s": round(t_mb, 2),
+        }
+    finally:
+        shutil.rmtree(mbtmp, ignore_errors=True)
+
     artifact["ok"] = ok
     if json_out:
         import json
