@@ -198,9 +198,13 @@ def corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     surv = curate(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
+    # checkpointed because the driver-folded Lloyd trainer (optimization
+    # r10) runs 1 + KM_ITERS small jobs over this frame during query
+    # construction — without the cut each job re-executes the
+    # survivor-embedding join above
     efilt = e.join(
         surv.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    ).select("vec_id", "embedding")
+    ).select("vec_id", "embedding").localCheckpoint(eager=False)
     sem = _semantic_decisions(_train_mem(efilt, "semcur"))
     kept_chars = F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(F.lit(0))
     kept_doc = F.when(F.col("kept") == 1, F.col("doc_id"))

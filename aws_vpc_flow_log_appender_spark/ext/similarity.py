@@ -914,6 +914,159 @@ def _km_update_spark(i: int) -> str:
     c{i + 1} AS (SELECT cid, array({terms}) AS c FROM a{i} GROUP BY cid)"""
 
 
+# --- driver-folded Lloyd training (optimization r10) -------------------------
+#
+# The unrolled-CTE training shape (kept below for the streaming one-time
+# trainer) pays, PER Lloyd round, a corpus-keyed Exchange for the
+# min(struct) argmin groupBy(vec_id) — 8N rows shuffled — plus a second
+# Exchange for the centroid update, and its triple-unrolled plan costs
+# seconds of driver-side analysis per query. But the codebook itself is a
+# BOUNDED CONSTANT (KM_K x EMB_DIM doubles): the classical distributed
+# Lloyd (Spark MLlib's own shape) holds it on the driver, runs ONE
+# map-side-combined aggregate job per round (K x EMB_DIM avg cells cross
+# the network, never the corpus), and re-embeds the next codebook as
+# literals. That removes every corpus-sized training Exchange (guide
+# §2.3/§2.4) and shrinks the analyzed plan ~3x (guide §7.3). Driver-held
+# state is exactly what a broadcast join already does — 8 rows, not data.
+#
+# Engine parity is preserved bit-for-bit:
+#  - round >= 1 centroid elements are floor(avg*1e6+0.5) BIGINTs collected
+#    exactly and re-emitted as ``{s}L / 1000000.0D`` — the same division
+#    the in-plan form evaluated;
+#  - c0 raw doubles round-trip through repr() + CAST(string AS DOUBLE)
+#    (both sides correctly-rounded shortest-repr IEEE-754);
+#  - centroid self-dots fold in Python floats (binary64, left fold from
+#    0.0 — the _km_dot_sql operation order exactly);
+#  - the row-wise argmin least(struct(d, cid)...) induces the identical
+#    (d, cid) lexicographic total order min(struct(d, cid)) did.
+
+
+def _dbl_lit(x: float) -> str:
+    """Exact double literal: repr() emits the shortest string that
+    round-trips to this binary64; Spark's string->double cast parses it
+    correctly-rounded back to the identical bits."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Python-float twin of _km_dot_sql's sequential left fold (binary64,
+    same operation order -> bit-identical result)."""
+    acc = 0.0
+    for xx, yy in zip(a, b):
+        acc = acc + xx * yy
+    return acc
+
+
+def _km_vecs_body(where: str | None = None) -> str:
+    inner = "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {v}"
+    if where:
+        inner += f" WHERE {where}"
+    return (
+        f"SELECT vec_id, v, {_km_dot_sql('v', 'v')} AS vv FROM ({inner})"
+    )
+
+
+def _km_centroid_exprs(cb: list[tuple[int, list[str], list[float]]],
+                       v: str = "v", vv: str = "vv") -> list[str]:
+    """One ``named_struct('d', ..., 'cid', ...)`` per centroid: the same
+    ``(vv - 2.0D * <fold dot> + cc)`` distance the unrolled sc{i} CTE
+    computed, with the codebook as literals."""
+    out = []
+    for cid, elem_sql, elem_val in cb:
+        arr = f"array({', '.join(elem_sql)})"
+        cc = _dbl_lit(_py_dot(elem_val, elem_val))
+        out.append(
+            f"named_struct('d', {vv} - 2.0D * {_km_dot_sql(v, arr)} + {cc},"
+            f" 'cid', {cid})"
+        )
+    return out
+
+
+def _km_best_sql(cb, v: str = "v", vv: str = "vv") -> str:
+    """Row-wise argmin over the literal codebook: least() on (d, cid)
+    structs — the min(struct(d, cid)) total order without the
+    groupBy(vec_id) Exchange."""
+    structs = _km_centroid_exprs(cb, v, vv)
+    return structs[0] if len(structs) == 1 else f"least({', '.join(structs)})"
+
+
+def _km_lloyd_literal(e, tag: str, vecs_body: str | None = None,
+                      k: int = KM_K, iters: int = KM_ITERS):
+    """Run ``iters`` Lloyd rounds with the codebook driver-held; returns the
+    final codebook as [(cid, [element sql], [element value])]. One
+    aggregate job per round (map-side combined K x EMB_DIM cells), one
+    tiny LIMIT-k job for the seeds — no corpus-keyed exchange anywhere."""
+    from .dedup import _sql_over
+
+    if vecs_body is None:
+        vecs_body = _km_vecs_body()
+    seeds = _sql_over(
+        e, f"{tag}_seed",
+        f"WITH vecs AS ({vecs_body}) "
+        f"SELECT v FROM vecs ORDER BY vec_id LIMIT {k}",
+    ).collect()
+    cb = [
+        (j, [_dbl_lit(x) for x in row.v], list(row.v))
+        for j, row in enumerate(seeds)
+    ]
+    for i in range(iters):
+        terms = ", ".join(
+            f"CAST(floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT)"
+            f" AS s{p}"
+            for p in range(EMB_DIM)
+        )
+        rows = _sql_over(
+            e, f"{tag}_lloyd{i}",
+            f"WITH vecs AS ({vecs_body}) "
+            f"SELECT best.cid AS cid, {terms} FROM "
+            f"(SELECT {_km_best_sql(cb)} AS best, v FROM vecs) "
+            f"GROUP BY best.cid",
+        ).collect()
+        cb = [
+            (
+                row.cid,
+                [f"{row[f's{p}']}L / {KM_SCALE}D" for p in range(EMB_DIM)],
+                [row[f"s{p}"] / KM_SCALE for p in range(EMB_DIM)],
+            )
+            for row in sorted(rows, key=lambda r: r.cid)
+        ]
+    return cb
+
+
+def _km_literal_parts_spark(e, tag: str, vecs_body: str | None = None,
+                            with_sc: bool = False,
+                            cb: list | None = None) -> list[str]:
+    """Driver-folded replacement for _km_train_parts_spark: RUNS the Lloyd
+    rounds (2 + KM_ITERS small jobs), then emits the same-named CTEs the
+    unrolled form exposed — ``vecs``, ``c{KM_ITERS}`` (literal VALUES) and
+    ``a{KM_ITERS}`` (row-wise argmin, zero Exchanges), plus ``sc{KM_ITERS}``
+    (the full (vector, centroid, d) pair relation, lazily exploded) when
+    ``with_sc`` — so every downstream tail keeps its text unchanged."""
+    if vecs_body is None:
+        vecs_body = _km_vecs_body()
+    fin = KM_ITERS
+    if cb is None:
+        cb = _km_lloyd_literal(e, tag, vecs_body)
+    cb_rows = ", ".join(
+        f"({cid}, array({', '.join(elem_sql)}))" for cid, elem_sql, _ in cb
+    )
+    parts = [f"""
+    WITH vecs AS ({vecs_body}),
+    c{fin} AS (SELECT cid, c FROM (VALUES {cb_rows}) AS __cb(cid, c)),
+    a{fin} AS (
+      SELECT vec_id, v, best.cid AS cid, best.d AS d
+      FROM (SELECT vec_id, v, {_km_best_sql(cb)} AS best FROM vecs)
+    )"""]
+    if with_sc:
+        structs = ", ".join(_km_centroid_exprs(cb))
+        parts.append(f"""
+    , sc{fin} AS (
+      SELECT vec_id, v, x.cid AS cid, x.d AS d
+      FROM vecs LATERAL VIEW explode(array({structs})) t AS x
+    )""")
+    return parts
+
+
 def _km_train_parts_spark() -> list[str]:
     """The unrolled Spark-SQL training prefix through the final assignment
     ``a{KM_ITERS}`` over the ``{v}`` placeholder view — shared by
@@ -979,7 +1132,7 @@ def sim_kmeans_cells(spark, sf_dir):
     from .dedup import _sql_over
 
     e = load(spark, sf_dir, "embeddings")
-    parts = _km_train_parts_spark()
+    parts = _km_literal_parts_spark(e, "kmeans")
     fin = KM_ITERS
     parts.append(f"""
     SELECT a.cid AS cluster_id,
@@ -1050,7 +1203,7 @@ def sim_ivf_trained_topk(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     fin = KM_ITERS
-    parts = _km_train_parts_spark()
+    parts = _km_literal_parts_spark(e, "kmtrain")
     parts.append(f" SELECT vec_id, v, cid FROM a{fin}")
     assigned = _sql_over(e, "kmtrain", "".join(parts)).localCheckpoint(
         eager=False
@@ -1140,7 +1293,7 @@ def sim_ivf_trained_multiprobe(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     fin = KM_ITERS
-    parts = _km_train_parts_spark()
+    parts = _km_literal_parts_spark(e, "kmprobe", with_sc=True)
     parts.append(f"""
     SELECT 0 AS kind, vec_id, v, cid, CAST(NULL AS DOUBLE) AS d FROM a{fin}
     UNION ALL
@@ -1319,6 +1472,128 @@ def _pq_train_parts_spark(include_vecs: bool = True) -> list[str]:
     return parts
 
 
+_PQ_SUB_BODY = (
+    f"SELECT vec_id, m, sv, {_km_dot_sql('sv', 'sv')} AS svv FROM ("
+    f"SELECT vec_id, m, slice(v, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv "
+    f"FROM vecs LATERAL VIEW explode(sequence(0, {PQ_M - 1})) AS m)"
+)
+_PQ_VECS_BODY = "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {v}"
+
+
+def _pq_centroid_case(pcb, what: str) -> str:
+    """Per-subspace codebook dispatch: CASE m WHEN j THEN <expr over m=j's
+    centroids> END. ``what`` is 'best' (least() argmin struct — the
+    min(struct(d, cid)) total order) or 'all' (array of every (cid, d)
+    struct, for the psc pair relation)."""
+    branches = []
+    for m in sorted({m for m, _ in pcb}):
+        structs = []
+        for (mm, cid), (elem_sql, elem_val) in pcb.items():
+            if mm != m:
+                continue
+            arr = f"array({', '.join(elem_sql)})"
+            cc = _dbl_lit(_py_dot(elem_val, elem_val))
+            structs.append(
+                f"named_struct('d', svv - 2.0D * {_km_dot_sql('sv', arr)}"
+                f" + {cc}, 'cid', {cid})"
+            )
+        if what == "best":
+            e = structs[0] if len(structs) == 1 else f"least({', '.join(structs)})"
+        else:
+            e = f"array({', '.join(structs)})"
+        branches.append(f"WHEN {m} THEN {e}")
+    return f"CASE m {' '.join(branches)} END"
+
+
+def _pq_lloyd_literal(e, tag: str):
+    """Driver-folded PQ training (the _km_lloyd_literal discipline with the
+    grouping key widened to (m, cid)): per round ONE map-side-combined
+    aggregate of PQ_M x PQ_K x PQ_SUB avg cells — no (vec_id, m)-keyed
+    Exchange. Returns {(m, cid): ([element sql], [element value])}."""
+    from .dedup import _sql_over
+
+    prefix = f"WITH vecs AS ({_PQ_VECS_BODY}), sub AS ({_PQ_SUB_BODY}) "
+    seeds = _sql_over(
+        e, f"{tag}_pqseed",
+        prefix + f"""
+        SELECT m, CAST(rn - 1 AS INT) AS cid, sv FROM (
+          SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                 AS rn FROM sub
+        ) WHERE rn <= {PQ_K}""",
+    ).collect()
+    pcb = {
+        (row.m, row.cid): ([_dbl_lit(x) for x in row.sv], list(row.sv))
+        for row in seeds
+    }
+    for i in range(PQ_ITERS):
+        terms = ", ".join(
+            f"CAST(floor(avg(sv[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT)"
+            f" AS s{p}"
+            for p in range(PQ_SUB)
+        )
+        rows = _sql_over(
+            e, f"{tag}_pqlloyd{i}",
+            prefix + f"SELECT m, best.cid AS cid, {terms} FROM "
+            f"(SELECT m, {_pq_centroid_case(pcb, 'best')} AS best, sv"
+            f" FROM sub) GROUP BY m, best.cid",
+        ).collect()
+        pcb = {
+            (row.m, row.cid): (
+                [f"{row[f's{p}']}L / {KM_SCALE}D" for p in range(PQ_SUB)],
+                [row[f"s{p}"] / KM_SCALE for p in range(PQ_SUB)],
+            )
+            for row in rows
+        }
+    return pcb
+
+
+def _pq_literal_parts_spark(e, tag: str, include_vecs: bool = True,
+                            pcb: dict | None = None) -> list[str]:
+    """Driver-folded replacement for _pq_train_parts_spark: runs the PQ
+    Lloyd rounds (2 + PQ_ITERS small jobs) and emits the same-named CTEs —
+    ``sub``, ``pc{PQ_ITERS}`` (literal VALUES), ``pa{PQ_ITERS}`` (row-wise
+    argmin) and ``psc{PQ_ITERS}`` (the lazily-exploded pair relation) — so
+    every downstream tail keeps its text unchanged."""
+    fin = PQ_ITERS
+    if pcb is None:
+        pcb = _pq_lloyd_literal(e, tag)
+    head = f"""
+    WITH vecs AS ({_PQ_VECS_BODY}),""" if include_vecs else "\n    ,"
+    pcb_rows = ", ".join(
+        f"({m}, {cid}, array({', '.join(elem_sql)}))"
+        for (m, cid), (elem_sql, _) in sorted(pcb.items())
+    )
+    return [head + f"""
+    sub AS ({_PQ_SUB_BODY}),
+    pc{fin} AS (
+      SELECT m, cid, c FROM (VALUES {pcb_rows}) AS __pcb(m, cid, c)
+    ),
+    pa{fin} AS (
+      SELECT vec_id, m, sv, best.cid AS cid, best.d AS d FROM (
+        SELECT vec_id, m, sv, {_pq_centroid_case(pcb, 'best')} AS best
+        FROM sub
+      )
+    ),
+    psc{fin} AS (
+      SELECT vec_id, m, sv, x.cid AS cid, x.d AS d
+      FROM sub LATERAL VIEW explode({_pq_centroid_case(pcb, 'all')}) t AS x
+    )"""]
+
+
+def _dual_literal_train(e, tag: str):
+    """Run the coarse (KM) and product (PQ) trainings CONCURRENTLY from two
+    driver threads (guide §2.6 — the two Lloyd chains are independent, both
+    reading the same corpus view, so their small per-round jobs back-fill
+    each other's scheduling gaps instead of paying 6 serial job latencies).
+    Returns (km codebook, pq codebook)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fkm = pool.submit(_km_lloyd_literal, e, f"{tag}_km")
+        fpq = pool.submit(_pq_lloyd_literal, e, f"{tag}_pq")
+        return fkm.result(), fpq.result()
+
+
 def _pq_adc_oracle_sql() -> str:
     """sim_pq_adc's oracle: unrolled PQ training, then ADC — the per-query
     distance table is the final scoring CTE restricted to the query set
@@ -1394,7 +1669,7 @@ def sim_pq_adc(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     fin = PQ_ITERS
-    parts = _pq_train_parts_spark()
+    parts = _pq_literal_parts_spark(e, "pqtrain")
     parts.append(f"""
     SELECT 0 AS kind, vec_id, m, cid, CAST(NULL AS DOUBLE) AS d FROM pa{fin}
     UNION ALL
@@ -1529,8 +1804,11 @@ def sim_ivfpq_topk(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     kfin, pfin = KM_ITERS, PQ_ITERS
-    parts = _km_train_parts_spark()
-    parts.extend(_pq_train_parts_spark(include_vecs=False))
+    cb_km, cb_pq = _dual_literal_train(e, "ivfpq")
+    parts = _km_literal_parts_spark(e, "ivfpq", with_sc=True, cb=cb_km)
+    parts.extend(
+        _pq_literal_parts_spark(e, "ivfpq", include_vecs=False, pcb=cb_pq)
+    )
     parts.append(f"""
     SELECT 0 AS kind, a.vec_id, a.cid AS cell, p.m, p.cid AS code,
            CAST(NULL AS DOUBLE) AS d
@@ -1641,7 +1919,7 @@ def sim_pq_distortion(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     fin = PQ_ITERS
-    parts = _pq_train_parts_spark()
+    parts = _pq_literal_parts_spark(e, "pqdist")
     parts.append(f"""
     SELECT CAST(m AS INTEGER) AS m,
            CAST(count(*) AS BIGINT) AS n_vecs,
@@ -1762,8 +2040,11 @@ def _ivfpq_vec_checkpoint(spark, sf_dir, tag: str):
     from .dedup import _sql_over
 
     e = load(spark, sf_dir, "embeddings")
-    parts = _km_train_parts_spark()
-    parts.extend(_pq_train_parts_spark(include_vecs=False))
+    cb_km, cb_pq = _dual_literal_train(e, tag)
+    parts = _km_literal_parts_spark(e, tag, with_sc=True, cb=cb_km)
+    parts.extend(
+        _pq_literal_parts_spark(e, tag, include_vecs=False, pcb=cb_pq)
+    )
     parts.append(_ivfpq_vec_union_sql())
     return _sql_over(e, tag, "".join(parts)).localCheckpoint(eager=False)
 
@@ -2060,7 +2341,7 @@ def _train_mem(e, tag: str):
     from .dedup import _sql_over
 
     fin = KM_ITERS
-    parts = _km_train_parts_spark()
+    parts = _km_literal_parts_spark(e, tag)
     parts.append(f"""
     , mem AS (
       SELECT a.vec_id, a.cid, a.v, v2.vv,
@@ -2069,6 +2350,12 @@ def _train_mem(e, tag: str):
     )
     SELECT vec_id, cid, v, vv, d_i FROM mem
     """)
+    # No fan-out repartition despite the checkpoint now being scan-
+    # partitioned (the driver-folded training removed the corpus-keyed
+    # Exchange the old checkpoint froze): the SemDeDup pair join re-keys
+    # both sides by cid regardless, so a round-robin here adds an
+    # exchange without changing the join's parallelism (A/B-measured
+    # neutral-to-negative, r10).
     return _sql_over(e, tag, "".join(parts)).localCheckpoint(eager=False)
 
 
@@ -2432,25 +2719,11 @@ def sim_ivf_incremental_assign(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     fin = KM_ITERS
-    # local training head: the vecs CTE excludes the new batch (the shared
-    # _km_train_parts_spark trains over the full view; its emitted text for
-    # existing queries must stay byte-identical, so the filtered head lives
-    # here)
-    parts = [f"""
-    WITH vecs AS (
-      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
-      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}}
-            WHERE NOT ({_INC_BATCH_PRED}))
-    ),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-             v AS c
-      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
-    )"""]
-    for i in range(KM_ITERS):
-        parts.append("," + _km_assign_spark(i))
-        parts.append("," + _km_update_spark(i))
-    parts.append("," + _km_assign_spark(KM_ITERS))
+    # training head over the filtered vecs (the new batch excluded),
+    # driver-folded (_km_literal_parts_spark)
+    parts = _km_literal_parts_spark(
+        e, "ivfinc", vecs_body=_km_vecs_body(f"NOT ({_INC_BATCH_PRED})")
+    )
     parts.append(f"""
     SELECT 0 AS kind, cid, d,
            CAST(NULL AS ARRAY<DOUBLE>) AS c, CAST(NULL AS DOUBLE) AS cc
@@ -2628,41 +2901,26 @@ def sim_ivf_minibatch_update(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     fin = KM_ITERS
-    parts = [f"""
-    WITH vecs AS (
-      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
-      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}}
-            WHERE NOT (vec_id % 4 = 1))
-    ),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-             v AS c
-      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
-    )"""]
-    for i in range(KM_ITERS):
-        parts.append("," + _km_assign_spark(i))
-        parts.append("," + _km_update_spark(i))
+    train_body = _km_vecs_body("NOT (vec_id % 4 = 1)")
+    cb = _km_lloyd_literal(e, "ivfmb", train_body)
+    parts = _km_literal_parts_spark(e, "ivfmb", vecs_body=train_body, cb=cb)
     cterms = ", ".join(
         f"floor(CAST(s{p} AS DOUBLE) / (n_train + n_new) + 0.5D)"
         f" / {KM_SCALE}D"
         for p in range(EMB_DIM)
     )
+    # the full-corpus assignment is row-wise against the literal codebook
+    # (the same (d, cid) least() argmin the training uses) — no corpus
+    # crossJoin + groupBy(vec_id) Exchange (optimization r10; identical
+    # values: d = vv - 2<v,c> + cc over the same literal centroids)
     parts.append(f"""
     , allv AS (
       SELECT vec_id, (vec_id % 4 = 1) AS is_new, v,
              {_km_dot_sql("v", "v")} AS vv
       FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}})
-    ),
-    cbo AS (SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{fin}),
-    msc AS (
-      SELECT /*+ BROADCAST(c) */ a.vec_id, a.is_new, a.v, a.vv, c.cid,
-             (a.vv - 2.0D * {_km_dot_sql("a.v", "c.c")} + c.cc) AS d
-      FROM allv a CROSS JOIN cbo c
     )
     SELECT vec_id, is_new, v, vv, best.cid AS cid, best.d AS d FROM (
-      SELECT vec_id, first(is_new) AS is_new, first(v) AS v,
-             first(vv) AS vv, min(struct(d, cid)) AS best
-      FROM msc GROUP BY vec_id
+      SELECT vec_id, is_new, v, vv, {_km_best_sql(cb)} AS best FROM allv
     )
     """)
     # mem feeds two consumers (cell aggregate, after-distortion pass);
