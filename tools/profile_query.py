@@ -30,14 +30,17 @@ def _rest(base: str, path: str):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_path = "/tmp/profile_queries.json"
-    for i, a in enumerate(sys.argv[1:]):
+    args: list[str] = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
-        if a == "--out":
-            out_path = sys.argv[1:][i + 1]
+            sf_dir = next(it)
+        elif a == "--out":
+            out_path = next(it)
+        else:
+            args.append(a)
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
