@@ -961,15 +961,22 @@ def dedup_simhash_pairs(spark, sf_dir):
 # (template pages, boilerplate — few true pairs, n^2 wasted comparisons);
 # when a bucket is genuinely dup-saturated the output itself is quadratic
 # and no candidate scheme helps (the 10x scale smoke's word-soup corpus is
-# that case: one bucket = 27% of 50k docs but ~2M TRUE pairs). The cap sits
-# above fixture-scale bucket sizes so driver-checked runs take the direct
-# join; recall is unaffected either way — see the pigeonhole argument in
-# _simhash_pairs.
-HOT_BAND_CAP = 4096
+# that case: one bucket = 27% of 50k docs but ~2M TRUE pairs). Recall is
+# unaffected either way — see the pigeonhole argument in _simhash_pairs.
+#
+# 512, down from the r8-era 4096 (optimization r10, guide §2.5): the
+# fixture corpus' structured text makes band bytes heavily non-uniform
+# (sf0.1: hottest bucket 1,329 of 4,971 fingerprints, 5.09M candidates for
+# 18k true pairs), and an interleaved A/B over caps {4096, 512, 256, 128,
+# 64} on checkpointed signatures measured 512 fastest (2.05 s -> 1.45 s,
+# output bit-identical at every cap). Below ~512 the 8x chunk explode and
+# extra join keys cost more than the candidates they remove.
+HOT_BAND_CAP = 512
 
 
 def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
-    """Banded Hamming<=7 pair join with hot-bucket re-banding.
+    """Banded Hamming<=7 pair join with hot-bucket re-banding and
+    first-matching-band emission.
 
     Small (band, value) buckets join directly. For buckets above ``hot_cap``,
     members are exploded over 8 sub-chunks of 7 bits each, sliced from the
@@ -979,9 +986,40 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
     all fall in the 56 residual bits; 7 diffs across 8 chunks leave >= 1
     chunk identical (pigeonhole) — every qualifying pair still meets.
     Candidate count per hot bucket drops from n^2 to ~8 * 128 * (n/128)^2.
-    The output is IDENTICAL to the direct join (asserted in
+    The output is IDENTICAL to the direct banded join (asserted in
     tests/test_ext.py on a corpus where the cap engages), so the DuckDB
-    oracle keeps the simple formulation."""
+    oracle keeps the simple formulation.
+
+    First-match emission instead of DISTINCT (optimization r10, guide
+    §2.3/§2.4): a true near-dup pair matches in MANY bands (profiled at
+    sf0.1: the image-dHash corpus emitted 4.46M band hits for 669k unique
+    pairs — x6.7 — and the de-dup was a 4M-row, 35 MB DISTINCT exchange
+    whose partial aggregation removed almost nothing). Band k matches
+    exactly when byte k of ``x = a.simhash ^ b.simhash`` is zero, so
+    "emit only from the FIRST matching band" is a per-candidate CASE over
+    the xor's bytes (and, inside a hot bucket, the analogous first-zero
+    7-bit chunk of the residual xor) — each qualifying pair is emitted
+    exactly once ACROSS both branches, the duplicate band hits never
+    leave the join, and the output-wide DISTINCT (one full Exchange +
+    two aggregates) disappears outright. Proof of exactly-once: the pair's
+    set of matching bands is determined by x alone; min() of that set is
+    unique; the bucket (band, shared value) at that band is either small
+    or hot, never both, and within a hot bucket min() of the matching
+    chunks is unique the same way.
+
+    The checkpoint holds the NARROW signature (2 longs per doc), not the
+    8x-exploded band table (optimization r10): every consumer re-derives
+    its band explode from the cached rows (trivial — a LATERAL VIEW over
+    dim-sized cached data), the round-robin exchange shrinks by the band
+    fan-out, and the checkpoint is EAGER — with a lazy checkpoint the two
+    broadcast-build jobs and the probe stage raced to materialize it and
+    each re-executed the full upstream (profiled at sf0.1: the phash
+    decode kernels ran 2-3x, ~40 s CPU each run, before the cache won).
+    The repartition exists because AQE coalesces the upstream aggregate's
+    few-MB output to ~1 partition and the checkpoint would freeze that:
+    round-robin is correct precisely because the pair join is broadcast —
+    the probe side needs no co-partitioning, so spreading it evenly
+    spreads the candidate expansion (profiled r6: 80 s vs 25 s at 10x)."""
     m56 = (1 << 56) - 1
     band_structs = []
     for b in range(8):
@@ -995,50 +1033,46 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
             f" 'residual', (simhash & {low}) |"
             f" (shiftrightunsigned(simhash, 8) & {m56 ^ low}))"
         )
-    # materialize ONCE, and BEFORE the sizes aggregate: sizes, small/hot,
-    # and both sides of each self-join all reuse the banded table — with
-    # the checkpoint after the sizes join (the previous placement), the
-    # upstream fingerprint aggregation (64 sums over the exploded words)
-    # executed once per join SIDE during materialization itself; every
-    # consumer now reads the one cached copy. 8 longs per doc row, so the
-    # checkpoint is corpus-row-bounded, not corpus-byte-bounded.
-    # Both halves are single SQL strings (not Column chains) — driver-side
-    # construction cost, see dedup_simhash's docstring.
-    #
-    # The repartition before the checkpoint exists because of a fan-out/
-    # byte-size mismatch (profiled r6): AQE coalesces the upstream agg's
-    # output by BYTES — a 37k-row fingerprint table collapses to ONE
-    # partition — and localCheckpoint then freezes that partitioning, so
-    # the broadcast self-join's combinatorial expansion (hundreds of
-    # millions of candidates from a few-MB probe side) ran on one core
-    # (80 s vs 25 s for 2x the candidates at 10x). Round-robin is correct
-    # here precisely because the join is broadcast: the probe side needs
-    # no co-partitioning, so spreading it evenly spreads the candidate
-    # expansion. The exchange itself is corpus-rows x 8 x 5 longs — linear
-    # and tiny next to the join it parallelizes.
     par = sig.sparkSession.sparkContext.defaultParallelism
-    bands = _sql_over(sig, "simhash_sig", f"""
-      SELECT doc_id, simhash, x.band_id, x.band_val, x.residual
-      FROM {{v}} LATERAL VIEW explode(array({", ".join(band_structs)})) t AS x
-    """).repartition(par).localCheckpoint(eager=False)
+    sig_ck = sig.repartition(par).localCheckpoint(eager=True)
     chunk_structs = ", ".join(
         f"named_struct('chunk_id', {c},"
         f" 'chunk_val', shiftright(residual, {c * 7}) & 127)"
         for c in range(8)
     )
-    return _sql_over(bands, "simhash_bands", f"""
-      WITH sizes AS (
+    # first matching band of the pair = index of the lowest zero byte of
+    # the fingerprint xor (bytes count from bit 0, matching band_val's
+    # shiftright(simhash, band_id*8)); always defined for hamming <= 7
+    # pairs (<= 7 set bits cannot cover all 8 bytes)
+    xor_ab = "(a.simhash ^ b.simhash)"
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright({xor_ab}, {8 * j}) & 255) = 0 THEN {j}"
+        for j in range(8)
+    ) + " END"
+    # ditto for the hot branch's residual chunks (7-bit lanes)
+    rxor_ab = "(a.residual ^ b.residual)"
+    first_chunk = "CASE " + " ".join(
+        f"WHEN (shiftright({rxor_ab}, {7 * c}) & 127) = 0 THEN {c}"
+        for c in range(8)
+    ) + " END"
+    return _sql_over(sig_ck, "simhash_sig", f"""
+      WITH bands AS (
+        SELECT doc_id, simhash, x.band_id, x.band_val, x.residual
+        FROM {{v}} LATERAL VIEW explode(array({", ".join(band_structs)})) t AS x
+      ),
+      sizes AS (
         SELECT band_id, band_val, count(*) AS __bn
-        FROM {{v}} GROUP BY band_id, band_val
+        FROM bands GROUP BY band_id, band_val
       ),
       sized AS (
         SELECT /*+ BROADCAST(sizes) */ b.doc_id, b.simhash, b.band_id,
                b.band_val, b.residual, sizes.__bn
-        FROM {{v}} b JOIN sizes USING (band_id, band_val)
+        FROM bands b JOIN sizes USING (band_id, band_val)
       ),
       small AS (SELECT * FROM sized WHERE __bn <= {hot_cap}),
       hot_chunks AS (
-        SELECT doc_id, simhash, band_id, band_val, c.chunk_id, c.chunk_val
+        SELECT doc_id, simhash, band_id, band_val, residual,
+               c.chunk_id, c.chunk_val
         FROM (SELECT * FROM sized WHERE __bn > {hot_cap})
         LATERAL VIEW explode(array({chunk_structs})) t AS c
       ),
@@ -1048,6 +1082,7 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
         FROM small a JOIN small b
           ON a.band_id = b.band_id AND a.band_val = b.band_val
          AND a.doc_id < b.doc_id
+         AND a.band_id = {first_band}
         UNION ALL
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
@@ -1055,8 +1090,10 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
           ON a.band_id = b.band_id AND a.band_val = b.band_val
          AND a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
          AND a.doc_id < b.doc_id
+         AND a.band_id = {first_band}
+         AND a.chunk_id = {first_chunk}
       )
-      SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
     """)
 
 

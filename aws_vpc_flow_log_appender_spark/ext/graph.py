@@ -110,9 +110,28 @@ def connected_components(
     symmetric edge count, which execution path ran, and (distributed path)
     how many propagation rounds the loop took to reach its fixpoint.
     """
+    # Symmetrize with ONE explode, not a two-branch union: the union form
+    # executed the whole upstream edge derivation once PER BRANCH during the
+    # checkpoint materialization (profiled r10: the minhash band self-join
+    # behind dedup_clusters ran twice — a 20.6 s-CPU stage that is exactly
+    # 2x the single-pass cost; same double-execution inside
+    # corpus_curation_pipeline). explode(array(fwd, rev)) emits both
+    # orientations from a single pass over the same rows — identical row
+    # multiset into the DISTINCT, half the upstream work (guide §2.4).
     sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )

@@ -172,65 +172,55 @@ def _pagerank_oracle() -> str:
 @query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph", "iterative"))
 def graph_pagerank(spark, sf_dir):
     """PageRank (d=0.85, 5 iterations) over the directed communication
-    graph — the canonical iterative DataFrame algorithm: each round is one
-    shuffle (contributions keyed by dst) plus a broadcastable node-table
-    join. The FIXED 5 rounds are left unrolled in one lazy plan (exactly the
-    shape of the chained-CTE oracle): a ~15-join tree is trivial for
-    Catalyst, the whole computation is a single job with full pipeline
-    parallelism, and no round blocks on an eager checkpoint
-    materialization. Per-round lineage cutting (the
-    ext/graph.connected_components discipline) only pays when the round
-    count is unbounded/convergence-driven; for a constant round count it
-    cost ~0.3 s of serial materialization per round (measured at sf0.1).
-    The edge/node tables stay checkpointed — they are read 5 times.
+    graph, driver-folded (optimization r10, guide §1.2 "the distributed
+    algorithm" + the Lloyd-fold precedent in ext/similarity): the distinct
+    edge set is MATHEMATICALLY bounded at _N x _OFF = 14,970 rows at any
+    corpus scale (circulant support — see the module docstring), i.e. it is
+    dim-sized state of the same order a broadcast join would already put on
+    the driver. The corpus-scaled work — the DISTINCT over the events scan
+    — stays distributed (one map-side-combined aggregate); the 5 fixed
+    rounds then run on the driver over the collected edge list with exact
+    Python integers, and the 25-row result returns as a local relation.
+
+    Before the fold the 5 rounds were an unrolled 15-join lazy plan: 74
+    Exchange nodes, 23 jobs, every stage under 100 ms — pure orchestration
+    latency (profiled r10: 1.9-2.9 s wall with no stage over 93 ms). The
+    fold leaves ONE distributed job (edges) + a trivial local sort.
 
     All ranks are scaled integers (x 1e12) with floor division per
-    contribution, so the per-dst sum is ORDER-INDEPENDENT — bit-identical
-    across Spark partition orders and the DuckDB oracle, where 5 float
-    iterations would amplify accumulation-order ulps. Dangling mass is
-    dropped (nodes without out-edges absorb rank), matching the oracle
-    exactly; top-25 by rank with node-id tiebreak."""
-    from pyspark.sql import Window as W
+    contribution — order-independent, and Python ``//`` on nonnegative
+    ints is bit-identical to SQL ``div`` — so the fold reproduces the
+    unrolled-CTE oracle exactly. Dangling mass is dropped (nodes without
+    out-edges absorb rank), matching the oracle; top-25 by rank with
+    node-id tiebreak."""
+    from pyspark.sql import types as T
 
-    de = _directed_edges(spark, sf_dir).localCheckpoint()
-    nodes = (
-        de.select(F.col("src").alias("node"))
-        .union(de.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+    edges = [(r[0], r[1]) for r in _directed_edges(spark, sf_dir).collect()]
+    assert len(edges) <= _N * _OFF  # circulant bound; cannot fire
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType(), True),
+            T.StructField("rank", T.LongType(), True),
+            T.StructField("pr_rank", T.IntegerType(), False),
+        ]
     )
-    outd = de.groupBy("src").agg(F.count("*").alias("outdeg"))
-    base = nodes.agg(F.count("*").alias("n")).select(
-        F.expr(f"{15 * _SCALE} div (100 * n)").alias("b"),
-        F.expr(f"{_SCALE} div n").alias("r0"),
-    )
-    ranks = nodes.crossJoin(F.broadcast(base)).select(
-        "node", F.col("r0").alias("rank")
-    )
+    node_set = {s for s, _ in edges} | {d for _, d in edges}
+    if not node_set:
+        return spark.createDataFrame([], schema)
+    n = len(node_set)
+    b = (15 * _SCALE) // (100 * n)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = dict.fromkeys(node_set, _SCALE // n)
     for _ in range(_ITERS):
-        contrib = (
-            de.join(ranks, de.src == ranks.node)
-            .join(outd, "src")
-            .select(F.col("dst"), F.expr("rank div outdeg").alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(base))
-            .select(
-                "node",
-                (F.col("b") + F.expr("(85 * coalesce(s, 0L)) div 100")).alias(
-                    "rank"
-                ),
-            )
-        )
-    w = W.orderBy(F.desc("rank"), F.asc("node"))
-    return (
-        ranks.withColumn("pr_rank", F.row_number().over(w))
-        .filter(F.col("pr_rank") <= 25)
-        .orderBy("pr_rank")
-    )
+        contrib: dict[int, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // outdeg[s]
+        rank = {v: b + (85 * contrib.get(v, 0)) // 100 for v in node_set}
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    rows = [(int(v), int(r), i + 1) for i, (v, r) in enumerate(top)]
+    return spark.createDataFrame(rows, schema)
 
 
 @query(
@@ -364,25 +354,39 @@ def graph_shortest_paths(spark, sf_dir):
        is ext/graph.connected_components.
     Hop distances are exact small integers — no float, no tie ambiguity
     (min-dist per node is unique by construction since a node enters the
-    label table exactly once, in its first reachable round)."""
-    ue = _undirected_edges(spark, sf_dir).localCheckpoint()
-    sym = ue.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        ue.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    dist = nodes.filter(F.col("node") % _SRC_MOD == 0).select(
-        "node", F.lit(0).cast("int").alias("dist")
-    )
-    frontier = dist.select("node")
+    label table exactly once, in its first reachable round).
+
+    Driver-folded (optimization r10, same rationale and bound as
+    graph_pagerank above): the undirected edge set is mathematically
+    capped at _N x _OFF rows at any scale, so the BFS rounds — previously
+    14 jobs of per-hop join + anti-join + checkpoint over sub-millisecond
+    stages — run on the driver over the collected adjacency; only the
+    DISTINCT over the events scan stays distributed. Integer hop labels
+    have no arithmetic hazards at all; the fold is trivially exact."""
+    from pyspark.sql import types as T
+
+    ue = [(r[0], r[1]) for r in _undirected_edges(spark, sf_dir).collect()]
+    assert len(ue) <= _N * _OFF  # circulant bound; cannot fire
+    adj: dict[int, list[int]] = {}
+    for u, v in ue:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    dist = {v: 0 for v in adj if v % _SRC_MOD == 0}
+    frontier = list(dist)
     for h in range(1, _BFS_HOPS + 1):
-        reached = (
-            sym.join(frontier, sym.a == frontier.node)
-            .select(F.col("b").alias("node"))
-            .distinct()
-        )
-        fresh = reached.join(dist, "node", "left_anti").select(
-            "node", F.lit(h).cast("int").alias("dist")
-        ).localCheckpoint(eager=False)
-        dist = dist.unionAll(fresh)
-        frontier = fresh.select("node")
-    return dist
+        nxt = []
+        for u in frontier:
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = h
+                    nxt.append(w)
+        frontier = nxt
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType(), True),
+            T.StructField("dist", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(v), d) for v, d in dist.items()], schema
+    )

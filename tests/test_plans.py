@@ -343,7 +343,10 @@ def test_stateful_folds_shuffle_once_per_key(plans):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_bm25_search", "graph_pagerank", "flowlog_beaconing",
+    # graph_pagerank left this list in r10: its top-25 is now computed in
+    # the driver fold (bounded 15k-edge graph), so there is no window to
+    # rewrite — test_pagerank_mass_conservation still pins its output shape
+    ["text_bm25_search", "flowlog_beaconing",
      "events_top_paths"],
 )
 def test_global_topk_rank_compiles_to_group_limit(plans, name):
@@ -467,7 +470,6 @@ _BROADCAST_BOUNDS = {
     ("operators/aggregates.py", "n"): "nation dim",
     ("operators/aggregates.py", "r"): "region dim",
     ("operators/advanced.py", "c"): "customer dim",
-    ("operators/graphs.py", "base"): "1-row scalar (node count)",
     ("operators/analytics.py", "model"): "Markov model, #states^2 rows",
     ("operators/timeseries.py", "stats"): "per-event_type stats (dim-sized)",
     ("operators/timeseries.py", "dev"): "per-event_type stddev (dim-sized)",
