@@ -1465,7 +1465,13 @@ def _segment_table(d):
     SEGMENT_TOKENS-word spans, checkpointed because every consumer both
     aggregates it and joins back against it (the dedup_segments_scrub
     reused-subplan discipline; its body builds the same relation inline
-    and predates this helper)."""
+    and predates this helper).
+
+    Deliberately NOT spread here (optimization r10, A/B): for the exact
+    keep-first consumers (dedup_paragraphs/_stats) the span explode is
+    cheap next to the shuffle an input fan-out adds (A/B measured 1.13x
+    WORSE with a blanket spread); dedup_paragraphs_near, whose per-span
+    minhash work dwarfs it, spreads its own input before calling this."""
     toks = F.split(F.col("text"), " ")
     return (
         d.select(
@@ -1690,11 +1696,29 @@ def dedup_paragraphs_near(spark, sf_dir):
     than 3 words fall back to whole-span shingles (the document-level
     CASE), so they near-match only on exact text — conservative by
     design."""
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread the scan before the span explode: this query's per-distinct-
+    # span minhash chain is the expensive consumer of the segment table
+    # (see _segment_table's docstring for why the shared helper does not)
+    d = _spread_input(load(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
     seg = _segment_table(d)
-    st = seg.groupBy("seg_text").agg(
-        F.min(F.struct("doc_id", "seg_id")).alias("fp"),
-        F.count(F.lit(1)).alias("n_copies"),
+    # the keep-first table is consumed THREE times (shingle source, band
+    # join, decision join): fan it out to cluster parallelism — AQE
+    # coalesces the aggregate's few-MB output to ~1 partition, and every
+    # downstream per-span md5 would run single-task off that layout
+    # (profiled r10) — and checkpoint it EAGERLY so the three consumers
+    # read one cached copy instead of racing to materialize it
+    # (the _simhash_pairs lazy-checkpoint race, same fix)
+    par = spark.sparkContext.defaultParallelism
+    st = (
+        seg.groupBy("seg_text")
+        .agg(
+            F.min(F.struct("doc_id", "seg_id")).alias("fp"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .repartition(par)
+        .localCheckpoint(eager=True)
     )
 
     words = F.split("seg_text", " ")
@@ -1747,7 +1771,12 @@ def dedup_paragraphs_near(spark, sf_dir):
             ).alias("band"),
         )
         .select("seg_text", "fd", "fs", "band.band_id", "band.band_sig")
-        .localCheckpoint(eager=False)
+        # repartition: the signature aggregate's output coalesces to ~1
+        # partition and the frozen checkpoint would run the banded
+        # self-join single-task (profiled r10: a 1.8 s one-task stage);
+        # eager: both self-join sides read one cached copy
+        .repartition(par)
+        .localCheckpoint(eager=True)
     )
     a, b = bands.alias("a"), bands.alias("b")
     neard = (

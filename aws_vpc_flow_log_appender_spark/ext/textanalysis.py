@@ -404,24 +404,30 @@ def text_repetition_ratio(spark, sf_dir):
 
 def _doc_shingles(docs, width: int, cols: list[str]):
     """Distinct width-token shingles per document over ``cols`` identity
-    columns — the shared explode/slice/distinct pipeline behind
-    text_contamination_check and text_cross_doc_repeats (code-review r6:
-    the two inline copies could drift, e.g. on the short-doc filter).
-    Docs shorter than one shingle are excluded (Spark's sequence() would
-    descend on a negative stop; DuckDB's generate_series returns empty)."""
+    columns — the shared pipeline behind text_contamination_check and
+    text_cross_doc_repeats (code-review r6: the two inline copies could
+    drift, e.g. on the short-doc filter). Docs shorter than one shingle
+    are excluded (Spark's sequence() would descend on a negative stop;
+    DuckDB's generate_series returns empty).
+
+    The per-document dedup runs IN-ROW (optimization r10, guide §2.4):
+    shingles are built as an array per document and array_distinct'ed
+    before the explode, so when ``cols`` carries the document key (doc_id
+    is unique) the old corpus-wide DISTINCT — a full Exchange of every
+    shingle instance, 10.6 MB at sf0.1 for text_contamination_check —
+    is a no-op and is dropped. Only the key-less form (the benchmark
+    side's global shingle set) still needs a cross-document distinct,
+    now over rows already deduplicated within each document."""
     toks = F.split("text", " ")
     n = F.size(toks)
-    shingle = F.array_join(F.slice(F.col("l"), F.col("i") + 1, width), " ")
-    return (
-        docs.filter(n >= width)
-        .select(
-            *cols,
-            toks.alias("l"),
-            F.explode(F.sequence(F.lit(0), n - width)).alias("i"),
-        )
-        .select(*cols, shingle.alias("shingle"))
-        .distinct()
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - width),
+        lambda i: F.array_join(F.slice(toks, i + 1, width), " "),
     )
+    out = docs.filter(n >= width).select(
+        *cols, F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+    return out if cols else out.distinct()
 
 
 CONTAM_SHINGLE = 8  # tokens per contamination shingle

@@ -83,18 +83,44 @@ def parse_records(records: DataFrame, data_col: str = "data",
 
         raw = F.col(data_col)
         orig = unchunked_base64(F.encode(data_col, "utf-8"))
-    df = records.withColumn("raw", raw).withColumn("__orig_b64", orig)
     # null-safe: a NULL payload gives rlike(NULL)=NULL, and NULL `error`
     # would be treated as false downstream, misrouting the record to 'Ok'
-    valid = F.coalesce(is_valid_flow_line(F.col("raw")), F.lit(False))
-    parsed = parse_flow_fields(F.col("raw"))
+    valid = F.coalesce(is_valid_flow_line(raw), F.lit(False))
+    # Pin `raw` and the regex validity to ONE evaluation per record
+    # (optimization r10, guide §2.3/§7.2): as a flat projection, Catalyst
+    # pushes the downstream validity filter below this projection and
+    # re-inlines `raw` into every consumer — the synthesized/decoded line
+    # was built twice and the 14-group validity regex ran up to four times
+    # per record (once in the pushed-down scan filter, once per projected
+    # column group; profiled at sf0.1: the parse stage was 9.2 s CPU of
+    # which the duplicated regex was the bulk). A one-element
+    # explode(array(struct(raw, valid))) is row-preserving and acts as a
+    # projection barrier: predicates referencing the generator's output
+    # cannot be pushed below it, so the line is materialized once and the
+    # regex verdict is computed once and reused as a plain column.
+    # (`__orig_b64` stays OUTSIDE the barrier: it is only consumed by the
+    # dead-letter packaging path, and leaving it a flat projection lets
+    # column pruning drop its base64 re-encode for every query that never
+    # reads it.)
+    df = records.select(
+        "*",
+        F.explode(
+            F.array(F.struct(raw.alias("raw"), valid.alias("valid")))
+        ).alias("__rv"),
+    )
+    rawc = F.col("__rv.raw")
+    validc = F.col("__rv.valid")
+    parsed = parse_flow_fields(rawc)
     out = df.select(
         "recordId",
-        "raw",
-        "__orig_b64",
-        (~valid).alias("error"),
-        F.when(valid, F.current_timestamp()).alias("@timestamp"),
-        *[F.when(valid, c).alias(name) for c, (name, _) in zip(parsed, FLOW_FIELDS)],
+        rawc.alias("raw"),
+        orig.alias("__orig_b64"),
+        (~validc).alias("error"),
+        F.when(validc, F.current_timestamp()).alias("@timestamp"),
+        *[
+            F.when(validc, c).alias(name)
+            for c, (name, _) in zip(parsed, FLOW_FIELDS)
+        ],
     )
     return out
 
