@@ -303,10 +303,17 @@ def _minhash_pairs_for(docs):
     self-join's candidate expansion — quadratic in bucket occupancy, far
     larger than the input — would run on that one core. Gated on corpus
     size (_fan_out_derived) because at bench scale the expansion is too
-    small for the extra exchange to pay (AB_r06_session2.json)."""
+    small for the extra exchange to pay (AB_r06_session2.json).
+
+    EAGER since optimization r10: with a lazy checkpoint the self-join's
+    broadcast-build job and the probe stage raced to materialize the
+    banded table and each re-ran the full shingle+two-md5 signature
+    aggregate (profiled: a 44 s-CPU stage for a 1,410-candidate join —
+    the signature pipeline executed 2-3x before the cache won). One
+    eager materialization, every consumer reads the cached rows."""
     bands = (
         _fan_out_derived(_minhash_bands_for(docs), docs)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -477,7 +484,7 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sig = (
         _fan_out_derived(_minhash_sig_for(docs), docs)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     bands = _bands_from_sig(sig)
     a = bands.alias("a")
@@ -492,7 +499,7 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = _fan_out_derived(pairs, docs).localCheckpoint(eager=False)
+    pairs = _fan_out_derived(pairs, docs).localCheckpoint(eager=True)
     sh = _shingled_for(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
@@ -620,7 +627,7 @@ def _shingle_intersections(sh, source=None):
             ).alias("b0"),
         )
     )
-    profile = _fan_out_derived(profile, source).localCheckpoint(eager=False)
+    profile = _fan_out_derived(profile, source).localCheckpoint(eager=True)
     a = profile.alias("a")
     b = profile.alias("b")
     cand = a.join(
@@ -819,7 +826,7 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     from .similarity import _cos
 
     a = e.alias("a")
@@ -894,7 +901,7 @@ def _embedding_pairs(e, threshold: float = 0.35,
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     from .similarity import _cos
 
     a, b = e.alias("a"), e.alias("b")
@@ -2072,7 +2079,7 @@ def dedup_cross_split_leakage(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sig = (
         _fan_out_derived(_minhash_sig_for(docs), docs)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     bands = _bands_from_sig(sig)
     t = bands.filter(F.col("doc_id") % 10 < 8).select(
