@@ -816,18 +816,22 @@ def dedup_embedding_nn(spark, sf_dir):
 
 def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
                   dim: int | None = None):
-    from .similarity import CELL_CAP, EMB_DIM, N_SUB_BITS, with_capped_cell
+    from .similarity import (CELL_CAP, EMB_DIM, N_SUB_BITS, _cos_prenorm,
+                             _emb_norm, with_capped_cell)
 
     # checkpointed: both self-join sides derive from the capped frame (see
-    # _ivf_topk's rationale — one corpus pass, not two)
+    # _ivf_topk's rationale — one corpus pass, not two). The per-row norm
+    # sqrt(<v,v>) rides the checkpoint (optimization r10): _cos recomputed
+    # BOTH self-dot norm factors per candidate pair — 2 of its 3 fold dots
+    # per pair were row constants. Identical values: the same sqrt(self-dot)
+    # doubles are multiplied in the same operand order (_cos_prenorm).
     e = with_capped_cell(
         e,
         "label",
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
-    ).localCheckpoint(eager=True)
-    from .similarity import _cos
+    ).withColumn("__nrm", _emb_norm()).localCheckpoint(eager=True)
 
     a = e.alias("a")
     b = e.alias("b")
@@ -841,11 +845,10 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nn_id"),
-            # similarity._cos — the ONE rounded-cosine definition shared
-            # with every similarity query and oracle (code-review r6: a
-            # local re-implementation here could drift from a rounding
-            # fix applied there)
-            _cos("a.embedding", "b.embedding").alias("cos_sim"),
+            # the shared 1e-6 rounded-cosine grid (similarity._cos), with
+            # the two per-row norm factors read off the checkpoint
+            _cos_prenorm("a.embedding", "b.embedding",
+                         "a.__nrm", "b.__nrm").alias("cos_sim"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
@@ -891,18 +894,18 @@ def dedup_embedding_pairs(spark, sf_dir):
 def _embedding_pairs(e, threshold: float = 0.35,
                      cell_cap: int | None = None, n_sub_bits: int | None = None,
                      dim: int | None = None):
-    from .similarity import CELL_CAP, EMB_DIM, N_SUB_BITS, with_capped_cell
+    from .similarity import (CELL_CAP, EMB_DIM, N_SUB_BITS, _cos_prenorm,
+                             _emb_norm, with_capped_cell)
 
-    # checkpointed: both self-join sides derive from the capped frame (see
-    # _ivf_topk's rationale — one corpus pass, not two)
+    # checkpointed + per-row norm, exactly as _embedding_nn (one corpus
+    # pass; 2 of _cos's 3 per-pair fold dots were row constants)
     e = with_capped_cell(
         e,
         "label",
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
-    ).localCheckpoint(eager=True)
-    from .similarity import _cos
+    ).withColumn("__nrm", _emb_norm()).localCheckpoint(eager=True)
 
     a, b = e.alias("a"), e.alias("b")
     return (
@@ -916,7 +919,8 @@ def _embedding_pairs(e, threshold: float = 0.35,
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             # shared rounded-cosine definition (see _embedding_nn)
-            _cos("a.embedding", "b.embedding").alias("cos_sim"),
+            _cos_prenorm("a.embedding", "b.embedding",
+                         "a.__nrm", "b.__nrm").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

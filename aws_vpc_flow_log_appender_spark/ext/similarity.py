@@ -145,14 +145,42 @@ def _cos(qcol, ccol):
     expressions — generalized in code-review r6 so sim_ivf_multiprobe's
     local re-implementation could be deleted; a rounding-discipline fix
     here now reaches every caller)."""
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
-
     q = (F.col(qcol) if isinstance(qcol, str) else qcol).cast("array<double>")
     c = (F.col(ccol) if isinstance(ccol, str) else ccol).cast("array<double>")
-    return round_half_up(dot(q, c) / (F.sqrt(dot(q, q)) * F.sqrt(dot(c, c))), 6)
+    return round_half_up(
+        _fold_dot(q, c) / (F.sqrt(_fold_dot(q, q)) * F.sqrt(_fold_dot(c, c))), 6
+    )
+
+
+def _fold_dot(x, y):
+    """The shared sequential left-fold dot (the _km_dot_sql operation order)
+    as a Column over two array<double> Columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _emb_norm():
+    """sqrt(<embedding, embedding>) as a Column — the per-row norm factor of
+    _cos's denominator, computed ONCE PER ROW and checkpointed by the
+    embedding pair-join queries instead of once per candidate pair
+    (optimization r10: 2 of _cos's 3 fold dots per pair were row
+    constants)."""
+    v = F.col("embedding").cast("array<double>")
+    return F.sqrt(_fold_dot(v, v))
+
+
+def _cos_prenorm(qcol: str, ccol: str, qn: str, cn: str):
+    """_cos with the two self-dot factors precomputed per row: dot/(qn*cn)
+    on the same 1e-6 grid. Identical IEEE values — qn/cn hold the very
+    sqrt(self-dot) doubles _cos recomputed per pair, multiplied in the same
+    (q, c) operand order; the cross dot keeps _cos's fold form (an explicit
+    64-term spelling was A/B-measured SLOWER at bench scale: the generated
+    code balloons past what the JIT compiles happily, and at 2k vectors the
+    fixed codegen cost dominates the per-row win — r10, guide §1.1)."""
+    q = F.col(qcol).cast("array<double>")
+    c = F.col(ccol).cast("array<double>")
+    return round_half_up(_fold_dot(q, c) / (F.col(qn) * F.col(cn)), 6)
 
 
 @query(
