@@ -994,6 +994,31 @@ def _km_vecs_body(where: str | None = None) -> str:
     )
 
 
+# vecs bodies over an ALREADY-MATERIALIZED (vec_id, v, vv) checkpoint — the
+# {v} placeholder binds to the checkpoint instead of the raw embeddings view
+_VECS_CK_BODY = "SELECT vec_id, v, vv FROM {v}"
+_PQ_CK_BODY = "SELECT vec_id, v FROM {v}"
+
+
+def _vecs_ck(e, tag: str, where: str | None = None):
+    """Materialize the projected training relation (vec_id, v, vv) ONCE
+    before the Lloyd rounds (the cache-before-iterate discipline of MLlib's
+    own KMeans, guide §5). Used ONLY where TWO concurrent trainer chains
+    (KM + PQ via _dual_literal_train) or a multi-read tail (_train_mem's
+    vecs-squared mem join) would otherwise race to re-scan/re-fold the same
+    relation — interleaved A/B (r10, 3 rounds x 2 trials/side): the dual/
+    multi-consumer family measured 0.91-0.94x, but the SERIAL single-trainer
+    queries measured 1.00-1.14x (the eager materialization job costs more
+    than the 3 avoided re-scans of a pushed-filter parquet at bench scale),
+    so those call sites keep the inline vecs CTE. Identical values: the
+    checkpoint rows are exactly what the inline vecs CTE computed."""
+    from .dedup import _sql_over
+
+    return _sql_over(e, f"{tag}_vecs", _km_vecs_body(where)).localCheckpoint(
+        eager=True
+    )
+
+
 def _km_centroid_exprs(cb: list[tuple[int, list[str], list[float]]],
                        v: str = "v", vv: str = "vv") -> list[str]:
     """One ``named_struct('d', ..., 'cid', ...)`` per centroid: the same
@@ -1533,14 +1558,16 @@ def _pq_centroid_case(pcb, what: str) -> str:
     return f"CASE m {' '.join(branches)} END"
 
 
-def _pq_lloyd_literal(e, tag: str):
+def _pq_lloyd_literal(e, tag: str, vecs_sql: str = _PQ_VECS_BODY):
     """Driver-folded PQ training (the _km_lloyd_literal discipline with the
     grouping key widened to (m, cid)): per round ONE map-side-combined
     aggregate of PQ_M x PQ_K x PQ_SUB avg cells — no (vec_id, m)-keyed
-    Exchange. Returns {(m, cid): ([element sql], [element value])}."""
+    Exchange. Returns {(m, cid): ([element sql], [element value])}.
+    ``vecs_sql`` swaps the vecs derivation for a checkpoint read
+    (_PQ_CK_BODY) when the caller pre-materialized the vectors."""
     from .dedup import _sql_over
 
-    prefix = f"WITH vecs AS ({_PQ_VECS_BODY}), sub AS ({_PQ_SUB_BODY}) "
+    prefix = f"WITH vecs AS ({vecs_sql}), sub AS ({_PQ_SUB_BODY}) "
     seeds = _sql_over(
         e, f"{tag}_pqseed",
         prefix + f"""
@@ -1576,17 +1603,19 @@ def _pq_lloyd_literal(e, tag: str):
 
 
 def _pq_literal_parts_spark(e, tag: str, include_vecs: bool = True,
-                            pcb: dict | None = None) -> list[str]:
+                            pcb: dict | None = None,
+                            vecs_sql: str = _PQ_VECS_BODY) -> list[str]:
     """Driver-folded replacement for _pq_train_parts_spark: runs the PQ
     Lloyd rounds (2 + PQ_ITERS small jobs) and emits the same-named CTEs —
     ``sub``, ``pc{PQ_ITERS}`` (literal VALUES), ``pa{PQ_ITERS}`` (row-wise
     argmin) and ``psc{PQ_ITERS}`` (the lazily-exploded pair relation) — so
-    every downstream tail keeps its text unchanged."""
+    every downstream tail keeps its text unchanged. ``vecs_sql`` swaps the
+    vecs derivation for a checkpoint read (see _vecs_ck)."""
     fin = PQ_ITERS
     if pcb is None:
-        pcb = _pq_lloyd_literal(e, tag)
+        pcb = _pq_lloyd_literal(e, tag, vecs_sql)
     head = f"""
-    WITH vecs AS ({_PQ_VECS_BODY}),""" if include_vecs else "\n    ,"
+    WITH vecs AS ({vecs_sql}),""" if include_vecs else "\n    ,"
     pcb_rows = ", ".join(
         f"({m}, {cid}, array({', '.join(elem_sql)}))"
         for (m, cid), (elem_sql, _) in sorted(pcb.items())
@@ -1608,17 +1637,17 @@ def _pq_literal_parts_spark(e, tag: str, include_vecs: bool = True,
     )"""]
 
 
-def _dual_literal_train(e, tag: str):
+def _dual_literal_train(vck, tag: str):
     """Run the coarse (KM) and product (PQ) trainings CONCURRENTLY from two
     driver threads (guide §2.6 — the two Lloyd chains are independent, both
-    reading the same corpus view, so their small per-round jobs back-fill
-    each other's scheduling gaps instead of paying 6 serial job latencies).
-    Returns (km codebook, pq codebook)."""
+    reading the same materialized vecs checkpoint (_vecs_ck), so their
+    small per-round jobs back-fill each other's scheduling gaps instead of
+    paying 6 serial job latencies). Returns (km codebook, pq codebook)."""
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fkm = pool.submit(_km_lloyd_literal, e, f"{tag}_km")
-        fpq = pool.submit(_pq_lloyd_literal, e, f"{tag}_pq")
+        fkm = pool.submit(_km_lloyd_literal, vck, f"{tag}_km", _VECS_CK_BODY)
+        fpq = pool.submit(_pq_lloyd_literal, vck, f"{tag}_pq", _PQ_CK_BODY)
         return fkm.result(), fpq.result()
 
 
@@ -1832,10 +1861,12 @@ def sim_ivfpq_topk(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     kfin, pfin = KM_ITERS, PQ_ITERS
-    cb_km, cb_pq = _dual_literal_train(e, "ivfpq")
-    parts = _km_literal_parts_spark(e, "ivfpq", with_sc=True, cb=cb_km)
+    vck = _vecs_ck(e, "ivfpq")
+    cb_km, cb_pq = _dual_literal_train(vck, "ivfpq")
+    parts = _km_literal_parts_spark(vck, "ivfpq", with_sc=True, cb=cb_km,
+                                    vecs_body=_VECS_CK_BODY)
     parts.extend(
-        _pq_literal_parts_spark(e, "ivfpq", include_vecs=False, pcb=cb_pq)
+        _pq_literal_parts_spark(vck, "ivfpq", include_vecs=False, pcb=cb_pq)
     )
     parts.append(f"""
     SELECT 0 AS kind, a.vec_id, a.cid AS cell, p.m, p.cid AS code,
@@ -1849,7 +1880,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     SELECT 2 AS kind, vec_id, CAST(NULL AS INT) AS cell, m, cid AS code, d
     FROM psc{pfin} WHERE vec_id < {N_QUERIES}
     """)
-    both = _sql_over(e, "ivfpq", "".join(parts)).localCheckpoint(eager=False)
+    both = _sql_over(vck, "ivfpq", "".join(parts)).localCheckpoint(
+        eager=False
+    )
     return _ivfpq_search(both).select(
         "query_id",
         "neighbor_id",
@@ -2068,13 +2101,15 @@ def _ivfpq_vec_checkpoint(spark, sf_dir, tag: str):
     from .dedup import _sql_over
 
     e = load(spark, sf_dir, "embeddings")
-    cb_km, cb_pq = _dual_literal_train(e, tag)
-    parts = _km_literal_parts_spark(e, tag, with_sc=True, cb=cb_km)
+    vck = _vecs_ck(e, tag)
+    cb_km, cb_pq = _dual_literal_train(vck, tag)
+    parts = _km_literal_parts_spark(vck, tag, with_sc=True, cb=cb_km,
+                                    vecs_body=_VECS_CK_BODY)
     parts.extend(
-        _pq_literal_parts_spark(e, tag, include_vecs=False, pcb=cb_pq)
+        _pq_literal_parts_spark(vck, tag, include_vecs=False, pcb=cb_pq)
     )
     parts.append(_ivfpq_vec_union_sql())
-    return _sql_over(e, tag, "".join(parts)).localCheckpoint(eager=False)
+    return _sql_over(vck, tag, "".join(parts)).localCheckpoint(eager=False)
 
 
 def _vec_slices(both):
@@ -2369,7 +2404,8 @@ def _train_mem(e, tag: str):
     from .dedup import _sql_over
 
     fin = KM_ITERS
-    parts = _km_literal_parts_spark(e, tag)
+    vck = _vecs_ck(e, tag)
+    parts = _km_literal_parts_spark(vck, tag, vecs_body=_VECS_CK_BODY)
     parts.append(f"""
     , mem AS (
       SELECT a.vec_id, a.cid, a.v, v2.vv,
@@ -2384,7 +2420,7 @@ def _train_mem(e, tag: str):
     # both sides by cid regardless, so a round-robin here adds an
     # exchange without changing the join's parallelism (A/B-measured
     # neutral-to-negative, r10).
-    return _sql_over(e, tag, "".join(parts)).localCheckpoint(eager=False)
+    return _sql_over(vck, tag, "".join(parts)).localCheckpoint(eager=False)
 
 
 def _semantic_decisions(mem):
