@@ -201,13 +201,26 @@ def sim_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-k: broadcast the (small) query set against the corpus,
     per-query window top-k. One corpus scan regardless of query count."""
     e = load(spark, sf_dir, "embeddings")
+    # per-row norms (the _cos_prenorm discipline, r10): the corpus-side
+    # sqrt(self-dot) previously re-folded once per (query, corpus) pair —
+    # N_QUERIES times per corpus row
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _emb_norm().alias("q_nrm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _emb_norm().alias("c_nrm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_prenorm("q_emb", "c_emb", "q_nrm", "c_nrm").alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -268,20 +281,25 @@ def _ivf_topk(e, cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS):
     # (profiled: the checkpoint beats the double build at sf0.1 and removes
     # a second corpus pass at any scale; corpus-row-bounded, the same
     # discipline as the banded dedup tables)
-    e = with_capped_cell(e, "label", cell_cap, n_sub_bits).localCheckpoint(
-        eager=False
+    e = (
+        with_capped_cell(e, "label", cell_cap, n_sub_bits)
+        # per-row norm on the checkpoint (the _cos_prenorm discipline, r10)
+        .withColumn("__nrm", _emb_norm())
+        .localCheckpoint(eager=False)
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("sub_bucket").alias("q_sub"),
         F.col("embedding").alias("q_emb"),
+        F.col("__nrm").alias("q_nrm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("sub_bucket").alias("c_sub"),
         F.col("embedding").alias("c_emb"),
+        F.col("__nrm").alias("c_nrm"),
     )
     scored = (
         c.join(
@@ -290,7 +308,11 @@ def _ivf_topk(e, cell_cap: int = CELL_CAP, n_sub_bits: int = N_SUB_BITS):
             & (F.col("c_sub") == F.col("q_sub"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_prenorm("q_emb", "c_emb", "q_nrm", "c_nrm").alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -375,12 +397,18 @@ def sim_ivf_multiprobe(spark, sf_dir):
         )
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), v.alias("qv")
+        F.col("vec_id").alias("query_id"),
+        v.alias("qv"),
+        # per-row norm (the _cos_prenorm discipline, r10); the K-row
+        # centroid-ranking window below keeps the full _cos (bounded at
+        # N_QUERIES x KM-cells rows, not a pair join)
+        F.sqrt(_fold_dot(v, v)).alias("q_nrm"),
     )
     ranked = q.crossJoin(F.broadcast(cent)).select(
         "query_id",
         "label",
         "qv",
+        "q_nrm",
         F.row_number()
         .over(
             W.partitionBy("query_id").orderBy(
@@ -389,18 +417,23 @@ def sim_ivf_multiprobe(spark, sf_dir):
         )
         .alias("rn"),
     )
-    probes = ranked.filter(F.col("rn") <= N_PROBE).select("query_id", "label", "qv")
+    probes = ranked.filter(F.col("rn") <= N_PROBE).select(
+        "query_id", "label", "qv", "q_nrm"
+    )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         v.alias("cv"),
+        F.sqrt(_fold_dot(v, v)).alias("c_nrm"),
     )
     scored = c.join(
         F.broadcast(probes),
         (F.col("c_label") == F.col("label"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select(
-        "query_id", "neighbor_id", _cos(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        _cos_prenorm("qv", "cv", "q_nrm", "c_nrm").alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -462,17 +495,21 @@ def sim_rp_lsh_topk(spark, sf_dir):
         load(spark, sf_dir, "embeddings")
         .withColumn("__v", F.col("embedding").cast("array<double>"))
         .withColumn("bucket", F.expr(bucket))
+        # per-row norm (the _cos_prenorm discipline, r10)
+        .withColumn("__nrm", F.sqrt(_fold_dot(F.col("__v"), F.col("__v"))))
         .drop("__v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("q_bucket"),
         F.col("embedding").alias("q_emb"),
+        F.col("__nrm").alias("q_nrm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("c_bucket"),
         F.col("embedding").alias("c_emb"),
+        F.col("__nrm").alias("c_nrm"),
     )
     scored = (
         c.join(
@@ -480,7 +517,11 @@ def sim_rp_lsh_topk(spark, sf_dir):
             (F.col("c_bucket") == F.col("q_bucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_prenorm("q_emb", "c_emb", "q_nrm", "c_nrm").alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -513,13 +554,24 @@ def sim_range_search(spark, sf_dir):
     composes in front unchanged. The threshold compares ROUNDED cosine on
     both engines so the >= cut is boundary-stable."""
     e = load(spark, sf_dir, "embeddings")
+    # per-row norms (the _cos_prenorm discipline, r10)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _emb_norm().alias("q_nrm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _emb_norm().alias("c_nrm"),
+    )
     return (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("q_emb", "c_emb").alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_prenorm("q_emb", "c_emb", "q_nrm", "c_nrm").alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.2)
     )
 
@@ -709,8 +761,13 @@ def sim_knn_graph(spark, sf_dir):
 
 
 def _knn_graph(e, cell_cap: int = CELL_CAP):
-    # checkpointed for the same both-sides reason as _ivf_topk
-    e = with_capped_cell(e, "label", cell_cap).localCheckpoint(eager=False)
+    # checkpointed for the same both-sides reason as _ivf_topk; per-row
+    # norm on the checkpoint (the _cos_prenorm discipline, r10)
+    e = (
+        with_capped_cell(e, "label", cell_cap)
+        .withColumn("__nrm", _emb_norm())
+        .localCheckpoint(eager=False)
+    )
     a = e.alias("a")
     b = e.alias("b")
     scored = a.join(
@@ -721,7 +778,9 @@ def _knn_graph(e, cell_cap: int = CELL_CAP):
     ).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("nn_id"),
-        _cos("a.embedding", "b.embedding").alias("cos_sim"),
+        _cos_prenorm(
+            "a.embedding", "b.embedding", "a.__nrm", "b.__nrm"
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
     knn = (
@@ -790,11 +849,16 @@ def embed_decontaminate(spark, sf_dir):
     engines on a last-ulp difference.
     """
     e = load(spark, sf_dir, "embeddings")
+    # per-row norms (the _cos_prenorm discipline, r10): the corpus-side
+    # self-dot previously re-folded once per (corpus row, eval vector) pair
     eval_set = e.filter(F.col("label") == EVAL_LABEL).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        _emb_norm().alias("q_nrm"),
     )
-    corpus = e.filter(F.col("label") != EVAL_LABEL)
-    cos = _cos("q_embedding", "embedding")
+    corpus = e.filter(F.col("label") != EVAL_LABEL).withColumn(
+        "c_nrm", _emb_norm()
+    )
+    cos = _cos_prenorm("q_embedding", "embedding", "q_nrm", "c_nrm")
     return (
         corpus.crossJoin(F.broadcast(eval_set))
         .withColumn("cos", cos)
@@ -1107,14 +1171,14 @@ def _km_literal_parts_spark(e, tag: str, vecs_body: str | None = None,
     WITH vecs AS ({vecs_body}),
     c{fin} AS (SELECT cid, c FROM (VALUES {cb_rows}) AS __cb(cid, c)),
     a{fin} AS (
-      SELECT vec_id, v, best.cid AS cid, best.d AS d
-      FROM (SELECT vec_id, v, {_km_best_sql(cb)} AS best FROM vecs)
+      SELECT vec_id, v, vv, best.cid AS cid, best.d AS d
+      FROM (SELECT vec_id, v, vv, {_km_best_sql(cb)} AS best FROM vecs)
     )"""]
     if with_sc:
         structs = ", ".join(_km_centroid_exprs(cb))
         parts.append(f"""
     , sc{fin} AS (
-      SELECT vec_id, v, x.cid AS cid, x.d AS d
+      SELECT vec_id, v, vv, x.cid AS cid, x.d AS d
       FROM vecs LATERAL VIEW explode(array({structs})) t AS x
     )""")
     return parts
@@ -1257,7 +1321,11 @@ def sim_ivf_trained_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     fin = KM_ITERS
     parts = _km_literal_parts_spark(e, "kmtrain")
-    parts.append(f" SELECT vec_id, v, cid FROM a{fin}")
+    # sqrt(vv) is the per-row norm factor of the pair cosine — one sqrt per
+    # row at the checkpoint instead of two 64-element folds per candidate
+    # pair (the _cos_prenorm discipline; vv folds in _km_dot_sql order,
+    # which is _fold_dot's order, so the doubles are bit-identical)
+    parts.append(f" SELECT vec_id, v, sqrt(vv) AS nrm, cid FROM a{fin}")
     assigned = _sql_over(e, "kmtrain", "".join(parts)).localCheckpoint(
         eager=False
     )
@@ -1265,17 +1333,23 @@ def sim_ivf_trained_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("cid").alias("q_cid"),
         F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
     )
     c = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cid").alias("c_cid"),
         F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = c.join(
         F.broadcast(q),
         (F.col("c_cid") == F.col("q_cid"))
         & (F.col("neighbor_id") != F.col("query_id")),
-    ).select("query_id", "neighbor_id", _cos("q_v", "c_v").alias("cos_sim"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cos_prenorm("q_v", "c_v", "q_nrm", "c_nrm").alias("cos_sim"),
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1347,10 +1421,13 @@ def sim_ivf_trained_multiprobe(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     fin = KM_ITERS
     parts = _km_literal_parts_spark(e, "kmprobe", with_sc=True)
+    # sqrt(vv) rides the checkpoint per row (the _cos_prenorm discipline)
     parts.append(f"""
-    SELECT 0 AS kind, vec_id, v, cid, CAST(NULL AS DOUBLE) AS d FROM a{fin}
+    SELECT 0 AS kind, vec_id, v, sqrt(vv) AS nrm, cid,
+           CAST(NULL AS DOUBLE) AS d
+    FROM a{fin}
     UNION ALL
-    SELECT 1 AS kind, vec_id, v, cid, d FROM sc{fin}
+    SELECT 1 AS kind, vec_id, v, sqrt(vv) AS nrm, cid, d FROM sc{fin}
     WHERE vec_id < {N_QUERIES}
     """)
     both = _sql_over(e, "kmprobe", "".join(parts)).localCheckpoint(eager=False)
@@ -1363,18 +1440,24 @@ def sim_ivf_trained_multiprobe(spark, sf_dir):
             F.col("vec_id").alias("query_id"),
             F.col("cid").alias("q_cid"),
             F.col("v").alias("q_v"),
+            F.col("nrm").alias("q_nrm"),
         )
     )
     c = both.filter(F.col("kind") == 0).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cid").alias("c_cid"),
         F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = c.join(
         F.broadcast(probes),
         (F.col("c_cid") == F.col("q_cid"))
         & (F.col("neighbor_id") != F.col("query_id")),
-    ).select("query_id", "neighbor_id", _cos("q_v", "c_v").alias("cos_sim"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cos_prenorm("q_v", "c_v", "q_nrm", "c_nrm").alias("cos_sim"),
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -2406,13 +2489,13 @@ def _train_mem(e, tag: str):
     fin = KM_ITERS
     vck = _vecs_ck(e, tag)
     parts = _km_literal_parts_spark(vck, tag, vecs_body=_VECS_CK_BODY)
+    # a{fin} carries vv directly (r10) — the old `JOIN vecs v2 ON vec_id`
+    # existed only to re-attach the self-dot and cost a corpus-sized join
+    # per training; the oracle keeps its join text (same values either way)
     parts.append(f"""
-    , mem AS (
-      SELECT a.vec_id, a.cid, a.v, v2.vv,
-             CAST(floor(a.d * {KM_SCALE}D + 0.5D) AS BIGINT) AS d_i
-      FROM a{fin} a JOIN vecs v2 ON v2.vec_id = a.vec_id
-    )
-    SELECT vec_id, cid, v, vv, d_i FROM mem
+    SELECT vec_id, cid, v, vv,
+           CAST(floor(d * {KM_SCALE}D + 0.5D) AS BIGINT) AS d_i
+    FROM a{fin}
     """)
     # No fan-out repartition despite the checkpoint now being scan-
     # partitioned (the driver-folded training removed the corpus-keyed
