@@ -384,8 +384,17 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection pass re-scans quality docs with the alloc table BROADCAST
     and a cumulative sum windowed PER SOURCE — partitioned parallelism,
     no global sort; one final per-source aggregate."""
-    q = _mix_quality_frame(load(spark, sf_dir, "documents"))
-    alloc = _hamilton_alloc(q)
+    # q materialized once (r10): _hamilton_alloc's lazy tree re-derives the
+    # per-source aggregate under every broadcast build (tot, quota,
+    # leftover) and the selection pass re-scans the corpus — 18 parquet
+    # scans and 50 Exchanges in the before plan, each re-evaluating the
+    # string-heavy quality gate. The checkpoint holds (source, doc_id,
+    # n_tok, h) — 4 narrow columns. alloc is |sources|-row; its eager cut
+    # stops the quota/rank chain re-running for its two consumers.
+    q = _mix_quality_frame(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    alloc = _hamilton_alloc(q).localCheckpoint(eager=True)
     cw = (
         W.partitionBy("source")
         .orderBy(F.asc("h"), F.asc("doc_id"))

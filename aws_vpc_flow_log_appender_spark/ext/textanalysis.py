@@ -217,8 +217,21 @@ def text_tfidf_top_terms(spark, sf_dir):
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf materialized once (r10): df and the idf join-back both consume it,
+    # and without the cut the tokenize + doc-term aggregate ran once per
+    # branch (6 parquet scans in the before plan). The checkpoint holds the
+    # POST-aggregate rows (doc_id, term, tf) — vocabulary-bounded per doc,
+    # far narrower than the exploded token stream.
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # count(*), not countDistinct(doc_id): tf rows are unique on
+    # (doc_id, term) BY CONSTRUCTION (groupBy output), so the distinct
+    # machinery's extra aggregate phase bought nothing (r10; the oracle
+    # keeps COUNT(DISTINCT doc_id) — identical values on unique keys)
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # corpus size as a lazy 1-row crossJoin (the oracle's CROSS JOIN n) —
     # an eager d.count() would run a separate job at plan-construction time
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
@@ -801,40 +814,65 @@ def text_bm25_search(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    # ONE tokenize pass (r10; the before plan tokenized the corpus twice —
+    # once for dl, once for the query-term tf — 8 parquet scans total):
+    # per-doc length and the three query-term counts come out of a single
+    # groupBy(doc_id), materialized once (doc_id + 4 longs — far narrower
+    # than the token stream) because the corpus stats and the scoring pass
+    # both consume it. The tf/df/dl relations and their joins collapse into
+    # row-wise arithmetic over this table.
+    per_doc = (
+        words.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
-    tf = (
-        words.filter(F.col("term").isin(_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    tfd, dfd = F.col("tf").cast("double"), F.col("df").cast("double")
     dld = F.col("dl").cast("double")
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        (F.col("n_docs").cast("double") - dfd + 0.5) / (dfd + 0.5) + 1.0
-    )
-    ratio = (tfd * (_BM25_K1 + 1.0)) / (
-        tfd + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dld / avgdl))
-    )
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            F.floor(idf * ratio * 1000000.0 + 0.5).cast("long").alias(
-                "term_score_u"
-            ),
+
+    def term_score(i: int):
+        # identical float expression tree per (tf, dl, df) as the joined
+        # form: idf from the per-term df scalar, ratio from the row's tf/dl
+        tfd = F.col(f"tf_{i}").cast("double")
+        dfd = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - dfd + 0.5) / (dfd + 0.5) + 1.0
         )
-    )
+        ratio = (tfd * (_BM25_K1 + 1.0)) / (
+            tfd + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dld / avgdl))
+        )
+        # a term with tf = 0 had no (doc, term) row before — contributes 0
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            F.floor(idf * ratio * 1000000.0 + 0.5).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    any_term = F.greatest(
+        *[F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))]
+    ) > 0
+    bm25 = sum(term_score(i) for i in range(len(_BM25_TERMS)))
     w = W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_score_u").cast("long").alias("bm25_micro"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(any_term)
+        .select("doc_id", bm25.cast("long").alias("bm25_micro"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")

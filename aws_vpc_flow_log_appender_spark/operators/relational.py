@@ -433,6 +433,10 @@ def sort_zorder_layout(spark, sf_dir):
     # positive) d1 domain, but a pre-1995 shipdate would silently split the
     # layouts apart (the r6 'floor-division day buckets' bug class). Same
     # floor text both sides.
+    # NOT checkpointed despite three consumers (box + both layout stats):
+    # A/B-measured 1.30x WORSE with an eager cut (r10, AB_r10_batch2.json)
+    # — the three derivations are 2-column pruned scans + codegen'd integer
+    # bit algebra, cheaper than materializing 4 BIGINTs per lineitem row
     tagged = l.selectExpr(
         f"{_Z_D1_SQL} AS d1", f"{_Z_D2_SQL} AS d2"
     ).selectExpr(

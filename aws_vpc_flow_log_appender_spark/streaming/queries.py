@@ -1593,30 +1593,35 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     KM_K x EMB_DIM broadcast; state I/O is KM_K rows per epoch — constant,
     never corpus-bounded."""
     from ..ext.similarity import (
-        KM_ITERS,
         KM_SCALE,
         _km_dot_sql,
-        _km_train_parts_spark,
+        _km_lloyd_literal,
+        _km_vecs_body,
     )
-    from ..ext.dedup import _sql_over
 
     e = load(spark, sf_dir, "embeddings")
 
-    # --- one-time training over the indexed subset; checkpoint the codebook
-    fin = KM_ITERS
-    train_parts = [
-        p.replace(
-            "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v"
-            " FROM {v})",
-            "FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v"
-            " FROM {v} WHERE NOT (vec_id % 4 = 1))",
-        )
-        for p in _km_train_parts_spark()
-    ]
-    train_parts.append(f"""
-    SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{fin}
-    """)
-    codebook = _sql_over(e, "stream_ivf_train", "".join(train_parts))
+    # --- one-time training over the indexed subset; checkpoint the codebook.
+    # Driver-folded Lloyd (optimization r10, the batch family's
+    # _km_lloyd_literal): the old unrolled-CTE trainer paid KM_ITERS
+    # corpus-keyed Exchanges and a triple-unrolled analyzed plan at every
+    # stream setup; the folded form is 2 + KM_ITERS small map-side-combined
+    # jobs and the final codebook evaluates from exact literals (round >= 1
+    # elements are scaled-integer BIGINTs re-emitted as {s}L / 1e6D, c0
+    # doubles round-trip via repr() — bit-identical to the unrolled c{fin},
+    # the §1 OPTIMIZATION_r10 equivalence argument; cc keeps the same
+    # in-plan fold). The written parquet is byte-identical, so the stored
+    # index and every per-batch assignment are unchanged.
+    cb = _km_lloyd_literal(
+        e, "stream_ivf_train", _km_vecs_body("NOT (vec_id % 4 = 1)")
+    )
+    cb_rows = ", ".join(
+        f"({cid}, array({', '.join(elem_sql)}))" for cid, elem_sql, _ in cb
+    )
+    codebook = spark.sql(
+        f"SELECT CAST(cid AS INT) AS cid, c, {_km_dot_sql('c', 'c')} AS cc"
+        f" FROM (VALUES {cb_rows}) AS __cb(cid, c)"
+    )
 
     state = _track_sink("stream_ivf_assign")
     cb_schema = "cid int, c array<double>, cc double"

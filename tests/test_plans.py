@@ -255,14 +255,18 @@ def test_triangle_count_wedge_joins_are_equi(plans):
 
 
 def test_bm25_stats_are_broadcast(plans):
-    # df and corpus stats are vocabulary-/1-row-sized: the fact side must
-    # join them by broadcast, leaving one shuffle for the per-doc sum
+    # r10 single-pass shape: the dl/tf/df relations and their joins
+    # collapsed into one groupBy(doc_id) over one tokenize pass (per-doc
+    # checkpoint) — the ONLY join left is the 1-row stats broadcast
+    # (Cross, by design); no shuffle join may reappear
     p = plans("text_bm25_search")
-    assert p.count("BroadcastHashJoin") >= 2  # dl join + df join
-    # the only BNLJ is the 1-row corpus-stats broadcast (Cross, by design)
-    for line in p.splitlines():
-        if "BroadcastNestedLoopJoin" in line:
-            assert "Cross" in line
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    bnlj = [l for l in p.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) == 1  # the 1-row corpus-stats attach
+    for line in bnlj:
+        assert "Cross" in line
 
 
 def test_rolling_distinct_is_equi_join(plans):
