@@ -196,6 +196,10 @@ def corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays it in one SQL statement."""
     from .similarity import _semantic_decisions, _train_mem
 
+    # NOT checkpointed despite two consumers (embedding filter + final
+    # rollup): A/B-measured no win (r10 — the second derivation is one
+    # broadcast join over the already-checkpointed exact_kept, cheaper
+    # than an extra eager materialization job)
     surv = curate(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
     # checkpointed because the driver-folded Lloyd trainer (optimization

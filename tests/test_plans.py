@@ -499,9 +499,8 @@ _BROADCAST_BOUNDS = {
     ("ext/sampling.py", "rates"): "per-language rates, #langs rows",
     ("ext/textanalysis.py", "n"): "1-row corpus count",
     ("ext/textanalysis.py", "total"): "1-row token total",
-    ("ext/textanalysis.py", "corpus"): "1-row corpus stats",
     ("ext/textanalysis.py", "totals"): "per-source totals, #sources rows",
-    ("ext/textanalysis.py", "df"): "BM25 df, <= len(_BM25_TERMS)=3 rows",
+    ("ext/textanalysis.py", "stats"): "1-row BM25 corpus stats + per-term df",
     ("ext/textanalysis.py", "bench"): "benchmark shingles (eval-suite-sized)",
 }
 
