@@ -971,41 +971,6 @@ def _kmeans_oracle_sql() -> str:
     return "".join(parts)
 
 
-def _km_assign_spark(i: int) -> str:
-    """One unrolled Lloyd assignment as Spark-SQL CTEs. argmin via
-    min(struct(d, cid)): partial-aggregable (map-side combine, no window
-    shuffle), deterministic (distance, cid) tie-break — the same total
-    order the oracle's row_number gives. first(v) is deterministic by
-    value: v is functionally dependent on vec_id, every row in the group
-    carries the same vector."""
-    return f"""
-    sc{i} AS (
-      SELECT /*+ BROADCAST(c) */ vecs.vec_id, vecs.v, c.cid,
-             (vecs.vv - 2.0D * {_km_dot_sql("vecs.v", "c.c")} + c.cc) AS d
-      FROM vecs CROSS JOIN (
-        SELECT cid, c, {_km_dot_sql("c", "c")} AS cc FROM c{i}
-      ) c
-    ),
-    a{i} AS (
-      SELECT vec_id, v, best.cid AS cid, best.d AS d FROM (
-        SELECT vec_id, first(v) AS v, min(struct(d, cid)) AS best
-        FROM sc{i} GROUP BY vec_id
-      )
-    )"""
-
-
-def _km_update_spark(i: int) -> str:
-    """Centroid update as Spark SQL: EMB_DIM rounded avg() terms assembled
-    into the next codebook array in ONE aggregate — map-side partial
-    aggregation of K x EMB_DIM cells, no posexplode row multiplication."""
-    terms = ", ".join(
-        f"floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) / {KM_SCALE}D"
-        for p in range(EMB_DIM)
-    )
-    return f"""
-    c{i + 1} AS (SELECT cid, array({terms}) AS c FROM a{i} GROUP BY cid)"""
-
-
 # --- driver-folded Lloyd training (optimization r10) -------------------------
 #
 # The unrolled-CTE training shape (kept below for the streaming one-time
@@ -1181,28 +1146,6 @@ def _km_literal_parts_spark(e, tag: str, vecs_body: str | None = None,
       SELECT vec_id, v, vv, x.cid AS cid, x.d AS d
       FROM vecs LATERAL VIEW explode(array({structs})) t AS x
     )""")
-    return parts
-
-
-def _km_train_parts_spark() -> list[str]:
-    """The unrolled Spark-SQL training prefix through the final assignment
-    ``a{KM_ITERS}`` over the ``{v}`` placeholder view — shared by
-    sim_kmeans_cells (per-cell stats) and sim_ivf_trained_topk (in-cell
-    search over the trained quantizer)."""
-    parts = [f"""
-    WITH vecs AS (
-      SELECT vec_id, v, {_km_dot_sql("v", "v")} AS vv
-      FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM {{v}})
-    ),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-             v AS c
-      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {KM_K})
-    )"""]
-    for i in range(KM_ITERS):
-        parts.append("," + _km_assign_spark(i))
-        parts.append("," + _km_update_spark(i))
-    parts.append("," + _km_assign_spark(KM_ITERS))
     return parts
 
 
