@@ -313,6 +313,7 @@ def _minhash_pairs_for(docs):
     eager materialization, every consumer reads the cached rows."""
     bands = (
         _fan_out_derived(_minhash_bands_for(docs), docs)
+        # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
         .localCheckpoint(eager=True)
     )
     a = bands.alias("a")
@@ -484,6 +485,7 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sig = (
         _fan_out_derived(_minhash_sig_for(docs), docs)
+        # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
         .localCheckpoint(eager=True)
     )
     bands = _bands_from_sig(sig)
@@ -499,6 +501,7 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
     pairs = _fan_out_derived(pairs, docs).localCheckpoint(eager=True)
     sh = _shingled_for(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -627,6 +630,7 @@ def _shingle_intersections(sh, source=None):
             ).alias("b0"),
         )
     )
+    # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
     profile = _fan_out_derived(profile, source).localCheckpoint(eager=True)
     a = profile.alias("a")
     b = profile.alias("b")
@@ -831,6 +835,7 @@ def _embedding_nn(e, cell_cap: int | None = None, n_sub_bits: int | None = None,
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
+    # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
     ).withColumn("__nrm", _emb_norm()).localCheckpoint(eager=True)
 
     a = e.alias("a")
@@ -905,6 +910,7 @@ def _embedding_pairs(e, threshold: float = 0.35,
         cell_cap if cell_cap is not None else CELL_CAP,
         n_sub_bits if n_sub_bits is not None else N_SUB_BITS,
         dim=dim if dim is not None else EMB_DIM,
+    # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
     ).withColumn("__nrm", _emb_norm()).localCheckpoint(eager=True)
 
     a, b = e.alias("a"), e.alias("b")
@@ -1045,6 +1051,7 @@ def _simhash_pairs(sig, hot_cap: int = HOT_BAND_CAP):
             f" (shiftrightunsigned(simhash, 8) & {m56 ^ low}))"
         )
     par = sig.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
     sig_ck = sig.repartition(par).localCheckpoint(eager=True)
     chunk_structs = ", ".join(
         f"named_struct('chunk_id', {c},"
@@ -1729,6 +1736,7 @@ def dedup_paragraphs_near(spark, sf_dir):
             F.count(F.lit(1)).alias("n_copies"),
         )
         .repartition(par)
+        # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
         .localCheckpoint(eager=True)
     )
 
@@ -1787,6 +1795,7 @@ def dedup_paragraphs_near(spark, sf_dir):
         # self-join single-task (profiled r10: a 1.8 s one-task stage);
         # eager: both self-join sides read one cached copy
         .repartition(par)
+        # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
         .localCheckpoint(eager=True)
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -2083,6 +2092,7 @@ def dedup_cross_split_leakage(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sig = (
         _fan_out_derived(_minhash_sig_for(docs), docs)
+        # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
         .localCheckpoint(eager=True)
     )
     bands = _bands_from_sig(sig)

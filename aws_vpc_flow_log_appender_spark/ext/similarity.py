@@ -1029,22 +1029,35 @@ _VECS_CK_BODY = "SELECT vec_id, v, vv FROM {v}"
 _PQ_CK_BODY = "SELECT vec_id, v FROM {v}"
 
 
-def _vecs_ck(e, tag: str, where: str | None = None):
+def _vecs_ck(e, tag: str, where: str | None = None, eager: bool = False):
     """Materialize the projected training relation (vec_id, v, vv) ONCE
     before the Lloyd rounds (the cache-before-iterate discipline of MLlib's
-    own KMeans, guide §5). Used ONLY where TWO concurrent trainer chains
-    (KM + PQ via _dual_literal_train) or a multi-read tail (_train_mem's
-    vecs-squared mem join) would otherwise race to re-scan/re-fold the same
-    relation — interleaved A/B (r10, 3 rounds x 2 trials/side): the dual/
-    multi-consumer family measured 0.91-0.94x, but the SERIAL single-trainer
-    queries measured 1.00-1.14x (the eager materialization job costs more
-    than the 3 avoided re-scans of a pushed-filter parquet at bench scale),
-    so those call sites keep the inline vecs CTE. Identical values: the
-    checkpoint rows are exactly what the inline vecs CTE computed."""
+    own KMeans, guide §5). Used ONLY where a trainer plus a multi-read tail
+    (_train_mem's mem derivation, the dual KM+PQ chain) would otherwise
+    re-scan/re-fold the same relation — interleaved A/B (r10, 3 rounds x 2
+    trials/side): the dual/multi-consumer family measured 0.91-0.94x, but
+    the SERIAL single-trainer queries measured 1.00-1.14x (the eager
+    materialization job costs more than the 3 avoided re-scans of a
+    pushed-filter parquet at bench scale), so those call sites keep the
+    inline vecs CTE. Identical values: the checkpoint rows are exactly what
+    the inline vecs CTE computed.
+
+    LAZY by default since optimization r11 (guide §5, VERDICT r10 "Next
+    round" #2): every consumer chain now starts with ONE strictly-sequential
+    seed collect (a TakeOrdered over all partitions), which materializes the
+    checkpoint as a side effect — a separate eager count() job paid one
+    extra driver-job latency for nothing. The r10 race that forced eager
+    materialization (two thread-pooled trainer chains hitting an
+    unmaterialized cache concurrently) is gone: _dual_literal_train now
+    runs its two trainings inside single merged jobs. Failure-domain note
+    for real clusters: localCheckpoint pins partitions to executor-local
+    storage without lineage replay — an executor loss makes them
+    unrecoverable; acceptable here because every consumer job is
+    re-runnable from the source parquet."""
     from .dedup import _sql_over
 
     return _sql_over(e, f"{tag}_vecs", _km_vecs_body(where)).localCheckpoint(
-        eager=True
+        eager=eager
     )
 
 
@@ -1664,17 +1677,93 @@ def _pq_literal_parts_spark(e, tag: str, include_vecs: bool = True,
 
 
 def _dual_literal_train(vck, tag: str):
-    """Run the coarse (KM) and product (PQ) trainings CONCURRENTLY from two
-    driver threads (guide §2.6 — the two Lloyd chains are independent, both
-    reading the same materialized vecs checkpoint (_vecs_ck), so their
-    small per-round jobs back-fill each other's scheduling gaps instead of
-    paying 6 serial job latencies). Returns (km codebook, pq codebook)."""
-    from concurrent.futures import ThreadPoolExecutor
+    """Train the coarse (KM) and product (PQ) quantizers with MERGED driver
+    jobs (optimization r11, guide §2.6/§5 — VERDICT r10 "Next round" #2:
+    the heavy tail was driver-job orchestration, so the fix is fewer,
+    fatter jobs, not more concurrency).
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fkm = pool.submit(_km_lloyd_literal, vck, f"{tag}_km", _VECS_CK_BODY)
-        fpq = pool.submit(_pq_lloyd_literal, vck, f"{tag}_pq", _PQ_CK_BODY)
-        return fkm.result(), fpq.result()
+    ONE TakeOrdered job collects the seed vectors for BOTH codebooks: the
+    PQ seeds are exact Python slices of the KM seed vectors, because sub's
+    sv is slice(v, m*PQ_SUB+1, PQ_SUB) over the same CAST array and the
+    per-m row_number seeding picks exactly the PQ_K smallest vec_ids —
+    slicing the collected doubles reproduces the sv values bit-identically.
+    Then each Lloyd round runs BOTH update aggregates as ONE UNION ALL job
+    over the same vecs checkpoint (rows tagged grp 0=KM / 1=PQ, sums
+    carried as one BIGINT array): the two aggregate subtrees are textually
+    the per-side queries the r10 thread-pool form submitted as separate
+    jobs, so the per-cell scaled-integer sums are unchanged. Total:
+    1 + max(KM_ITERS, PQ_ITERS) driver jobs where the r10 form paid
+    2 * (1 + ITERS) thread-pooled ones (plus this first job materializes
+    the lazy vecs checkpoint, retiring its separate eager count() job).
+    Returns (km codebook, pq codebook)."""
+    from .dedup import _sql_over
+
+    seeds = _sql_over(
+        vck, f"{tag}_seed",
+        f"WITH vecs AS ({_VECS_CK_BODY}) "
+        f"SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {max(KM_K, PQ_K)}",
+    ).collect()
+    cb = [
+        (j, [_dbl_lit(x) for x in row.v], list(row.v))
+        for j, row in enumerate(seeds[:KM_K])
+    ]
+    pcb = {}
+    for j, row in enumerate(seeds[:PQ_K]):
+        for m in range(PQ_M):
+            sv = list(row.v[m * PQ_SUB:(m + 1) * PQ_SUB])
+            pcb[(m, j)] = ([_dbl_lit(x) for x in sv], sv)
+    km_terms = ", ".join(
+        f"CAST(floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT) AS s{p}"
+        for p in range(EMB_DIM)
+    )
+    pq_terms = ", ".join(
+        f"CAST(floor(avg(sv[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT) AS s{p}"
+        for p in range(PQ_SUB)
+    )
+    km_arr = ", ".join(f"s{p}" for p in range(EMB_DIM))
+    pq_arr = ", ".join(f"s{p}" for p in range(PQ_SUB))
+    for i in range(max(KM_ITERS, PQ_ITERS)):
+        sides = []
+        if i < KM_ITERS:
+            sides.append(
+                f"SELECT 0 AS grp, -1 AS m, cid, array({km_arr}) AS s FROM ("
+                f"SELECT best.cid AS cid, {km_terms} FROM "
+                f"(SELECT {_km_best_sql(cb)} AS best, v FROM vecs) "
+                f"GROUP BY best.cid)"
+            )
+        if i < PQ_ITERS:
+            sides.append(
+                f"SELECT 1 AS grp, m, cid, array({pq_arr}) AS s FROM ("
+                f"SELECT m, best.cid AS cid, {pq_terms} FROM "
+                f"(SELECT m, {_pq_centroid_case(pcb, 'best')} AS best, sv"
+                f" FROM sub) GROUP BY m, best.cid)"
+            )
+        rows = _sql_over(
+            vck, f"{tag}_dual{i}",
+            f"WITH vecs AS ({_VECS_CK_BODY}), sub AS ({_PQ_SUB_BODY}) "
+            + " UNION ALL ".join(sides),
+        ).collect()
+        if i < KM_ITERS:
+            cb = [
+                (
+                    row.cid,
+                    [f"{s}L / {KM_SCALE}D" for s in row.s],
+                    [s / KM_SCALE for s in row.s],
+                )
+                for row in sorted(
+                    (r for r in rows if r.grp == 0), key=lambda r: r.cid
+                )
+            ]
+        if i < PQ_ITERS:
+            pcb = {
+                (row.m, row.cid): (
+                    [f"{s}L / {KM_SCALE}D" for s in row.s],
+                    [s / KM_SCALE for s in row.s],
+                )
+                for row in rows
+                if row.grp == 1
+            }
+    return cb, pcb
 
 
 def _pq_adc_oracle_sql() -> str:
@@ -2449,12 +2538,44 @@ def _train_mem(e, tag: str):
     return _sql_over(vck, tag, "".join(parts)).localCheckpoint(eager=False)
 
 
-def _semantic_decisions(mem):
+# The SemDeDup decision join is keyed on cid alone — KM_K (8) distinct join
+# keys, so a shuffle join runs on at most KM_K tasks however many cores
+# exist, and AQE's byte-based coalescing shrinks the ~MB member exchanges
+# to ~1 partition while the pair EXPANSION (quadratic in cell occupancy)
+# is orders of magnitude larger than the input bytes — exactly the
+# _fan_out_derived hazard (ext/dedup.py), now fixed at the decision join
+# (optimization r11, guide §2.5/§3.1). When the member relation's SOURCE
+# is provably broadcast-small (parquet-footer-accurate scan estimate,
+# same gate style as _fan_out_derived), the probe side is round-robined
+# to cluster parallelism and the closer-member side broadcast: the cid
+# Exchanges disappear and the per-pair dot/cosine work spreads over every
+# core instead of <= KM_K coalesced tasks. Above the cap (real corpora,
+# where members are corpus-sized and a broadcast would OOM — the
+# sample_dedup_weights lesson) the original unhinted shuffle join stands.
+# Values are identical either way: same pairs, same aggregate.
+SEMDEDUP_BROADCAST_SRC_CAP = 16 << 20
+
+
+def _sem_spread_broadcast(x, y, mem, gate):
+    """(x, y, joined?) — apply the gated spread+broadcast above; returns
+    the joined frame or None when the gate keeps the shuffle join."""
+    from .dedup import _plan_bytes
+
+    size = _plan_bytes(gate) if gate is not None else None
+    if size is None or size >= SEMDEDUP_BROADCAST_SRC_CAP:
+        return None
+    par = mem.sparkSession.sparkContext.defaultParallelism
+    return x.repartition(par), F.broadcast(y)
+
+
+def _semantic_decisions(mem, gate=None):
     """The SemDeDup decision over a checkpointed member relation — the
     Column-API twin of _semantic_decision_ctes's ``semdecision`` (same
     left-assoc expression order, same sequential-fold dot, same rounded
     grid, same (d_i, vec_id) closer-member total order), returning
-    (vec_id, cluster_id, kept, max_closer_sim)."""
+    (vec_id, cluster_id, kept, max_closer_sim). ``gate``: a frame whose
+    plan-size estimate bounds the member relation's source, enabling the
+    spread+broadcast join shape (see SEMDEDUP_BROADCAST_SRC_CAP)."""
     x = mem.select(
         "vec_id", "cid",
         F.col("v").alias("x_v"), F.col("vv").alias("x_vv"),
@@ -2465,6 +2586,9 @@ def _semantic_decisions(mem):
         F.col("v").alias("y_v"), F.col("vv").alias("y_vv"),
         F.col("d_i").alias("y_d"),
     )
+    sb = _sem_spread_broadcast(x, y, mem, gate)
+    if sb is not None:
+        x, y = sb
     cond = (F.col("y_cid") == F.col("cid")) & (
         (F.col("y_d") < F.col("x_d"))
         | ((F.col("y_d") == F.col("x_d")) & (F.col("y_id") < F.col("vec_id")))
@@ -2540,7 +2664,7 @@ def dedup_semantic(spark, sf_dir):
     self-join (plan-read r7: the unrolled training otherwise executes
     once per join side)."""
     e = load(spark, sf_dir, "embeddings")
-    return _semantic_decisions(_train_mem(e, "semdedup"))
+    return _semantic_decisions(_train_mem(e, "semdedup"), gate=e)
 
 
 # --- capped-cell SemDeDup (VERDICT r7 "Next round" #2) -----------------------
@@ -2581,14 +2705,17 @@ def _with_mem_sub_bucket(mem, cell_cap: int = SEMDEDUP_CELL_CAP):
     )
 
 
-def _semantic_decisions_capped(memc):
+def _semantic_decisions_capped(memc, gate=None):
     """_semantic_decisions with the pair join restricted to (cell,
     sub_bucket) — the capped decision: a member is dropped iff a strictly
     closer member WITHIN ITS SUB-BUCKET is within SEMDEDUP_TAU. Capping
     trades recall (cross-sub-bucket duplicates in a hot cell are not
     compared — the standard LSH-style miss class) for the per-task pair
     bound (cell/2^bits)^2; the oracle models the identical restriction so
-    the trade is hash-checked, not asserted."""
+    the trade is hash-checked, not asserted. ``gate`` enables the same
+    spread+broadcast join shape as _semantic_decisions (the key space is
+    wider — (cell, sub_bucket) — but still codebook-bounded, far below
+    cluster parallelism)."""
     x = memc.select(
         "vec_id", "cid", "sub_bucket",
         F.col("v").alias("x_v"), F.col("vv").alias("x_vv"),
@@ -2600,6 +2727,9 @@ def _semantic_decisions_capped(memc):
         F.col("v").alias("y_v"), F.col("vv").alias("y_vv"),
         F.col("d_i").alias("y_d"),
     )
+    sb = _sem_spread_broadcast(x, y, memc, gate)
+    if sb is not None:
+        x, y = sb
     cond = (
         (F.col("y_cid") == F.col("cid"))
         & (F.col("y_sub") == F.col("sub_bucket"))
@@ -2702,7 +2832,7 @@ def dedup_semantic_capped(spark, sf_dir):
     challengers), pinned in tests/test_r8_queries.py."""
     e = load(spark, sf_dir, "embeddings")
     memc = _with_mem_sub_bucket(_train_mem(e, "semdedup_capped"))
-    return _semantic_decisions_capped(memc)
+    return _semantic_decisions_capped(memc, gate=e)
 
 
 # --- incremental index maintenance (VERDICT r8 "Next round" #6) --------------

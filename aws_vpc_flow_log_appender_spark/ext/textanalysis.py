@@ -23,6 +23,33 @@ LANG_MARKERS = {
 }
 
 
+# Eager multi-consumer checkpoints are gated on SOURCE size (optimization
+# r11, VERDICT r10 "Next round" #5 / guide §5): a blocking localCheckpoint
+# materialization costs one fixed driver-job latency, while the re-execution
+# it avoids costs roughly source_bytes / (parallelism x scan+agg throughput)
+# per extra consumer. Below ~4 MB/task the re-derivation is tens of ms per
+# task — cheaper than the job it would replace (the r11 interleaved A/B vs
+# the r9 tag measured the unconditional r10 checkpoints 1.26-1.29x SLOWER
+# at bench scale); above it (real corpora) the checkpoint wins and engages.
+_MIN_CK_BYTES_PER_TASK = 4 << 20
+
+
+def _ck_if_large(derived, source):
+    """Eager-checkpoint ``derived`` (a multi-consumer relation) only when
+    ``source``'s parquet-footer-accurate plan estimate clears the per-task
+    threshold above. Identical values either way — the checkpoint holds
+    exactly the rows the inline derivation computes. localCheckpoint
+    caveat: executor-local blocks, NO lineage replay on executor loss
+    (guide §5); acceptable because the whole job is re-runnable."""
+    from .dedup import _plan_bytes
+
+    par = derived.sparkSession.sparkContext.defaultParallelism
+    size = _plan_bytes(source) if source is not None else None
+    if size is not None and size < par * _MIN_CK_BYTES_PER_TASK:
+        return derived
+    return derived.localCheckpoint(eager=True)
+
+
 def _occurrences(col, marker: str):
     return (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))) / len(marker)
 
@@ -217,15 +244,17 @@ def text_tfidf_top_terms(spark, sf_dir):
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
-    # tf materialized once (r10): df and the idf join-back both consume it,
-    # and without the cut the tokenize + doc-term aggregate ran once per
-    # branch (6 parquet scans in the before plan). The checkpoint holds the
+    # tf materialized once when the corpus is large (r10, gated r11 — see
+    # _ck_if_large): df and the idf join-back both consume it, and without
+    # the cut the tokenize + doc-term aggregate runs once per branch (6
+    # parquet scans in the r9 plan). The checkpoint holds the
     # POST-aggregate rows (doc_id, term, tf) — vocabulary-bounded per doc,
-    # far narrower than the exploded token stream.
-    tf = (
-        words.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    # far narrower than the exploded token stream. At bench scale the gate
+    # keeps the inline form: the r11 A/B vs r9 measured the unconditional
+    # checkpoint 1.26x slower (fixed materialization latency > two cheap
+    # re-scans of a few-MB corpus).
+    tf = _ck_if_large(
+        words.groupBy("doc_id", "term").agg(F.count("*").alias("tf")), d
     )
     # count(*), not countDistinct(doc_id): tf rows are unique on
     # (doc_id, term) BY CONSTRUCTION (groupBy output), so the distinct
@@ -423,21 +452,48 @@ def _doc_shingles(docs, width: int, cols: list[str]):
     are excluded (Spark's sequence() would descend on a negative stop;
     DuckDB's generate_series returns empty).
 
-    The per-document dedup runs IN-ROW (optimization r10, guide §2.4):
-    shingles are built as an array per document and array_distinct'ed
-    before the explode, so when ``cols`` carries the document key (doc_id
-    is unique) the old corpus-wide DISTINCT — a full Exchange of every
-    shingle instance, 10.6 MB at sf0.1 for text_contamination_check —
-    is a no-op and is dropped. Only the key-less form (the benchmark
-    side's global shingle set) still needs a cross-document distinct,
-    now over rows already deduplicated within each document."""
+    The per-document dedup runs IN-ROW when the corpus is large
+    (optimization r10, gated r11 — guide §2.4): shingles are built as an
+    array per document and array_distinct'ed before the explode, so when
+    ``cols`` carries the document key (doc_id is unique) the corpus-wide
+    DISTINCT — a full Exchange of every shingle instance, growing with
+    corpus bytes — is a no-op and is dropped. Only the key-less form (the
+    benchmark side's global shingle set) still needs a cross-document
+    distinct, then over rows already deduplicated within each document.
+    BELOW the gate (_MIN_CK_BYTES_PER_TASK per task — bench scale) the r9
+    explode+distinct form stands: the r11 interleaved A/B vs the r9 tag
+    measured the unconditional in-row form 1.29x slower there (the
+    higher-order transform + array_distinct evaluate outside whole-stage
+    codegen, and the few-MB distinct Exchange they replace is cheap),
+    while at real scale the saved corpus-wide Exchange dominates. The gate
+    also bounds ADVICE r10 #2's memory concern: the full per-document
+    shingle array is only materialized in one row on the large-corpus
+    path, where documents are the same bounded fixtures scaled out.
+    Identical output either way: per-doc distinct == corpus distinct when
+    the key is unique."""
+    from .dedup import _plan_bytes
+
     toks = F.split("text", " ")
     n = F.size(toks)
+    base = docs.filter(n >= width)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    size = _plan_bytes(docs)
+    if size is not None and size < par * _MIN_CK_BYTES_PER_TASK:
+        shingle = F.array_join(F.slice(F.col("l"), F.col("i") + 1, width), " ")
+        return (
+            base.select(
+                *cols,
+                toks.alias("l"),
+                F.explode(F.sequence(F.lit(0), n - width)).alias("i"),
+            )
+            .select(*cols, shingle.alias("shingle"))
+            .distinct()
+        )
     shingles = F.transform(
         F.sequence(F.lit(0), n - width),
         lambda i: F.array_join(F.slice(toks, i + 1, width), " "),
     )
-    out = docs.filter(n >= width).select(
+    out = base.select(
         *cols, F.explode(F.array_distinct(shingles)).alias("shingle")
     )
     return out if cols else out.distinct()
@@ -818,12 +874,13 @@ def text_bm25_search(spark, sf_dir):
     # once for dl, once for the query-term tf — 8 parquet scans total):
     # per-doc length and the three query-term counts come out of a single
     # groupBy(doc_id), materialized once (doc_id + 4 longs — far narrower
-    # than the token stream) because the corpus stats and the scoring pass
-    # both consume it. The tf/df/dl relations and their joins collapse into
-    # row-wise arithmetic over this table.
-    per_doc = (
-        words.groupBy("doc_id")
-        .agg(
+    # than the token stream) when the corpus is large (gated r11, see
+    # _ck_if_large: the corpus stats and the scoring pass both consume it;
+    # at bench scale two inline re-derivations are cheaper than the fixed
+    # materialization job). The tf/df/dl relations and their joins collapse
+    # into row-wise arithmetic over this table either way.
+    per_doc = _ck_if_large(
+        words.groupBy("doc_id").agg(
             F.count("*").alias("dl"),
             *[
                 F.sum(F.when(F.col("term") == t, 1).otherwise(0))
@@ -831,8 +888,8 @@ def text_bm25_search(spark, sf_dir):
                 .alias(f"tf_{i}")
                 for i, t in enumerate(_BM25_TERMS)
             ],
-        )
-        .localCheckpoint(eager=True)
+        ),
+        d,
     )
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),

@@ -27,6 +27,11 @@ from .registry import load, query
 
 _N = 499       # node modulus (prime, so offset orbits cover all nodes)
 _OFF = 30      # circulant offsets 1.._OFF
+# Driver-collect safety bound for the folded graph queries (ADVICE r10 #1):
+# the circulant construction emits at most _N * _OFF distinct edges, and the
+# collects below cap at _EDGE_BOUND + 1 rows so an unbounded regression
+# raises instead of OOMing the driver.
+_EDGE_BOUND = _N * _OFF
 
 _SQL_EDGES = f"""
   SELECT DISTINCT event_id % {_N} AS src,
@@ -195,8 +200,19 @@ def graph_pagerank(spark, sf_dir):
     node-id tiebreak."""
     from pyspark.sql import types as T
 
-    edges = [(r[0], r[1]) for r in _directed_edges(spark, sf_dir).collect()]
-    assert len(edges) <= _N * _OFF  # circulant bound; cannot fire
+    # Bound BEFORE materializing (ADVICE r10 #1): limit(bound + 1) caps what
+    # the driver can ever receive, so if the edge derivation stops being
+    # circulant-bounded this raises instead of OOMing the driver first (and
+    # unlike an assert it survives python -O). The limit is a no-op today:
+    # the circulant construction emits at most _N * _OFF distinct edges.
+    edges = [
+        (r[0], r[1])
+        for r in _directed_edges(spark, sf_dir).limit(_EDGE_BOUND + 1).collect()
+    ]
+    if len(edges) > _EDGE_BOUND:
+        raise RuntimeError(
+            f"pagerank edge derivation exceeded the circulant bound {_EDGE_BOUND}"
+        )
     schema = T.StructType(
         [
             T.StructField("node", T.LongType(), True),
@@ -365,8 +381,17 @@ def graph_shortest_paths(spark, sf_dir):
     have no arithmetic hazards at all; the fold is trivially exact."""
     from pyspark.sql import types as T
 
-    ue = [(r[0], r[1]) for r in _undirected_edges(spark, sf_dir).collect()]
-    assert len(ue) <= _N * _OFF  # circulant bound; cannot fire
+    # Bound BEFORE materializing (ADVICE r10 #1, same pattern as pagerank):
+    # cap the collect at bound + 1 rows and raise on overflow instead of
+    # asserting after the driver already holds an unbounded result.
+    ue = [
+        (r[0], r[1])
+        for r in _undirected_edges(spark, sf_dir).limit(_EDGE_BOUND + 1).collect()
+    ]
+    if len(ue) > _EDGE_BOUND:
+        raise RuntimeError(
+            f"BFS edge derivation exceeded the circulant bound {_EDGE_BOUND}"
+        )
     adj: dict[int, list[int]] = {}
     for u, v in ue:
         adj.setdefault(u, []).append(v)

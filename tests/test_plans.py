@@ -453,6 +453,13 @@ _BROADCAST_BOUNDS = {
     ("operators/joins.py", "bands"): "range-band dim (#bands rows)",
     ("operators/joins.py", "bloom"): "1-row bloom bitmap (<=1024 map entries, 8 KB)",
     ("ext/dedup.py", "bloom"): "1-row snapshot bloom bitmap (<=1024 map entries, 8 KB)",
+    ("ext/similarity.py", "y"): (
+        "SemDeDup closer-member side, hint applied ONLY under the "
+        "_sem_spread_broadcast gate: the source's parquet-footer estimate "
+        "must clear SEMDEDUP_BROADCAST_SRC_CAP (16 MB), so the broadcast "
+        "relation is size-capped by construction; above the cap the join "
+        "stays unhinted (AQE chooses, the sample_dedup_weights discipline)"
+    ),
     ("streaming/queries.py", "bounds"): "1-row min/max event-time aggregate",
     ("streaming/queries.py", "cb"): (
         "checkpointed codebook, KM_K rows (read from stored state, "
