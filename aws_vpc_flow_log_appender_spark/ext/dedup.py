@@ -52,6 +52,14 @@ _MIN_SPREAD_BYTES_PER_TASK = 8 << 10
 # bytes per core, crossover ~2 MB total at 32 cores.
 _MIN_FANOUT_BYTES_PER_TASK = 64 << 10
 
+# Eager-vs-lazy checkpoint gate (optimization r11, VERDICT r10 "Next round"
+# #5): a blocking eager materialization costs one fixed driver-job latency,
+# while the lazy race it prevents re-executes the derivation ~2-3x per
+# consumer — worth it only when the derivation itself is expensive, i.e.
+# when the source corpus carries real bytes per task. Same rationale and
+# value as textanalysis._MIN_CK_BYTES_PER_TASK.
+_CK_GATE_BYTES_PER_TASK = 4 << 20
+
 
 def _plan_bytes(df):
     """Catalyst's size estimate for a plan, or None when the JVM
@@ -305,16 +313,25 @@ def _minhash_pairs_for(docs):
     size (_fan_out_derived) because at bench scale the expansion is too
     small for the extra exchange to pay (AB_r06_session2.json).
 
-    EAGER since optimization r10: with a lazy checkpoint the self-join's
-    broadcast-build job and the probe stage raced to materialize the
-    banded table and each re-ran the full shingle+two-md5 signature
-    aggregate (profiled: a 44 s-CPU stage for a 1,410-candidate join —
-    the signature pipeline executed 2-3x before the cache won). One
-    eager materialization, every consumer reads the cached rows."""
+    EAGER above the size gate (optimization r10, gated r11): with a lazy
+    checkpoint the self-join's broadcast-build job and the probe stage
+    race to materialize the banded table and each re-runs the full
+    shingle+two-md5 signature aggregate (profiled: a 44 s-CPU stage for a
+    1,410-candidate join — the signature pipeline executed 2-3x before
+    the cache won). Above `_CK_GATE_BYTES_PER_TASK` per task that
+    re-execution dwarfs one blocking materialization job; below it (bench
+    scale) the r9 lazy form stands — the duplicated sub-second signature
+    pass is cheaper than the added job latency (r11 interleaved A/B vs
+    the r9 tag: unconditional eager measured 1.12x slower on
+    dedup_minhash_lsh). localCheckpoint caveat: executor-local blocks, NO
+    lineage replay on executor loss (guide §5); acceptable because the
+    whole job is re-runnable."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    size = _plan_bytes(docs)
+    small = size is not None and size < par * _CK_GATE_BYTES_PER_TASK
     bands = (
         _fan_out_derived(_minhash_bands_for(docs), docs)
-        # localCheckpoint caveat: executor-local blocks, NO lineage replay on executor loss (guide §5); acceptable because the whole job is re-runnable
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=not small)
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -1085,6 +1085,45 @@ def _km_best_sql(cb, v: str = "v", vv: str = "vv") -> str:
     return structs[0] if len(structs) == 1 else f"least({', '.join(structs)})"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _trainer_conf(spark):
+    """Scoped execution conf for the tiny bounded driver-fold trainer
+    queries (optimization r11, guide §1.2 step 3). Two flips, restored on
+    exit; queries built OUTSIDE the block keep their creation-time conf
+    snapshot:
+
+    - adaptive.enabled=false: AQE runs every intermediate shuffle stage as
+      its OWN driver job, so a Lloyd-round aggregate (codebook-bounded
+      output riding a cached checkpoint) pays 2-3 sequential job latencies
+      where a non-adaptive plan is ONE job. AQE buys nothing here — the
+      output is bounded by codebook constants, no skew, nothing to
+      re-plan.
+    - shuffle.partitions=1: the rounds' reduce side holds at most
+      KM_K x EMB_DIM / PQ_M x PQ_K x PQ_SUB cells AT ANY CORPUS SCALE
+      (map-side partial aggregation emits <= codebook rows per mapper), so
+      this is a scale-INDEPENDENT bound, not a local-core-count tune —
+      profiled at 32 inherited partitions the two merged rounds ran 66
+      tasks for 24 output rows.
+
+    Values are unaffected: partition-count changes only reorder the avg
+    partial sums, which the 1e-6 rounding grid already absorbs across
+    every session layout (the 8-partition test session vs the
+    32-partition bench)."""
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
 def _km_lloyd_literal(e, tag: str, vecs_body: str | None = None,
                       k: int = KM_K, iters: int = KM_ITERS):
     """Run ``iters`` Lloyd rounds with the codebook driver-held; returns the
@@ -1095,36 +1134,37 @@ def _km_lloyd_literal(e, tag: str, vecs_body: str | None = None,
 
     if vecs_body is None:
         vecs_body = _km_vecs_body()
-    seeds = _sql_over(
-        e, f"{tag}_seed",
-        f"WITH vecs AS ({vecs_body}) "
-        f"SELECT v FROM vecs ORDER BY vec_id LIMIT {k}",
-    ).collect()
-    cb = [
-        (j, [_dbl_lit(x) for x in row.v], list(row.v))
-        for j, row in enumerate(seeds)
-    ]
-    for i in range(iters):
-        terms = ", ".join(
-            f"CAST(floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT)"
-            f" AS s{p}"
-            for p in range(EMB_DIM)
-        )
-        rows = _sql_over(
-            e, f"{tag}_lloyd{i}",
+    with _trainer_conf(e.sparkSession):
+        seeds = _sql_over(
+            e, f"{tag}_seed",
             f"WITH vecs AS ({vecs_body}) "
-            f"SELECT best.cid AS cid, {terms} FROM "
-            f"(SELECT {_km_best_sql(cb)} AS best, v FROM vecs) "
-            f"GROUP BY best.cid",
+            f"SELECT v FROM vecs ORDER BY vec_id LIMIT {k}",
         ).collect()
         cb = [
-            (
-                row.cid,
-                [f"{row[f's{p}']}L / {KM_SCALE}D" for p in range(EMB_DIM)],
-                [row[f"s{p}"] / KM_SCALE for p in range(EMB_DIM)],
-            )
-            for row in sorted(rows, key=lambda r: r.cid)
+            (j, [_dbl_lit(x) for x in row.v], list(row.v))
+            for j, row in enumerate(seeds)
         ]
+        for i in range(iters):
+            terms = ", ".join(
+                f"CAST(floor(avg(v[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT)"
+                f" AS s{p}"
+                for p in range(EMB_DIM)
+            )
+            rows = _sql_over(
+                e, f"{tag}_lloyd{i}",
+                f"WITH vecs AS ({vecs_body}) "
+                f"SELECT best.cid AS cid, {terms} FROM "
+                f"(SELECT {_km_best_sql(cb)} AS best, v FROM vecs) "
+                f"GROUP BY best.cid",
+            ).collect()
+            cb = [
+                (
+                    row.cid,
+                    [f"{row[f's{p}']}L / {KM_SCALE}D" for p in range(EMB_DIM)],
+                    [row[f"s{p}"] / KM_SCALE for p in range(EMB_DIM)],
+                )
+                for row in sorted(rows, key=lambda r: r.cid)
+            ]
     return cb
 
 
@@ -1607,37 +1647,38 @@ def _pq_lloyd_literal(e, tag: str, vecs_sql: str = _PQ_VECS_BODY):
     from .dedup import _sql_over
 
     prefix = f"WITH vecs AS ({vecs_sql}), sub AS ({_PQ_SUB_BODY}) "
-    seeds = _sql_over(
-        e, f"{tag}_pqseed",
-        prefix + f"""
-        SELECT m, CAST(rn - 1 AS INT) AS cid, sv FROM (
-          SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id)
-                 AS rn FROM sub
-        ) WHERE rn <= {PQ_K}""",
-    ).collect()
-    pcb = {
-        (row.m, row.cid): ([_dbl_lit(x) for x in row.sv], list(row.sv))
-        for row in seeds
-    }
-    for i in range(PQ_ITERS):
-        terms = ", ".join(
-            f"CAST(floor(avg(sv[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT)"
-            f" AS s{p}"
-            for p in range(PQ_SUB)
-        )
-        rows = _sql_over(
-            e, f"{tag}_pqlloyd{i}",
-            prefix + f"SELECT m, best.cid AS cid, {terms} FROM "
-            f"(SELECT m, {_pq_centroid_case(pcb, 'best')} AS best, sv"
-            f" FROM sub) GROUP BY m, best.cid",
+    with _trainer_conf(e.sparkSession):
+        seeds = _sql_over(
+            e, f"{tag}_pqseed",
+            prefix + f"""
+            SELECT m, CAST(rn - 1 AS INT) AS cid, sv FROM (
+              SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                     AS rn FROM sub
+            ) WHERE rn <= {PQ_K}""",
         ).collect()
         pcb = {
-            (row.m, row.cid): (
-                [f"{row[f's{p}']}L / {KM_SCALE}D" for p in range(PQ_SUB)],
-                [row[f"s{p}"] / KM_SCALE for p in range(PQ_SUB)],
-            )
-            for row in rows
+            (row.m, row.cid): ([_dbl_lit(x) for x in row.sv], list(row.sv))
+            for row in seeds
         }
+        for i in range(PQ_ITERS):
+            terms = ", ".join(
+                f"CAST(floor(avg(sv[{p}]) * {KM_SCALE}D + 0.5D) AS BIGINT)"
+                f" AS s{p}"
+                for p in range(PQ_SUB)
+            )
+            rows = _sql_over(
+                e, f"{tag}_pqlloyd{i}",
+                prefix + f"SELECT m, best.cid AS cid, {terms} FROM "
+                f"(SELECT m, {_pq_centroid_case(pcb, 'best')} AS best, sv"
+                f" FROM sub) GROUP BY m, best.cid",
+            ).collect()
+            pcb = {
+                (row.m, row.cid): (
+                    [f"{row[f's{p}']}L / {KM_SCALE}D" for p in range(PQ_SUB)],
+                    [row[f"s{p}"] / KM_SCALE for p in range(PQ_SUB)],
+                )
+                for row in rows
+            }
     return pcb
 
 
@@ -1696,6 +1737,13 @@ def _dual_literal_train(vck, tag: str):
     2 * (1 + ITERS) thread-pooled ones (plus this first job materializes
     the lazy vecs checkpoint, retiring its separate eager count() job).
     Returns (km codebook, pq codebook)."""
+    from .dedup import _sql_over
+
+    with _trainer_conf(vck.sparkSession):
+        return _dual_literal_train_inner(vck, tag)
+
+
+def _dual_literal_train_inner(vck, tag: str):
     from .dedup import _sql_over
 
     seeds = _sql_over(
