@@ -6,6 +6,17 @@ deterministically derived from the sf0.001 events table.
 
 ``queries()`` / ``oracle_sql()`` expose the operator inventory registered in
 ``aws_vpc_flow_log_appender_spark.operators`` and ``.ext``.
+
+Eager-construction contract: a handful of iterative operators (the Lloyd
+trainer family in ``ext/similarity.py``, the bounded-graph folds in
+``operators/graphs.py``) run small driver-folded collect() jobs while the
+returned DataFrame is being CONSTRUCTED, so calling a query builder is not
+free of Spark jobs — most of those queries' runtime (and any failure)
+surfaces at build time. Harnesses must time construction + execution
+together (as ``bench.py`` and ``tools/profile_query.py``'s
+construct_s/execute_s split both do) for the numbers to be comparable.
+Every such collect is bounded by codebook/graph constants, never by the
+corpus (see the guards at their call sites).
 """
 
 from __future__ import annotations
