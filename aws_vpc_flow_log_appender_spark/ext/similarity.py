@@ -1088,12 +1088,27 @@ def _km_best_sql(cb, v: str = "v", vv: str = "vv") -> str:
 from contextlib import contextmanager
 
 
+# Interpreted-mode gate for the trainer statements (optimization r11,
+# second pass; guide §1.2 step 3). Every Lloyd round statement carries a
+# FRESH literal codebook, so its generated code can never be served from
+# the codegen cache — each round pays a full janino compile (~0.1 s/
+# statement measured in isolation; interleaved A/B over the six
+# trainer-family headline queries: 0.75-0.94 with two neutral-to-noise
+# members). Interpreted execution skips the compile but pays O(rows)
+# scaffolding overhead on the map side, so it only wins while the
+# training relation is small: ~64 MB of (vec_id, v, vv) rows (~120k
+# vectors) is where ~2 us/row of interpreted overhead crosses the
+# ~0.3 s/trainer fixed compile cost. Above the gate (any real corpus,
+# let alone 100 TB) codegen stays on — the scale-correct branch.
+_TRAINER_INTERP_MAX_BYTES = 64 << 20
+
+
 @contextmanager
-def _trainer_conf(spark):
+def _trainer_conf(spark, rel=None):
     """Scoped execution conf for the tiny bounded driver-fold trainer
-    queries (optimization r11, guide §1.2 step 3). Two flips, restored on
-    exit; queries built OUTSIDE the block keep their creation-time conf
-    snapshot:
+    queries (optimization r11, guide §1.2 step 3). Two unconditional
+    flips plus a size-gated pair, all restored on exit; queries built
+    OUTSIDE the block keep their creation-time conf snapshot:
 
     - adaptive.enabled=false: AQE runs every intermediate shuffle stage as
       its OWN driver job, so a Lloyd-round aggregate (codebook-bounded
@@ -1108,33 +1123,65 @@ def _trainer_conf(spark):
       profiled at 32 inherited partitions the two merged rounds ran 66
       tasks for 24 output rows.
 
+    - codegen.wholeStage=false + codegen.factoryMode=NO_CODEGEN, ONLY
+      when ``rel`` (the training relation) is Catalyst-estimated below
+      ``_TRAINER_INTERP_MAX_BYTES`` (see the gate comment above): each
+      round statement embeds a fresh literal codebook, so codegen can
+      never hit its cache and every statement pays a full compile that
+      interpreted execution skips. When the estimate is unavailable or
+      large, codegen stays on — the branch a real corpus takes.
+      Interpreted and generated evaluation of the same expression tree
+      are semantically identical (same operation order), so values are
+      unaffected either way; the full oracle sweep pins it.
+
     Values are unaffected: partition-count changes only reorder the avg
     partial sums, which the 1e-6 rounding grid already absorbs across
     every session layout (the 8-partition test session vs the
     32-partition bench)."""
+    from .dedup import _plan_bytes
+
     conf = spark.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    prev_ws = conf.get("spark.sql.codegen.wholeStage", "true")
+    prev_fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    size = _plan_bytes(rel) if rel is not None else None
+    interp = size is not None and size < _TRAINER_INTERP_MAX_BYTES
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", "1")
+    if interp:
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try:
         yield
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if interp:
+            conf.set("spark.sql.codegen.wholeStage", prev_ws)
+            conf.set("spark.sql.codegen.factoryMode", prev_fm)
 
 
 def _km_lloyd_literal(e, tag: str, vecs_body: str | None = None,
-                      k: int = KM_K, iters: int = KM_ITERS):
+                      k: int = KM_K, iters: int = KM_ITERS,
+                      interp: bool = True):
     """Run ``iters`` Lloyd rounds with the codebook driver-held; returns the
     final codebook as [(cid, [element sql], [element value])]. One
     aggregate job per round (map-side combined K x EMB_DIM cells), one
-    tiny LIMIT-k job for the seeds — no corpus-keyed exchange anywhere."""
+    tiny LIMIT-k job for the seeds — no corpus-keyed exchange anywhere.
+
+    ``interp=False`` keeps codegen on for the trainer statements even
+    below the size gate: _train_mem's consumers measured a reproducible
+    ~7-16% loss under the interpreted trainer (3/3 interleaved A/B
+    passes) — their final decision query reuses the trainer's generated
+    projection shape from the codegen cache, and the interpreted rounds
+    no longer pre-warm it — while every other trainer path measured
+    0.75-0.94 (see OPTIMIZATION_r11.md §4c)."""
     from .dedup import _sql_over
 
     if vecs_body is None:
         vecs_body = _km_vecs_body()
-    with _trainer_conf(e.sparkSession):
+    with _trainer_conf(e.sparkSession, e if interp else None):
         seeds = _sql_over(
             e, f"{tag}_seed",
             f"WITH vecs AS ({vecs_body}) "
@@ -1170,7 +1217,8 @@ def _km_lloyd_literal(e, tag: str, vecs_body: str | None = None,
 
 def _km_literal_parts_spark(e, tag: str, vecs_body: str | None = None,
                             with_sc: bool = False,
-                            cb: list | None = None) -> list[str]:
+                            cb: list | None = None,
+                            interp: bool = True) -> list[str]:
     """Driver-folded replacement for _km_train_parts_spark: RUNS the Lloyd
     rounds (2 + KM_ITERS small jobs), then emits the same-named CTEs the
     unrolled form exposed — ``vecs``, ``c{KM_ITERS}`` (literal VALUES) and
@@ -1181,7 +1229,7 @@ def _km_literal_parts_spark(e, tag: str, vecs_body: str | None = None,
         vecs_body = _km_vecs_body()
     fin = KM_ITERS
     if cb is None:
-        cb = _km_lloyd_literal(e, tag, vecs_body)
+        cb = _km_lloyd_literal(e, tag, vecs_body, interp=interp)
     cb_rows = ", ".join(
         f"({cid}, array({', '.join(elem_sql)}))" for cid, elem_sql, _ in cb
     )
@@ -1647,7 +1695,7 @@ def _pq_lloyd_literal(e, tag: str, vecs_sql: str = _PQ_VECS_BODY):
     from .dedup import _sql_over
 
     prefix = f"WITH vecs AS ({vecs_sql}), sub AS ({_PQ_SUB_BODY}) "
-    with _trainer_conf(e.sparkSession):
+    with _trainer_conf(e.sparkSession, e):
         seeds = _sql_over(
             e, f"{tag}_pqseed",
             prefix + f"""
@@ -1739,7 +1787,7 @@ def _dual_literal_train(vck, tag: str):
     Returns (km codebook, pq codebook)."""
     from .dedup import _sql_over
 
-    with _trainer_conf(vck.sparkSession):
+    with _trainer_conf(vck.sparkSession, vck):
         return _dual_literal_train_inner(vck, tag)
 
 
@@ -2568,7 +2616,8 @@ def _train_mem(e, tag: str):
 
     fin = KM_ITERS
     vck = _vecs_ck(e, tag)
-    parts = _km_literal_parts_spark(vck, tag, vecs_body=_VECS_CK_BODY)
+    parts = _km_literal_parts_spark(vck, tag, vecs_body=_VECS_CK_BODY,
+                                    interp=False)
     # a{fin} carries vv directly (r10) — the old `JOIN vecs v2 ON vec_id`
     # existed only to re-attach the self-dot and cost a corpus-sized join
     # per training; the oracle keeps its join text (same values either way)

@@ -73,3 +73,33 @@ def test_graph_bounded_collects_raise_on_overflow(spark, sf_dir, monkeypatch):
         g.graph_pagerank(spark, sf_dir)
     with pytest.raises(RuntimeError, match="circulant bound"):
         g.graph_shortest_paths(spark, sf_dir)
+
+
+def test_trainer_interp_gate_paths_agree(spark, sf_dir, monkeypatch):
+    """The size-gated interpreted trainer mode (codegen.wholeStage off +
+    factoryMode NO_CODEGEN below _TRAINER_INTERP_MAX_BYTES) must reproduce
+    the codegen branch's codebooks exactly, and _trainer_conf must restore
+    every conf it touches on exit."""
+    e = load(spark, sf_dir, "embeddings")
+    conf = spark.conf
+    before = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.codegen.wholeStage",
+            "spark.sql.codegen.factoryMode",
+        )
+    }
+    # interpreted branch (test SF is far below the gate)
+    from aws_vpc_flow_log_appender_spark.ext.dedup import _plan_bytes
+
+    size = _plan_bytes(e)
+    assert size is not None and size < sim._TRAINER_INTERP_MAX_BYTES
+    cb_interp = sim._km_lloyd_literal(e, "t11_interp")
+    # codegen branch (gate forced shut)
+    monkeypatch.setattr(sim, "_TRAINER_INTERP_MAX_BYTES", 0)
+    cb_codegen = sim._km_lloyd_literal(e, "t11_codegen")
+    assert cb_interp == cb_codegen
+    after = {k: conf.get(k, None) for k in before}
+    assert after == before
